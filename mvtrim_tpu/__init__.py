@@ -1,0 +1,28 @@
+"""motion-estimated-video-trimmer, TPU-native.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+Vaibhav-20022002/Motion-Estimated-Video-Trimmer (pure C++/FFmpeg reference):
+codec motion-vector scanning of surveillance video, cluster-based motion
+detection, temporal segmentation, and lossless FFmpeg-level cutting —
+with the per-frame analysis running as batched device kernels instead of
+per-thread scalar loops.
+
+Layout:
+  core/      config knobs (identical env names), value types, NumPy oracle
+  ops/       Pallas + XLA device kernels (vote/cluster, fused MV, SAD, segmentation)
+  models/    detector "model" families wrapping the kernels (MV, SAD)
+  io/        host media layer: ctypes bridge to the native C++ decode library
+  cut/       lossless cut executors (native remux / external ffmpeg) + job queue
+  pipeline/  single-video driver (probe -> scan -> segment -> cut)
+  batch/     multi-video scheduler, watch mode, mesh sharding of streams
+  parallel/  device mesh discovery and sharded scan steps
+  utils/     logging, phase timing
+  tools/     extract_mvs / motion_scalar equivalents
+"""
+
+__version__ = "0.1.0"
+
+from .core.config import Config
+from .core.types import TimeSegment, ScanTask, GridGeometry
+
+__all__ = ["Config", "TimeSegment", "ScanTask", "GridGeometry", "__version__"]
