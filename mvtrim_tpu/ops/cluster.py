@@ -1,0 +1,167 @@
+"""Cluster-detection device kernels.
+
+Replaces the per-frame scalar phase-2 loop (reference
+motion_scanner.cpp:277-293) with a batched, branch-free kernel over
+``[B, GH, GW]`` uint8 vote grids:
+
+  active(c)   = votes(c) >= vectors_needed
+  cluster(c)  = active(c) AND any 4-neighbor active, for centers with
+                y in [y_min, y_max), x in [1, gw-2]
+  motion      = count(cluster) >= clusters_needed
+
+Neighbor reads use zero-vote fill, matching the reference's vote-free
+in-allocation rows (and *defining* the margin==0 case the reference leaves
+as UB — motion_scanner.cpp:285-286).  The reference's early exit at the
+Nth cluster is replaced by a full count + compare: identical decision.
+
+Two implementations with identical semantics:
+  * ``xla``    — pure jnp; XLA fuses compare/shift/reduce into one pass.
+  * ``pallas`` — explicit VMEM kernel tiled over the batch; keeps all
+                 intermediates on-chip, one HBM read of the votes and one
+                 int32 write per frame.
+
+Both are built per-(geometry, config) and jit-cached; all thresholds are
+static so the compiled program is branch-free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import GridGeometry
+
+
+def _shift2d(v, dy: int, dx: int):
+    """Shift a [..., H, W] array by (dy, dx), filling with zeros.
+
+    Value at (y, x) of the result is v[y - dy, x - dx] (or 0 off-edge), so
+    _shift2d(v, 0, 1) holds each cell's *left* neighbor.
+    """
+    pads = [(0, 0)] * (v.ndim - 2) + [
+        (max(dy, 0), max(-dy, 0)),
+        (max(dx, 0), max(-dx, 0)),
+    ]
+    padded = jnp.pad(v, pads)
+    h, w = v.shape[-2], v.shape[-1]
+    start_y = max(-dy, 0)
+    start_x = max(-dx, 0)
+    return padded[..., start_y:start_y + h, start_x:start_x + w]
+
+
+def _center_mask(geom: GridGeometry, padded_gh: int, padded_gw: int):
+    """Static mask of valid cluster centers (motion_scanner.cpp:277-280)."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (padded_gh, padded_gw), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (padded_gh, padded_gw), 1)
+    return ((ys >= geom.y_min) & (ys < geom.y_max)
+            & (xs >= 1) & (xs <= geom.gw - 2))
+
+
+def _cluster_map(votes_i32, geom: GridGeometry, vectors_needed: int):
+    """Shared math: int32 votes [..., GH, GW] -> bool cluster map [..., GH, GW]."""
+    vec_need = jnp.int32(vectors_needed)
+    active = votes_i32 >= vec_need
+    # any 4-neighbor >= vec_need  <=>  max of 4-neighbors >= vec_need.
+    # The max formulation compiles to fewer vector ops and (unlike a chain
+    # of four compare+or) stays within Mosaic's layout budget at large
+    # batch blocks.
+    neighbor_max = jnp.maximum(
+        jnp.maximum(_shift2d(votes_i32, 0, 1), _shift2d(votes_i32, 0, -1)),
+        jnp.maximum(_shift2d(votes_i32, 1, 0), _shift2d(votes_i32, -1, 0)),
+    )
+    mask = _center_mask(geom, votes_i32.shape[-2], votes_i32.shape[-1])
+    return active & (neighbor_max >= vec_need) & mask
+
+
+def _cluster_body(votes_i32, geom: GridGeometry, vectors_needed: int):
+    """int32 votes [..., GH, GW] -> int32 cluster counts [...] (XLA path)."""
+    cluster = _cluster_map(votes_i32, geom, vectors_needed)
+    return jnp.sum(cluster.astype(jnp.int32), axis=(-2, -1))
+
+
+def pad_votes(votes, geom: GridGeometry):
+    """Pad host vote grids [B, gh, gw] -> [B, GH, GW] (zero votes)."""
+    b, gh, gw = votes.shape
+    return jnp.pad(votes, ((0, 0), (0, geom.padded_gh - gh),
+                           (0, geom.padded_gw - gw)))
+
+
+def make_cluster_op_xla(geom: GridGeometry, vectors_needed: int,
+                        clusters_needed: int):
+    """jnp implementation: votes_u8 [B, GH, GW] -> (counts i32, motion bool)."""
+
+    @jax.jit
+    def op(votes):
+        counts = _cluster_body(votes.astype(jnp.int32), geom, vectors_needed)
+        return counts, counts >= jnp.int32(clusters_needed)
+
+    return op
+
+
+def make_cluster_op_pallas(geom: GridGeometry, vectors_needed: int,
+                           clusters_needed: int, block_b: int = 128,
+                           interpret: bool = False):
+    """Pallas implementation, tiled over the frame batch.
+
+    Input votes must be padded to [B, geom.padded_gh, geom.padded_gw] with
+    B a multiple of block_b.  Output is ([B] i32 counts, [B] bool motion).
+    """
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+
+    def kernel(votes_ref, counts_ref):
+        v = votes_ref[:].astype(jnp.int32)          # [block_b, GH, GW]
+        cluster = _cluster_map(v, geom, vectors_needed).astype(jnp.int32)
+        # Mosaic requires >=2D shapes at every reduction step: reduce the
+        # lane dim first, then the sublane dim with keepdims -> [block_b, 1].
+        row_sums = jnp.sum(cluster, axis=2)                 # [block_b, GH]
+        counts_ref[:] = jnp.sum(row_sums, axis=1, keepdims=True)
+
+    @jax.jit
+    def op(votes):
+        b = votes.shape[0]
+        assert b % block_b == 0, (b, block_b)
+        counts = pl.pallas_call(
+            kernel,
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, gh_p, gw_p),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            interpret=interpret,
+        )(votes)
+        counts = counts[:, 0]
+        return counts, counts >= jnp.int32(clusters_needed)
+
+    return op
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_op(geom: GridGeometry, vectors_needed: int, clusters_needed: int,
+               backend: str, interpret: bool):
+    if backend == "pallas":
+        return make_cluster_op_pallas(geom, vectors_needed, clusters_needed,
+                                      interpret=interpret)
+    return make_cluster_op_xla(geom, vectors_needed, clusters_needed)
+
+
+def cluster_counts(votes, geom: GridGeometry, *, vectors_needed: int,
+                   clusters_needed: int, backend: str = "xla",
+                   interpret: bool = False):
+    """Convenience entry: pad + dispatch to the chosen backend."""
+    votes = pad_votes(jnp.asarray(votes, dtype=jnp.uint8), geom)
+    if backend == "pallas":
+        b = votes.shape[0]
+        block_b = min(128, b)
+        while b % block_b:
+            block_b -= 1
+        op = make_cluster_op_pallas(geom, vectors_needed, clusters_needed,
+                                    block_b=block_b, interpret=interpret)
+        return op(votes)
+    op = _cached_op(geom, vectors_needed, clusters_needed, "xla", False)
+    return op(votes)

@@ -1,0 +1,194 @@
+"""Fused motion-vector -> vote-grid -> cluster kernel.
+
+Replaces the reference's per-MV scalar vote loop (motion_scanner.cpp:242-268)
+with a TPU-native formulation: the scatter of MVs into the [gh, gw] grid is
+an **outer product of two one-hot matrices on the MXU**:
+
+    votes[y, x] = sum_k keep_k * 1(gy_k == y) * 1(gx_k == x)
+                = A @ B     with  A[y, k] = keep_k * 1(gy_k == y)   # [GH, M]
+                                  B[k, x] = 1(gx_k == x)            # [M, GW]
+
+Layout discipline (measured on v5e): the one-hots are built *inside* the
+kernel in the layout the dot wants — A lane-major over k (from [1, M]
+fields), B sublane-major over k (from [M, 1] fields) — so no transposes or
+HBM materialization happen; and they are float32, not bfloat16 (the bf16
+one-hot path lowers ~10-25x slower in Mosaic for these shapes).  dst_x is
+passed in both layouts; that costs 8KB of VMEM per frame and saves a
+relayout.
+
+so thresholding + scatter + cluster detection run fused on-device with one
+HBM read of the MV fields per frame.  Exactness notes:
+
+* magnitude test: the reference compares integer (dst-src)^2 against a
+  *double* threshold (motion_scanner.cpp:246-251).  ``mag_sq < T`` over
+  integers is equivalent to ``mag_sq < ceil(T)``, so we bake a static
+  integer bound and keep the compare in int32.
+* grid mapping: arithmetic right shift of dst (floor for negatives),
+  bounds 0 <= gx < gw, y_min <= gy < y_max — folded into the keep mask.
+* vote saturation at 255 (motion_scanner.cpp:265-266) is skipped: counts
+  only feed ``>= vectors_needed`` with vectors_needed <= 255, and
+  count > 255 implies both saturated and unsaturated values pass — the
+  motion decision is identical.
+* one-hots are exact 0/1 in bfloat16 and accumulate in float32
+  (exact integers below 2^24), so counts are exact.
+
+This path exists for on-device threshold sweeps and MV-resident analysis;
+the default pipeline scatters votes host-side during decode (cheaper H2D)
+and runs only the cluster kernel on device.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import GridGeometry
+from .cluster import _cluster_body, _cluster_map
+
+
+def threshold_bound(threshold_sq: float) -> int:
+    """Static integer bound b with (mag < threshold_sq) == (mag < b)
+    for integer mag (b = ceil of the double threshold)."""
+    return int(math.ceil(threshold_sq))
+
+
+def _mv_frame_votes(dst_x, dst_y, src_x, src_y, dst_x_sub, count,
+                    geom: GridGeometry, bound: int, block_shift: int):
+    """Fused per-frame vote accumulation.
+
+    dst_x/dst_y/src_x/src_y are [1, M] int32 (lane-major), dst_x_sub is the
+    same dst_x data as [M, 1] (sublane-major), count is a scalar int32.
+    Returns f32 votes [GH_p, GW_p].
+    """
+    m = dst_x.shape[-1]
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+
+    dx = dst_x - src_x
+    dy = dst_y - src_y
+    mag = dx * dx + dy * dy
+    gx = jax.lax.shift_right_arithmetic(dst_x, block_shift)      # [1, M]
+    gy = jax.lax.shift_right_arithmetic(dst_y, block_shift)      # [1, M]
+    gx_sub = jax.lax.shift_right_arithmetic(dst_x_sub, block_shift)  # [M, 1]
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    keep = ((idx < count)
+            & (mag >= jnp.int32(bound))
+            & (gx >= 0) & (gx < geom.gw)
+            & (gy >= geom.y_min) & (gy < geom.y_max))            # [1, M]
+
+    rows_y = jax.lax.broadcasted_iota(jnp.int32, (gh_p, m), 0)
+    cols_x = jax.lax.broadcasted_iota(jnp.int32, (m, gw_p), 1)
+    one_y = ((rows_y == gy) & keep).astype(jnp.float32)          # [GH_p, M]
+    one_x = (cols_x == gx_sub).astype(jnp.float32)               # [M, GW_p]
+
+    return jax.lax.dot_general(
+        one_y, one_x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                            # [GH_p, GW_p]
+
+
+def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
+                           block_shift: int, vectors_needed: int,
+                           clusters_needed: int):
+    """jnp/vmap implementation: MV fields [B, M] i32 + counts [B] i32
+    -> (cluster counts i32 [B], motion bool [B])."""
+    bound = threshold_bound(threshold_sq)
+
+    def frame(dst_x, dst_y, src_x, src_y, count):
+        votes = _mv_frame_votes(dst_x[None, :], dst_y[None, :],
+                                src_x[None, :], src_y[None, :],
+                                dst_x[:, None], count,
+                                geom, bound, block_shift)
+        return _cluster_body(votes.astype(jnp.int32), geom, vectors_needed)
+
+    @jax.jit
+    def op(dst_x, dst_y, src_x, src_y, counts):
+        n = jax.vmap(frame)(dst_x, dst_y, src_x, src_y, counts)
+        return n, n >= jnp.int32(clusters_needed)
+
+    return op
+
+
+def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
+                              block_shift: int, vectors_needed: int,
+                              clusters_needed: int, interpret: bool = False):
+    """Pallas implementation: one frame per grid step, everything in VMEM.
+
+    The MV count array rides as a scalar-prefetch arg (SMEM) so the keep
+    mask is computed without an extra VMEM stream.
+    """
+    bound = threshold_bound(threshold_sq)
+
+    def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,
+               dst_x_sub_ref, counts_ref):
+        i = pl.program_id(0)
+        votes = _mv_frame_votes(
+            dst_x_ref[0], dst_y_ref[0], src_x_ref[0], src_y_ref[0],
+            dst_x_sub_ref[0], count_ref[i], geom, bound, block_shift)
+        cluster = _cluster_map(votes.astype(jnp.int32), geom,
+                               vectors_needed).astype(jnp.int32)
+        # keep every reduction step >=2D for Mosaic: [GH,GW]->[1,GW]->[1,1]
+        col_sums = jnp.sum(cluster, axis=0, keepdims=True)
+        counts_ref[0] = jnp.sum(col_sums, axis=1, keepdims=True)
+
+    @jax.jit
+    def op(dst_x, dst_y, src_x, src_y, counts):
+        b, m = dst_x.shape
+        # Blocks must keep their last two dims tile-aligned or array-equal;
+        # [B, 1, M] with block (1, 1, M) satisfies that for one frame/step.
+        lane = lambda a: a.reshape(b, 1, m)
+        mv_spec = pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        sub_spec = pl.BlockSpec((1, m, 1), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        n = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=[mv_spec] * 4 + [sub_spec],
+                out_specs=pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+            interpret=interpret,
+        )(counts, lane(dst_x), lane(dst_y), lane(src_x), lane(src_y),
+          dst_x.reshape(b, m, 1))
+        n = n[:, 0, 0]
+        return n, n >= jnp.int32(clusters_needed)
+
+    return op
+
+
+def pad_mvs(mv_list, m: int):
+    """Host helper: list of [n_i, 4] int arrays -> ([B, M] x4 int32, counts).
+
+    Rows are (dst_x, dst_y, src_x, src_y).  Frames with more than M MVs are
+    truncated with a flag so callers can re-run them through the oracle.
+    """
+    import numpy as np
+
+    b = len(mv_list)
+    dst_x = np.zeros((b, m), np.int32)
+    dst_y = np.zeros((b, m), np.int32)
+    src_x = np.zeros((b, m), np.int32)
+    src_y = np.zeros((b, m), np.int32)
+    counts = np.zeros((b,), np.int32)
+    overflow = np.zeros((b,), bool)
+    for i, mvs in enumerate(mv_list):
+        mvs = np.asarray(mvs, np.int32).reshape(-1, 4)
+        n = mvs.shape[0]
+        if n > m:
+            overflow[i] = True
+            n = m
+        counts[i] = n
+        dst_x[i, :n] = mvs[:n, 0]
+        dst_y[i, :n] = mvs[:n, 1]
+        src_x[i, :n] = mvs[:n, 2]
+        src_y[i, :n] = mvs[:n, 3]
+    return dst_x, dst_y, src_x, src_y, counts, overflow

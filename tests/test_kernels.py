@@ -1,0 +1,139 @@
+"""Device-kernel vs oracle parity (SURVEY.md §4 item 2).
+
+Random vote grids and random MV sets are pushed through the XLA and Pallas
+(interpret-mode) kernels and must reproduce the NumPy oracle's cluster
+counts and motion decisions exactly.
+"""
+
+import numpy as np
+import pytest
+
+from mvtrim_tpu.core import oracle
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.ops import cluster as cluster_ops
+from mvtrim_tpu.ops import mv_vote
+
+CFG = Config()
+GEOM = GridGeometry.build(640, 480, CFG)  # gw=40, gh=30, margin=1
+
+
+def oracle_counts(grids, geom, vectors_needed):
+    return np.array([
+        oracle.count_clusters(g, vectors_needed=vectors_needed,
+                              y_min=geom.y_min, y_max=geom.y_max)
+        for g in grids
+    ], dtype=np.int32)
+
+
+def random_grids(rng, b, geom, density=0.1, max_votes=6):
+    grids = np.zeros((b, geom.gh, geom.gw), np.uint8)
+    mask = rng.random((b, geom.gh, geom.gw)) < density
+    votes = rng.integers(0, max_votes, size=(b, geom.gh, geom.gw))
+    # votes may land anywhere in the allocated grid rows inside the mask
+    # window only (vote_grid can't produce them elsewhere), but the cluster
+    # phase must tolerate arbitrary grid contents — test with full-range.
+    grids[mask] = votes[mask]
+    return grids
+
+
+class TestClusterKernels:
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_random_parity(self, rng, backend):
+        grids = random_grids(rng, 64, GEOM)
+        counts, motion = cluster_ops.cluster_counts(
+            grids, GEOM, vectors_needed=2, clusters_needed=2,
+            backend=backend, interpret=True)
+        expect = oracle_counts(grids, GEOM, 2)
+        np.testing.assert_array_equal(np.asarray(counts), expect)
+        np.testing.assert_array_equal(np.asarray(motion), expect >= 2)
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_dense_grids(self, rng, backend):
+        grids = random_grids(rng, 16, GEOM, density=0.9, max_votes=255)
+        counts, _ = cluster_ops.cluster_counts(
+            grids, GEOM, vectors_needed=3, clusters_needed=2,
+            backend=backend, interpret=True)
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      oracle_counts(grids, GEOM, 3))
+
+    def test_1080p_geometry(self, rng):
+        geom = GridGeometry.build(1920, 1080, CFG)
+        assert (geom.gw, geom.gh, geom.y_min, geom.y_max) == (120, 68, 3, 65)
+        grids = random_grids(rng, 8, geom, density=0.05)
+        counts, _ = cluster_ops.cluster_counts(
+            grids, geom, vectors_needed=2, clusters_needed=2, backend="xla")
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      oracle_counts(grids, geom, 2))
+
+    def test_empty_and_full(self):
+        grids = np.zeros((4, GEOM.gh, GEOM.gw), np.uint8)
+        grids[1] = 255
+        counts, motion = cluster_ops.cluster_counts(
+            grids, GEOM, vectors_needed=2, clusters_needed=2, backend="xla")
+        assert counts[0] == 0 and not motion[0]
+        assert counts[1] == oracle_counts(grids[1:2], GEOM, 2)[0]
+
+
+def random_mvs(rng, n, spread=640):
+    """Random MV rows (dst_x, dst_y, src_x, src_y) incl. negatives/OOB."""
+    dst = rng.integers(-32, spread + 32, size=(n, 2))
+    disp = rng.integers(-8, 9, size=(n, 2))
+    src = dst - disp
+    return np.concatenate([dst, src], axis=1).astype(np.int32)
+
+
+class TestMVFusedKernels:
+    @pytest.mark.parametrize("threshold_sq", [16.0, 16.5, 0.0, 4.0])
+    def test_xla_parity(self, rng, threshold_sq):
+        b, m = 12, 256
+        mv_list = [random_mvs(rng, int(rng.integers(0, m))) for _ in range(b)]
+        dx_, dy_, sx_, sy_, counts, overflow = mv_vote.pad_mvs(mv_list, m)
+        assert not overflow.any()
+        op = mv_vote.make_mv_cluster_op_xla(
+            GEOM, threshold_sq=threshold_sq, block_shift=4,
+            vectors_needed=2, clusters_needed=2)
+        n, motion = op(dx_, dy_, sx_, sy_, counts)
+        for i, mvs in enumerate(mv_list):
+            grid = oracle.vote_grid(
+                mvs, GEOM.gw, GEOM.gh, threshold_sq=threshold_sq,
+                block_shift=4, y_min=GEOM.y_min, y_max=GEOM.y_max)
+            expect = oracle.count_clusters(grid, vectors_needed=2,
+                                           y_min=GEOM.y_min, y_max=GEOM.y_max)
+            assert int(n[i]) == expect, f"frame {i}"
+            assert bool(motion[i]) == (expect >= 2)
+
+    def test_pallas_parity(self, rng):
+        b, m = 8, 256
+        mv_list = [random_mvs(rng, int(rng.integers(32, m))) for _ in range(b)]
+        dx_, dy_, sx_, sy_, counts, _ = mv_vote.pad_mvs(mv_list, m)
+        op = mv_vote.make_mv_cluster_op_pallas(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=2, clusters_needed=2, interpret=True)
+        n, _ = op(dx_, dy_, sx_, sy_, counts)
+        op_ref = mv_vote.make_mv_cluster_op_xla(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=2, clusters_needed=2)
+        n_ref, _ = op_ref(dx_, dy_, sx_, sy_, counts)
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(n_ref))
+
+    def test_padding_ignored(self, rng):
+        # padded zero MVs have mag 0: dropped when threshold > 0, and when
+        # threshold == 0 they must still be masked by the count
+        mvs = random_mvs(rng, 100)
+        dx_, dy_, sx_, sy_, counts, _ = mv_vote.pad_mvs([mvs], 256)
+        op = mv_vote.make_mv_cluster_op_xla(
+            GEOM, threshold_sq=0.0, block_shift=4,
+            vectors_needed=1, clusters_needed=1)
+        n, _ = op(dx_, dy_, sx_, sy_, counts)
+        grid = oracle.vote_grid(mvs, GEOM.gw, GEOM.gh, threshold_sq=0.0,
+                                block_shift=4, y_min=GEOM.y_min,
+                                y_max=GEOM.y_max)
+        assert int(n[0]) == oracle.count_clusters(
+            grid, vectors_needed=1, y_min=GEOM.y_min, y_max=GEOM.y_max)
+
+    def test_threshold_bound(self):
+        assert mv_vote.threshold_bound(16.0) == 16
+        assert mv_vote.threshold_bound(16.5) == 17
+        assert mv_vote.threshold_bound(0.0) == 0
+        assert mv_vote.threshold_bound(-3.0) == -3
