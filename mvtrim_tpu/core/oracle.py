@@ -81,6 +81,15 @@ def count_clusters(grid: np.ndarray, *, vectors_needed: int, y_min: int,
     return clusters
 
 
+def effective_clusters_needed(clusters_needed: int) -> int:
+    """The reference triggers motion inside ``if (++clusters >= clust_need)``
+    (motion_scanner.cpp:288-289): at least one cluster must exist even when
+    CLUSTERS_NEEDED <= 0, and MV-less frames return false unconditionally
+    (:219-221).  Count-then-compare kernels must therefore use
+    max(1, clusters_needed)."""
+    return max(1, clusters_needed)
+
+
 def check_frame(mvs: np.ndarray, gw: int, gh: int, *, threshold_sq: float,
                 block_shift: int, y_min: int, y_max: int,
                 vectors_needed: int, clusters_needed: int) -> bool:
@@ -89,7 +98,7 @@ def check_frame(mvs: np.ndarray, gw: int, gh: int, *, threshold_sq: float,
                      block_shift=block_shift, y_min=y_min, y_max=y_max)
     n = count_clusters(grid, vectors_needed=vectors_needed,
                        y_min=y_min, y_max=y_max)
-    return n >= clusters_needed
+    return n >= effective_clusters_needed(clusters_needed)
 
 
 def merge_timestamps(timestamps) -> np.ndarray:

@@ -1,0 +1,227 @@
+"""ctypes bridge to the native host media library (native/mvtrim_host.cpp).
+
+The native library owns everything FFmpeg: mmap'd ingest, MV-export decode,
+dense vote-grid scatter, raw MV / luma export, the lossless segment-concat
+cut, and the synthetic clip generator.  ctypes releases the GIL during
+calls, so N Python threads driving N handles decode genuinely in parallel
+(the reference's per-thread MotionScanner model, motion_scanner.hpp:8-13).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+MVT_MODE_MV = 0
+MVT_MODE_LUMA = 1
+
+_lib = None
+_lib_lock = threading.Lock()
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _load_library():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        so_path = os.environ.get(
+            "MVT_NATIVE_LIB", os.path.join(_NATIVE_DIR, "libmvtrim_host.so"))
+        if not os.path.exists(so_path):
+            # Best-effort self-build (dev checkouts); fails loudly otherwise.
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True)
+            except Exception as e:
+                raise OSError(
+                    f"native library missing at {so_path} and build failed: {e}")
+        lib = ctypes.CDLL(so_path)
+
+        lib.mvt_open.restype = ctypes.c_void_p
+        lib.mvt_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                 ctypes.c_char_p, ctypes.c_int]
+        lib.mvt_close.restype = None
+        lib.mvt_close.argtypes = [ctypes.c_void_p]
+        lib.mvt_probe.restype = ctypes.c_int
+        lib.mvt_probe.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_double),
+                                  ctypes.POINTER(ctypes.c_double),
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int)]
+        lib.mvt_scan_grids.restype = ctypes.c_long
+        lib.mvt_scan_grids.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.mvt_scan_mvs.restype = ctypes.c_long
+        lib.mvt_scan_mvs.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.mvt_scan_luma.restype = ctypes.c_long
+        lib.mvt_scan_luma.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.mvt_cut.restype = ctypes.c_int
+        lib.mvt_cut.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                ctypes.c_void_p, ctypes.c_int,
+                                ctypes.c_char_p, ctypes.c_int]
+        lib.mvt_synth.restype = ctypes.c_int
+        lib.mvt_synth.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        _lib = lib
+        return lib
+
+
+class ScanTiming:
+    """seek/decode/analyze microsecond accumulators (the reference's
+    per-worker hot-path accounting, pipeline.cpp:180-184)."""
+
+    __slots__ = ("seek_us", "decode_us", "analyze_us")
+
+    def __init__(self):
+        self.seek_us = 0
+        self.decode_us = 0
+        self.analyze_us = 0
+
+    def add_raw(self, arr):
+        self.seek_us += int(arr[0])
+        self.decode_us += int(arr[1])
+        self.analyze_us += int(arr[2])
+
+
+class VideoReader:
+    """One decode handle over an mmap'd video (not thread-safe; use one
+    per worker thread)."""
+
+    def __init__(self, path: str, mode: int = MVT_MODE_MV):
+        self._lib = _load_library()
+        err = ctypes.create_string_buffer(256)
+        self._h = self._lib.mvt_open(path.encode(), mode, err, len(err))
+        if not self._h:
+            raise OSError(f"mvt_open({path}): {err.value.decode()}")
+        self.path = path
+        dur = ctypes.c_double()
+        fps = ctypes.c_double()
+        w = ctypes.c_int()
+        ht = ctypes.c_int()
+        self._lib.mvt_probe(self._h, ctypes.byref(dur), ctypes.byref(fps),
+                            ctypes.byref(w), ctypes.byref(ht))
+        self.duration = dur.value
+        self.fps = fps.value
+        self.width = w.value
+        self.height = ht.value
+
+    def close(self):
+        if self._h:
+            self._lib.mvt_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def scan_grids(self, start: float, end: float, *, threshold_sq: float,
+                   block_shift: int, gw: int, gh: int, y_min: int,
+                   y_max: int, frame_skip: int = 1, max_frames: int = 4096,
+                   timing: ScanTiming | None = None):
+        """Decode [start, end) and return (grids uint8 [N, gh, gw], pts f64 [N])."""
+        grids = np.empty((max_frames, gh, gw), dtype=np.uint8)
+        pts = np.empty((max_frames,), dtype=np.float64)
+        t = np.zeros((3,), dtype=np.int64)
+        n = self._lib.mvt_scan_grids(
+            self._h, start, end, threshold_sq, block_shift, gw, gh,
+            y_min, y_max, frame_skip, max_frames,
+            grids.ctypes.data, pts.ctypes.data, t.ctypes.data)
+        if n < 0:
+            raise RuntimeError(f"mvt_scan_grids failed on {self.path}")
+        if timing is not None:
+            timing.add_raw(t)
+        return grids[:n], pts[:n]
+
+    def scan_mvs(self, start: float, end: float, *, frame_skip: int = 1,
+                 max_frames: int = 4096, max_mv: int = 8192,
+                 timing: ScanTiming | None = None):
+        """Decode [start, end) and return raw MVs.
+
+        Returns (mvs int16 [N, max_mv, 4], counts int32 [N], pts f64 [N]).
+        Negative count means the frame overflowed max_mv (|count| = real).
+        """
+        mvs = np.zeros((max_frames, max_mv, 4), dtype=np.int16)
+        counts = np.zeros((max_frames,), dtype=np.int32)
+        pts = np.empty((max_frames,), dtype=np.float64)
+        t = np.zeros((3,), dtype=np.int64)
+        n = self._lib.mvt_scan_mvs(
+            self._h, start, end, frame_skip, max_frames, max_mv,
+            mvs.ctypes.data, counts.ctypes.data, pts.ctypes.data,
+            t.ctypes.data)
+        if n < 0:
+            raise RuntimeError(f"mvt_scan_mvs failed on {self.path}")
+        if timing is not None:
+            timing.add_raw(t)
+        return mvs[:n], counts[:n], pts[:n]
+
+    def scan_luma(self, start: float, end: float, *, frame_skip: int = 1,
+                  max_frames: int = 256, timing: ScanTiming | None = None):
+        """Decode [start, end) and return (luma uint8 [N, H, W], pts f64 [N])."""
+        luma = np.empty((max_frames, self.height, self.width), dtype=np.uint8)
+        pts = np.empty((max_frames,), dtype=np.float64)
+        t = np.zeros((3,), dtype=np.int64)
+        n = self._lib.mvt_scan_luma(
+            self._h, start, end, frame_skip, max_frames,
+            luma.ctypes.data, pts.ctypes.data, t.ctypes.data)
+        if n < 0:
+            raise RuntimeError(f"mvt_scan_luma failed on {self.path}")
+        if timing is not None:
+            timing.add_raw(t)
+        return luma[:n], pts[:n]
+
+
+def cut(input_path: str, output_path: str, segments) -> None:
+    """Lossless segment concat (native remux; no external ffmpeg needed).
+
+    ``segments`` is a sequence of (start, end) seconds; callers should pass
+    %.2f-quantized values to match the reference's concat-list contract.
+    """
+    lib = _load_library()
+    flat = np.asarray([v for s in segments for v in (s[0], s[1])],
+                      dtype=np.float64)
+    err = ctypes.create_string_buffer(256)
+    rc = lib.mvt_cut(input_path.encode(), output_path.encode(),
+                     flat.ctypes.data, len(flat) // 2, err, len(err))
+    if rc != 0:
+        raise RuntimeError(
+            f"mvt_cut({input_path} -> {output_path}): {err.value.decode()}")
+
+
+def synthesize(path: str, *, width: int = 640, height: int = 480,
+               fps: float = 25.0, duration: float = 10.0,
+               codec: str = "libx264", motion_windows=((2.0, 5.0),),
+               gop: int = 0) -> None:
+    """Generate a synthetic moving-box clip (tests/benches)."""
+    lib = _load_library()
+    flat = np.asarray([v for w in motion_windows for v in (w[0], w[1])],
+                      dtype=np.float64)
+    err = ctypes.create_string_buffer(256)
+    rc = lib.mvt_synth(path.encode(), width, height, fps, duration,
+                       codec.encode(), flat.ctypes.data, len(flat) // 2,
+                       gop, err, len(err))
+    if rc != 0:
+        raise RuntimeError(f"mvt_synth({path}): {err.value.decode()}")

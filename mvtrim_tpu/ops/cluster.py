@@ -97,7 +97,7 @@ def make_cluster_op_xla(geom: GridGeometry, vectors_needed: int,
     @jax.jit
     def op(votes):
         counts = _cluster_body(votes.astype(jnp.int32), geom, vectors_needed)
-        return counts, counts >= jnp.int32(clusters_needed)
+        return counts, counts >= jnp.int32(max(1, clusters_needed))
 
     return op
 
@@ -136,7 +136,7 @@ def make_cluster_op_pallas(geom: GridGeometry, vectors_needed: int,
             interpret=interpret,
         )(votes)
         counts = counts[:, 0]
-        return counts, counts >= jnp.int32(clusters_needed)
+        return counts, counts >= jnp.int32(max(1, clusters_needed))
 
     return op
 

@@ -8,6 +8,9 @@ an **outer product of two one-hot matrices on the MXU**:
                 = A @ B     with  A[y, k] = keep_k * 1(gy_k == y)   # [GH, M]
                                   B[k, x] = 1(gx_k == x)            # [M, GW]
 
+so thresholding + scatter + cluster detection run fused on-device with one
+HBM read of the MV fields per frame.
+
 Layout discipline (measured on v5e): the one-hots are built *inside* the
 kernel in the layout the dot wants — A lane-major over k (from [1, M]
 fields), B sublane-major over k (from [M, 1] fields) — so no transposes or
@@ -16,8 +19,7 @@ one-hot path lowers ~10-25x slower in Mosaic for these shapes).  dst_x is
 passed in both layouts; that costs 8KB of VMEM per frame and saves a
 relayout.
 
-so thresholding + scatter + cluster detection run fused on-device with one
-HBM read of the MV fields per frame.  Exactness notes:
+Exactness notes:
 
 * magnitude test: the reference compares integer (dst-src)^2 against a
   *double* threshold (motion_scanner.cpp:246-251).  ``mag_sq < T`` over
@@ -29,8 +31,11 @@ HBM read of the MV fields per frame.  Exactness notes:
   only feed ``>= vectors_needed`` with vectors_needed <= 255, and
   count > 255 implies both saturated and unsaturated values pass — the
   motion decision is identical.
-* one-hots are exact 0/1 in bfloat16 and accumulate in float32
+* one-hots are exact 0/1 in float32 and accumulate in float32
   (exact integers below 2^24), so counts are exact.
+* the motion compare uses max(1, clusters_needed): the reference's early
+  exit (motion_scanner.cpp:288-289) requires at least one cluster even for
+  CLUSTERS_NEEDED <= 0, and MV-less frames always return false (:219-221).
 
 This path exists for on-device threshold sweeps and MV-resident analysis;
 the default pipeline scatters votes host-side during decode (cheaper H2D)
@@ -109,7 +114,7 @@ def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
     @jax.jit
     def op(dst_x, dst_y, src_x, src_y, counts):
         n = jax.vmap(frame)(dst_x, dst_y, src_x, src_y, counts)
-        return n, n >= jnp.int32(clusters_needed)
+        return n, n >= jnp.int32(max(1, clusters_needed))
 
     return op
 
@@ -160,7 +165,7 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
         )(counts, lane(dst_x), lane(dst_y), lane(src_x), lane(src_y),
           dst_x.reshape(b, m, 1))
         n = n[:, 0, 0]
-        return n, n >= jnp.int32(clusters_needed)
+        return n, n >= jnp.int32(max(1, clusters_needed))
 
     return op
 

@@ -1,0 +1,786 @@
+// mvtrim_host: native host media layer for the TPU motion trimmer.
+//
+// This is the host half of the framework: everything FFmpeg-adjacent that
+// cannot (and should not) run on the TPU.  It plays the role the reference
+// implementation's memory_io.cpp + motion_scanner.cpp (decode half) +
+// ffmpeg_executor.cpp play (see /root/reference), but with a library API
+// shaped for batched device consumption:
+//
+//   * mvt_open/mvt_probe/mvt_close — mmap'd ingest + codec probe.  The file
+//     is mapped read-only (MAP_POPULATE) and decoded through a custom AVIO
+//     over the mapping, so N concurrent scanner handles share page cache.
+//   * mvt_scan_grids — decode a time range with motion-vector export and
+//     scatter each analyzed frame's MVs into a dense uint8 vote grid
+//     (saturating, thresholded, vertically masked) — byte-identical to the
+//     reference's phase-1 vote loop (motion_scanner.cpp:242-268).  Output
+//     is [n_frames, gh*gw] ready for H2D transfer.
+//   * mvt_scan_mvs — raw MV side-data export (for the fused device kernel
+//     and the extract_mvs tool).
+//   * mvt_scan_luma — decoded luma planes (for the pixel-domain SAD path
+//     when a stream has no usable motion vectors).
+//   * mvt_cut — lossless segment concat via libavformat stream copy (the
+//     reference shells out to the ffmpeg binary with a concat list;
+//     this environment has no binary, so the remux is native).
+//   * mvt_synth — synthetic moving-box clip generator for tests/benches
+//     (the reference has no tests; SURVEY.md §4 requires us to build them).
+//
+// Exact-semantics notes are inline at each decision point with
+// reference file:line citations.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <chrono>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/motion_vector.h>
+#include <libavutil/opt.h>
+}
+
+#define MVT_EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+long long us_since(Clock::time_point t0) {
+  return std::chrono::duration_cast<std::chrono::microseconds>(Clock::now() -
+                                                               t0)
+      .count();
+}
+
+void set_err(char *err, int errlen, const std::string &msg) {
+  if (err && errlen > 0) {
+    std::snprintf(err, static_cast<size_t>(errlen), "%s", msg.c_str());
+  }
+}
+
+// ---------------------------------------------------------------------------
+// mmap'd input + custom AVIO
+// ---------------------------------------------------------------------------
+
+struct MappedFile {
+  const uint8_t *data = nullptr;
+  size_t size = 0;
+
+  bool open(const char *path) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st{};
+    if (fstat(fd, &st) != 0 || st.st_size <= 0) {
+      ::close(fd);
+      return false;
+    }
+    size = static_cast<size_t>(st.st_size);
+    void *p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE | MAP_POPULATE, fd, 0);
+    ::close(fd);
+    if (p == MAP_FAILED) return false;
+    // Sequential decode access pattern; huge pages help the demuxer walk.
+    madvise(p, size, MADV_SEQUENTIAL);
+#ifdef MADV_HUGEPAGE
+    madvise(p, size, MADV_HUGEPAGE);
+#endif
+    data = static_cast<const uint8_t *>(p);
+    return true;
+  }
+
+  void close() {
+    if (data) munmap(const_cast<uint8_t *>(data), size);
+    data = nullptr;
+    size = 0;
+  }
+};
+
+struct MemReader {
+  const uint8_t *data;
+  size_t size;
+  size_t pos;
+};
+
+int mem_read(void *opaque, uint8_t *buf, int buf_size) {
+  auto *st = static_cast<MemReader *>(opaque);
+  if (st->pos >= st->size) return AVERROR_EOF;
+  size_t n = std::min(static_cast<size_t>(buf_size), st->size - st->pos);
+  std::memcpy(buf, st->data + st->pos, n);
+  st->pos += n;
+  return static_cast<int>(n);
+}
+
+int64_t mem_seek(void *opaque, int64_t offset, int whence) {
+  auto *st = static_cast<MemReader *>(opaque);
+  switch (whence & ~AVSEEK_FORCE) {
+    case AVSEEK_SIZE:
+      return static_cast<int64_t>(st->size);
+    case SEEK_SET:
+      break;
+    case SEEK_CUR:
+      offset += static_cast<int64_t>(st->pos);
+      break;
+    case SEEK_END:
+      offset += static_cast<int64_t>(st->size);
+      break;
+    default:
+      return AVERROR(EINVAL);
+  }
+  if (offset < 0 || offset > static_cast<int64_t>(st->size))
+    return AVERROR(EINVAL);
+  st->pos = static_cast<size_t>(offset);
+  return offset;
+}
+
+constexpr int kAvioBufferSize = 256 * 1024;  // demux read granularity
+
+// ---------------------------------------------------------------------------
+// Decoder handle
+// ---------------------------------------------------------------------------
+
+// Open modes: MV export skips IDCT/loop-filter/B-frames (reference decoder
+// knobs, motion_scanner.cpp:148-169); LUMA decodes real pixels (gray).
+enum MvtMode : int { MVT_MODE_MV = 0, MVT_MODE_LUMA = 1 };
+
+struct MvtHandle {
+  MappedFile file;
+  MemReader reader{};
+  AVFormatContext *fmt = nullptr;
+  AVIOContext *avio = nullptr;
+  AVCodecContext *dec = nullptr;
+  AVFrame *frame = nullptr;
+  AVPacket *pkt = nullptr;
+  int video_idx = -1;
+  double time_base = 0.0;
+  int mode = MVT_MODE_MV;
+
+  ~MvtHandle() {
+    if (dec) avcodec_free_context(&dec);
+    if (fmt) {
+      avformat_close_input(&fmt);  // frees the AVIO buffer via CUSTOM_IO
+    } else if (avio) {
+      avio_context_free(&avio);
+    }
+    if (frame) av_frame_free(&frame);
+    if (pkt) av_packet_free(&pkt);
+    file.close();
+  }
+};
+
+}  // namespace
+
+MVT_EXPORT MvtHandle *mvt_open(const char *path, int mode, char *err,
+                               int errlen) {
+  av_log_set_level(AV_LOG_ERROR);
+  auto *h = new MvtHandle();
+  h->mode = mode;
+
+  if (!h->file.open(path)) {
+    set_err(err, errlen, std::string("mmap failed: ") + path);
+    delete h;
+    return nullptr;
+  }
+
+  h->fmt = avformat_alloc_context();
+  uint8_t *avio_buf = static_cast<uint8_t *>(av_malloc(kAvioBufferSize));
+  h->reader = {h->file.data, h->file.size, 0};
+  h->avio = avio_alloc_context(avio_buf, kAvioBufferSize, 0, &h->reader,
+                               mem_read, nullptr, mem_seek);
+  if (!h->fmt || !h->avio) {
+    set_err(err, errlen, "alloc failed");
+    delete h;
+    return nullptr;
+  }
+  h->fmt->pb = h->avio;
+  h->fmt->flags |= AVFMT_FLAG_CUSTOM_IO;
+
+  if (avformat_open_input(&h->fmt, "RAM", nullptr, nullptr) < 0) {
+    set_err(err, errlen, "avformat_open_input failed");
+    delete h;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(h->fmt, nullptr) < 0) {
+    set_err(err, errlen, "avformat_find_stream_info failed");
+    delete h;
+    return nullptr;
+  }
+  h->video_idx =
+      av_find_best_stream(h->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (h->video_idx < 0) {
+    set_err(err, errlen, "no video stream");
+    delete h;
+    return nullptr;
+  }
+  for (unsigned i = 0; i < h->fmt->nb_streams; i++) {
+    if (static_cast<int>(i) != h->video_idx)
+      h->fmt->streams[i]->discard = AVDISCARD_ALL;
+  }
+
+  AVCodecParameters *par = h->fmt->streams[h->video_idx]->codecpar;
+  const AVCodec *codec = avcodec_find_decoder(par->codec_id);
+  if (!codec) {
+    set_err(err, errlen, "no decoder for codec");
+    delete h;
+    return nullptr;
+  }
+  h->dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(h->dec, par);
+
+  if (mode == MVT_MODE_MV) {
+    // Decode as little as possible: MVs live in the bitstream syntax, not
+    // the pixels (same knob set as the reference, motion_scanner.cpp:148-162).
+    h->dec->skip_loop_filter = AVDISCARD_ALL;
+    h->dec->skip_idct = AVDISCARD_ALL;
+    h->dec->skip_frame = AVDISCARD_BIDIR;
+    h->dec->flags2 |= AV_CODEC_FLAG2_FAST;
+    h->dec->flags |= AV_CODEC_FLAG_GRAY;
+  } else {
+    // Luma path needs real pixels; still skip B-frames and chroma.
+    h->dec->skip_frame = AVDISCARD_BIDIR;
+    h->dec->flags |= AV_CODEC_FLAG_GRAY;
+    h->dec->flags2 |= AV_CODEC_FLAG2_FAST;
+  }
+  h->dec->thread_count = 1;  // parallelism lives at the chunk level
+
+  AVDictionary *opts = nullptr;
+  if (mode == MVT_MODE_MV) {
+    av_dict_set(&opts, "flags2", "+export_mvs", 0);
+  }
+  int ret = avcodec_open2(h->dec, codec, &opts);
+  av_dict_free(&opts);
+  if (ret < 0) {
+    set_err(err, errlen, "avcodec_open2 failed");
+    delete h;
+    return nullptr;
+  }
+
+  h->frame = av_frame_alloc();
+  h->pkt = av_packet_alloc();
+  h->time_base = av_q2d(h->fmt->streams[h->video_idx]->time_base);
+  return h;
+}
+
+MVT_EXPORT void mvt_close(MvtHandle *h) { delete h; }
+
+MVT_EXPORT int mvt_probe(MvtHandle *h, double *duration, double *fps,
+                         int *width, int *height) {
+  if (!h) return -1;
+  // duration: container duration / AV_TIME_BASE (motion_scanner.cpp:204-208)
+  *duration = (h->fmt->duration != AV_NOPTS_VALUE)
+                  ? h->fmt->duration / static_cast<double>(AV_TIME_BASE)
+                  : 0.0;
+  // fps: avg_frame_rate with 25.0 fallback (motion_scanner.cpp:210-215)
+  AVRational r = h->fmt->streams[h->video_idx]->avg_frame_rate;
+  *fps = (r.den > 0) ? av_q2d(r) : 25.0;
+  *width = h->dec->width;
+  *height = h->dec->height;
+  return 0;
+}
+
+namespace {
+
+// Shared scan-loop driver.  Seeks (if start > 0), decodes, applies the
+// frame-skip phase and PTS window exactly like the reference scan_range
+// (motion_scanner.cpp:297-391): the skip counter pre-increments on every
+// *decoded* frame (including ones before the window), the window test is
+// [start, end) on pts*time_base, and the scan stops at the first analyzed
+// frame at/after `end`.
+template <typename EmitFn>
+long scan_loop(MvtHandle *h, double start, double end, int frame_skip,
+               long max_frames, long long *timing_us, EmitFn &&emit) {
+  if (!h) return -1;
+  if (frame_skip < 1) frame_skip = 1;
+  long long seek_us = 0, decode_us = 0, analyze_us = 0;
+  long n_emitted = 0;
+
+  // The reference only seeks when start > 0 (motion_scanner.cpp:321-325)
+  // because each of its scanners is used once from byte 0.  Our handles are
+  // reusable across ranges, so we always rewind; a BACKWARD seek to ts 0
+  // lands on the first keyframe — the same frames a fresh decoder sees.
+  auto t0 = Clock::now();
+  int64_t seek_ts = static_cast<int64_t>(start / h->time_base);
+  av_seek_frame(h->fmt, h->video_idx, seek_ts, AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(h->dec);
+  seek_us = us_since(t0);
+
+  int frame_count = 0;
+  bool done = false;
+
+  while (!done && av_read_frame(h->fmt, h->pkt) >= 0) {
+    if (h->pkt->stream_index == h->video_idx) {
+      auto td = Clock::now();
+      int send_ret = avcodec_send_packet(h->dec, h->pkt);
+      decode_us += us_since(td);
+      if (send_ret >= 0) {
+        while (true) {
+          td = Clock::now();
+          int recv_ret = avcodec_receive_frame(h->dec, h->frame);
+          decode_us += us_since(td);
+          if (recv_ret < 0) break;
+
+          // frame-skip phase: counter is per-scan-range and advances on
+          // every decoded frame (motion_scanner.cpp:356-357)
+          if (++frame_count % frame_skip != 0) continue;
+
+          double pts = h->frame->pts * h->time_base;
+          if (pts < start) continue;
+          if (pts >= end) {
+            done = true;
+            break;
+          }
+          if (n_emitted >= max_frames) {
+            done = true;
+            break;
+          }
+
+          auto ta = Clock::now();
+          emit(h->frame, pts, n_emitted);
+          analyze_us += us_since(ta);
+          n_emitted++;
+        }
+      }
+    }
+    av_packet_unref(h->pkt);
+  }
+
+  if (timing_us) {
+    timing_us[0] += seek_us;
+    timing_us[1] += decode_us;
+    timing_us[2] += analyze_us;
+  }
+  return n_emitted;
+}
+
+}  // namespace
+
+// Scatter MV side data into a dense uint8 vote grid.  Byte-identical to the
+// reference phase-1 loop (motion_scanner.cpp:242-268): integer (dst-src)^2
+// magnitude vs double threshold (strict <, skip), arithmetic-shift grid
+// mapping, x in [0,gw), y in [y_min,y_max), saturating uint8 increment.
+// Frames without MV side data (I-frames) emit all-zero grids, which the
+// device cluster kernel maps to "no motion" — same decision as the
+// reference's early `return false` (motion_scanner.cpp:219-221).
+MVT_EXPORT long mvt_scan_grids(MvtHandle *h, double start, double end,
+                               double threshold_sq, int block_shift, int gw,
+                               int gh, int y_min, int y_max, int frame_skip,
+                               long max_frames, uint8_t *out_grids,
+                               double *out_pts, long long *timing_us) {
+  const size_t grid_cells = static_cast<size_t>(gw) * gh;
+  return scan_loop(
+      h, start, end, frame_skip, max_frames, timing_us,
+      [&](AVFrame *f, double pts, long slot) {
+        uint8_t *grid = out_grids + static_cast<size_t>(slot) * grid_cells;
+        std::memset(grid, 0, grid_cells);
+        out_pts[slot] = pts;
+
+        AVFrameSideData *sd =
+            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+        if (!sd) return;
+        const auto *mvs = reinterpret_cast<const AVMotionVector *>(sd->data);
+        const int count = static_cast<int>(sd->size / sizeof(AVMotionVector));
+        for (int i = 0; i < count; ++i) {
+          const AVMotionVector *mv = &mvs[i];
+          int dx = mv->dst_x - mv->src_x;
+          int dy = mv->dst_y - mv->src_y;
+          int mag_sq = dx * dx + dy * dy;
+          if (mag_sq < threshold_sq) continue;
+          int gx = mv->dst_x >> block_shift;
+          int gy = mv->dst_y >> block_shift;
+          if (gx >= 0 && gx < gw && gy >= y_min && gy < y_max) {
+            uint8_t &cell = grid[static_cast<size_t>(gy) * gw + gx];
+            if (cell < 255) cell++;
+          }
+        }
+      });
+}
+
+// Raw MV export: int16 rows (dst_x, dst_y, src_x, src_y) padded to max_mv
+// per frame, plus per-frame counts.  Overflowing frames are truncated and
+// reported via a negative count (-real_count).
+MVT_EXPORT long mvt_scan_mvs(MvtHandle *h, double start, double end,
+                             int frame_skip, long max_frames, long max_mv,
+                             int16_t *out_mvs, int32_t *out_counts,
+                             double *out_pts, long long *timing_us) {
+  return scan_loop(
+      h, start, end, frame_skip, max_frames, timing_us,
+      [&](AVFrame *f, double pts, long slot) {
+        out_pts[slot] = pts;
+        int16_t *dstp = out_mvs + static_cast<size_t>(slot) * max_mv * 4;
+        AVFrameSideData *sd =
+            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+        if (!sd) {
+          out_counts[slot] = 0;
+          return;
+        }
+        const auto *mvs = reinterpret_cast<const AVMotionVector *>(sd->data);
+        const long count =
+            static_cast<long>(sd->size / sizeof(AVMotionVector));
+        const long n = std::min(count, max_mv);
+        for (long i = 0; i < n; ++i) {
+          dstp[i * 4 + 0] = mvs[i].dst_x;
+          dstp[i * 4 + 1] = mvs[i].dst_y;
+          dstp[i * 4 + 2] = mvs[i].src_x;
+          dstp[i * 4 + 3] = mvs[i].src_y;
+        }
+        out_counts[slot] =
+            (count > max_mv) ? -static_cast<int32_t>(count)
+                             : static_cast<int32_t>(count);
+      });
+}
+
+// Decoded luma planes for the pixel-domain SAD fallback.  Emits the full
+// luma plane (stride removed) per analyzed frame.
+MVT_EXPORT long mvt_scan_luma(MvtHandle *h, double start, double end,
+                              int frame_skip, long max_frames,
+                              uint8_t *out_luma, double *out_pts,
+                              long long *timing_us) {
+  const int w = h ? h->dec->width : 0;
+  const int ht = h ? h->dec->height : 0;
+  return scan_loop(
+      h, start, end, frame_skip, max_frames, timing_us,
+      [&](AVFrame *f, double pts, long slot) {
+        out_pts[slot] = pts;
+        uint8_t *dst =
+            out_luma + static_cast<size_t>(slot) * w * ht;
+        if (!f->data[0]) {
+          std::memset(dst, 0, static_cast<size_t>(w) * ht);
+          return;
+        }
+        for (int y = 0; y < ht; ++y) {
+          std::memcpy(dst + static_cast<size_t>(y) * w,
+                      f->data[0] + static_cast<size_t>(y) * f->linesize[0],
+                      static_cast<size_t>(w));
+        }
+      });
+}
+
+// ---------------------------------------------------------------------------
+// Lossless cut: native segment concat via stream copy
+// ---------------------------------------------------------------------------
+
+// Equivalent of the reference's `ffmpeg -f concat -c copy` invocation
+// (pipeline.cpp:517-523) without the external binary: for each kept
+// segment, seek the video stream to the keyframe at/before inpoint, stream
+// -copy packets until the first video packet at/after outpoint, and splice
+// segments onto a monotonic output timeline.  Like concat+copy, video cuts
+// land on keyframe boundaries; `+faststart`-style header relocation is the
+// mp4 muxer's `faststart` movflag.
+// segments: [in0, out0, in1, out1, ...] seconds, already %.2f-quantized by
+// the caller (the pipeline formats cut points exactly like the reference's
+// concat list, pipeline.cpp:468-469).
+MVT_EXPORT int mvt_cut(const char *input, const char *output,
+                       const double *segments, int nseg, char *err,
+                       int errlen) {
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext *in = nullptr;
+  AVFormatContext *out = nullptr;
+  int ret = 0;
+  std::vector<int> stream_map;
+  std::vector<int64_t> next_dts;  // per-output-stream monotonic guard
+
+  if ((ret = avformat_open_input(&in, input, nullptr, nullptr)) < 0) {
+    set_err(err, errlen, "open input failed");
+    return -1;
+  }
+  if ((ret = avformat_find_stream_info(in, nullptr)) < 0) {
+    avformat_close_input(&in);
+    set_err(err, errlen, "find_stream_info failed");
+    return -1;
+  }
+  int video_idx =
+      av_find_best_stream(in, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (video_idx < 0) {
+    avformat_close_input(&in);
+    set_err(err, errlen, "no video stream");
+    return -1;
+  }
+
+  avformat_alloc_output_context2(&out, nullptr, nullptr, output);
+  if (!out) {
+    avformat_close_input(&in);
+    set_err(err, errlen, "alloc output failed");
+    return -1;
+  }
+
+  stream_map.assign(in->nb_streams, -1);
+  int n_out = 0;
+  for (unsigned i = 0; i < in->nb_streams; i++) {
+    AVCodecParameters *par = in->streams[i]->codecpar;
+    if (par->codec_type != AVMEDIA_TYPE_VIDEO &&
+        par->codec_type != AVMEDIA_TYPE_AUDIO &&
+        par->codec_type != AVMEDIA_TYPE_SUBTITLE)
+      continue;
+    AVStream *os = avformat_new_stream(out, nullptr);
+    if (!os) continue;
+    avcodec_parameters_copy(os->codecpar, par);
+    os->codecpar->codec_tag = 0;
+    os->time_base = in->streams[i]->time_base;
+    stream_map[i] = n_out++;
+  }
+  next_dts.assign(n_out, AV_NOPTS_VALUE);
+
+  AVDictionary *muxopts = nullptr;
+  av_dict_set(&muxopts, "movflags", "+faststart", 0);
+  if (!(out->oformat->flags & AVFMT_NOFILE)) {
+    if ((ret = avio_open(&out->pb, output, AVIO_FLAG_WRITE)) < 0) {
+      set_err(err, errlen, "cannot open output file");
+      avformat_close_input(&in);
+      avformat_free_context(out);
+      av_dict_free(&muxopts);
+      return -1;
+    }
+  }
+  if ((ret = avformat_write_header(out, &muxopts)) < 0) {
+    set_err(err, errlen, "write_header failed");
+    avformat_close_input(&in);
+    if (out->pb) avio_closep(&out->pb);
+    avformat_free_context(out);
+    av_dict_free(&muxopts);
+    return -1;
+  }
+  av_dict_free(&muxopts);
+
+  AVPacket *pkt = av_packet_alloc();
+  const AVRational vtb = in->streams[video_idx]->time_base;
+  double out_timeline = 0.0;  // seconds of output already emitted
+  int rc = 0;
+
+  for (int s = 0; s < nseg && rc == 0; s++) {
+    const double seg_in = segments[2 * s];
+    const double seg_out = segments[2 * s + 1];
+    if (seg_out <= seg_in) continue;
+
+    int64_t seek_ts = static_cast<int64_t>(seg_in / av_q2d(vtb));
+    if (av_seek_frame(in, video_idx, seek_ts, AVSEEK_FLAG_BACKWARD) < 0) {
+      rc = -1;
+      set_err(err, errlen, "seek failed");
+      break;
+    }
+
+    // The splice maps input time seg_in -> output time out_timeline.
+    // Video packets from the preceding keyframe are included (negative
+    // relative pts), then shifted to land at/after the segment start —
+    // the same net effect as concat+copy with -avoid_negative_ts
+    // make_zero (pipeline.cpp:520).
+    double first_video_pts = NAN;
+    bool segment_done = false;
+
+    while (!segment_done && av_read_frame(in, pkt) >= 0) {
+      const unsigned idx = static_cast<unsigned>(pkt->stream_index);
+      if (idx >= stream_map.size() || stream_map[idx] < 0) {
+        av_packet_unref(pkt);
+        continue;
+      }
+      AVStream *ist = in->streams[idx];
+      const double tb = av_q2d(ist->time_base);
+      const double pts_sec =
+          (pkt->pts == AV_NOPTS_VALUE) ? 0.0 : pkt->pts * tb;
+
+      if (static_cast<int>(idx) == video_idx) {
+        if (pts_sec >= seg_out) {
+          av_packet_unref(pkt);
+          segment_done = true;
+          break;
+        }
+        if (std::isnan(first_video_pts)) first_video_pts = pts_sec;
+      } else {
+        // Non-video packets: keep only inside the window.
+        if (pts_sec < seg_in || pts_sec >= seg_out) {
+          av_packet_unref(pkt);
+          continue;
+        }
+      }
+
+      const int oidx = stream_map[idx];
+      AVStream *ost = out->streams[oidx];
+      // Shift: input seg_in maps to output out_timeline; keyframe preroll
+      // before seg_in is clamped forward to the timeline start (make_zero).
+      const double shift = out_timeline - seg_in;
+      auto shift_ts = [&](int64_t ts) -> int64_t {
+        if (ts == AV_NOPTS_VALUE) return AV_NOPTS_VALUE;
+        double t = ts * tb + shift;
+        if (t < out_timeline) t = out_timeline;
+        return static_cast<int64_t>(llround(t / av_q2d(ost->time_base)));
+      };
+      pkt->pts = shift_ts(pkt->pts);
+      pkt->dts = shift_ts(pkt->dts);
+      // Enforce monotonic dts per stream (genpts-style repair).
+      if (pkt->dts != AV_NOPTS_VALUE) {
+        if (next_dts[oidx] != AV_NOPTS_VALUE && pkt->dts <= next_dts[oidx])
+          pkt->dts = next_dts[oidx] + 1;
+        if (pkt->pts != AV_NOPTS_VALUE && pkt->pts < pkt->dts)
+          pkt->pts = pkt->dts;
+        next_dts[oidx] = pkt->dts;
+      }
+      pkt->duration = av_rescale_q(pkt->duration, ist->time_base,
+                                   ost->time_base);
+      pkt->pos = -1;
+      pkt->stream_index = oidx;
+      if (av_interleaved_write_frame(out, pkt) < 0) {
+        rc = -1;
+        set_err(err, errlen, "write_frame failed");
+        break;
+      }
+    }
+    out_timeline += (seg_out - seg_in);
+  }
+
+  av_packet_free(&pkt);
+  av_write_trailer(out);
+  if (out->pb) avio_closep(&out->pb);
+  avformat_free_context(out);
+  avformat_close_input(&in);
+  return rc;
+}
+
+// ---------------------------------------------------------------------------
+// Synthetic clip generator (tests/benches)
+// ---------------------------------------------------------------------------
+
+// Moving-box clip: static textured background everywhere; during each
+// [start, end) window in motion_windows a bright box sweeps across the
+// frame (guaranteeing large codec MVs).  codec: "libx264" or "mpeg4".
+MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
+                         double duration_sec, const char *codec_name,
+                         const double *motion_windows, int n_windows,
+                         int gop, char *err, int errlen) {
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext *out = nullptr;
+  avformat_alloc_output_context2(&out, nullptr, nullptr, path);
+  if (!out) {
+    set_err(err, errlen, "alloc output failed");
+    return -1;
+  }
+  const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+  if (!codec) {
+    set_err(err, errlen, std::string("no encoder: ") + codec_name);
+    avformat_free_context(out);
+    return -1;
+  }
+  AVStream *st = avformat_new_stream(out, nullptr);
+  AVCodecContext *enc = avcodec_alloc_context3(codec);
+  enc->width = w;
+  enc->height = h;
+  enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  enc->time_base = av_d2q(1.0 / fps, 100000);
+  enc->framerate = av_d2q(fps, 100000);
+  enc->gop_size = gop > 0 ? gop : static_cast<int>(fps);
+  enc->max_b_frames = 0;  // keep every frame a P-frame with MVs
+  enc->bit_rate = static_cast<int64_t>(w) * h * 4;
+  if (out->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+
+  AVDictionary *opts = nullptr;
+  if (std::strcmp(codec_name, "libx264") == 0) {
+    av_dict_set(&opts, "preset", "fast", 0);
+    av_dict_set(&opts, "tune", "zerolatency", 0);
+    // Sub-16x16 partitions give several MVs per 16px grid cell (real CCTV
+    // encoders do too), which the VECTORS_NEEDED>=2 defaults rely on.
+    av_dict_set(&opts, "x264-params", "partitions=all", 0);
+  }
+  if (avcodec_open2(enc, codec, &opts) < 0) {
+    set_err(err, errlen, "encoder open failed");
+    av_dict_free(&opts);
+    avcodec_free_context(&enc);
+    avformat_free_context(out);
+    return -1;
+  }
+  av_dict_free(&opts);
+  avcodec_parameters_from_context(st->codecpar, enc);
+  st->time_base = enc->time_base;
+
+  if (!(out->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&out->pb, path, AVIO_FLAG_WRITE) < 0) {
+      set_err(err, errlen, "cannot open output");
+      avcodec_free_context(&enc);
+      avformat_free_context(out);
+      return -1;
+    }
+  }
+  if (avformat_write_header(out, nullptr) < 0) {
+    set_err(err, errlen, "write_header failed");
+    avcodec_free_context(&enc);
+    if (out->pb) avio_closep(&out->pb);
+    avformat_free_context(out);
+    return -1;
+  }
+
+  AVFrame *frame = av_frame_alloc();
+  frame->format = enc->pix_fmt;
+  frame->width = w;
+  frame->height = h;
+  av_frame_get_buffer(frame, 0);
+  AVPacket *pkt = av_packet_alloc();
+
+  const long n_frames = static_cast<long>(duration_sec * fps);
+  int rc = 0;
+
+  auto flush_enc = [&](AVFrame *f) {
+    if (avcodec_send_frame(enc, f) < 0) return -1;
+    while (true) {
+      int r = avcodec_receive_packet(enc, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+      if (r < 0) return -1;
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      pkt->stream_index = 0;
+      if (av_interleaved_write_frame(out, pkt) < 0) return -1;
+    }
+  };
+
+  for (long i = 0; i < n_frames && rc == 0; i++) {
+    av_frame_make_writable(frame);
+    const double t = i / fps;
+    bool moving = false;
+    for (int k = 0; k < n_windows; k++) {
+      if (t >= motion_windows[2 * k] && t < motion_windows[2 * k + 1]) {
+        moving = true;
+        break;
+      }
+    }
+    // Static textured background (stripes) so P-frames have content.
+    for (int y = 0; y < h; y++) {
+      uint8_t *row = frame->data[0] + static_cast<size_t>(y) * frame->linesize[0];
+      for (int x = 0; x < w; x++) row[x] = 40 + ((x >> 4) + (y >> 4)) % 2 * 24;
+    }
+    for (int y = 0; y < h / 2; y++) {
+      std::memset(frame->data[1] + static_cast<size_t>(y) * frame->linesize[1],
+                  128, static_cast<size_t>(w / 2));
+      std::memset(frame->data[2] + static_cast<size_t>(y) * frame->linesize[2],
+                  128, static_cast<size_t>(w / 2));
+    }
+    if (moving) {
+      // Box sweeps horizontally, 8 px/frame: strong, unambiguous MVs.
+      const int box = std::max(32, h / 6);
+      const int bx = static_cast<int>(i * 8) % std::max(1, w - box);
+      const int by = (h - box) / 2;
+      for (int y = by; y < by + box; y++) {
+        uint8_t *row =
+            frame->data[0] + static_cast<size_t>(y) * frame->linesize[0];
+        std::memset(row + bx, 235, static_cast<size_t>(box));
+      }
+    }
+    frame->pts = i;
+    rc = flush_enc(frame);
+  }
+  if (rc == 0) rc = flush_enc(nullptr);  // drain
+
+  av_write_trailer(out);
+  if (out->pb) avio_closep(&out->pb);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  avcodec_free_context(&enc);
+  avformat_free_context(out);
+  if (rc != 0) set_err(err, errlen, "encode failed");
+  return rc;
+}
+
+MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
