@@ -81,6 +81,30 @@ def count_clusters(grid: np.ndarray, *, vectors_needed: int, y_min: int,
     return clusters
 
 
+def count_clusters_batch(grids: np.ndarray, *, vectors_needed: int,
+                         y_min: int, y_max: int) -> np.ndarray:
+    """Vectorized NumPy equivalent of count_clusters over [B, gh, gw].
+
+    Same semantics as the naive loop (tested against it); exists so the
+    'oracle' scan backend stays usable on long videos.
+    """
+    g = np.asarray(grids, dtype=np.int32)
+    b, gh, gw = g.shape
+    padded = np.zeros((b, gh + 2, gw + 2), dtype=np.int32)
+    padded[:, 1:-1, 1:-1] = g
+    center = padded[:, 1:-1, 1:-1]
+    active = center >= vectors_needed
+    neighbor = (
+        (padded[:, 1:-1, :-2] >= vectors_needed)
+        | (padded[:, 1:-1, 2:] >= vectors_needed)
+        | (padded[:, :-2, 1:-1] >= vectors_needed)
+        | (padded[:, 2:, 1:-1] >= vectors_needed)
+    )
+    mask = np.zeros((gh, gw), dtype=bool)
+    mask[y_min:y_max, 1:max(1, gw - 1)] = True
+    return np.sum(active & neighbor & mask, axis=(1, 2)).astype(np.int32)
+
+
 def effective_clusters_needed(clusters_needed: int) -> int:
     """The reference triggers motion inside ``if (++clusters >= clust_need)``
     (motion_scanner.cpp:288-289): at least one cluster must exist even when

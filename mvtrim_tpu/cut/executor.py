@@ -1,0 +1,150 @@
+"""Lossless cut executors + producer-consumer job queue.
+
+Mirrors the reference's ffmpeg_executor.cpp + ffmpeg_queue.cpp: scanning
+producers emit cut jobs; one consumer serializes the disk-heavy cuts
+(ffmpeg_queue.hpp:5-12).  Two execution paths:
+
+* native (default): libavformat stream-copy remux in-process
+  (native/mvtrim_host.cpp mvt_cut) — no external binary needed.
+* external: when MVT_FFMPEG_BIN is set, shell out with the reference's
+  exact argument string (concat demuxer, -c copy, +genpts,
+  -avoid_negative_ts make_zero, +faststart — pipeline.cpp:517-523) for
+  byte-level compatibility with the reference's outputs.
+
+Cut points are %.2f-quantized before execution — the same rounding the
+reference applies when writing its concat list (pipeline.cpp:468-469) —
+so segment boundaries are bit-identical across both paths.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import subprocess
+import tempfile
+import threading
+import dataclasses
+
+from ..core import oracle
+from ..core.config import Config
+from ..core.types import TimeSegment
+from ..io import native
+from ..utils import logging as log
+
+
+@dataclasses.dataclass
+class CutJob:
+    """FFmpegJob equivalent (ffmpeg_queue.hpp:32-50)."""
+
+    stream_id: int
+    input_path: str
+    output_path: str
+    segments: list[TimeSegment]
+
+
+def quantized_segments(segments) -> list[tuple[float, float]]:
+    """Apply the %.2f concat-list rounding and drop empty segments
+    (pipeline.cpp:464-470)."""
+    out = []
+    for s in segments:
+        if s.end <= s.start:
+            continue
+        start = float(oracle.format_cut_point(s.start))
+        end = float(oracle.format_cut_point(s.end))
+        if end > start:
+            out.append((start, end))
+    return out
+
+
+def execute_cut(input_path: str, output_path: str, segments,
+                stream_id: int = -1, cfg: Config | None = None) -> int:
+    """Cut input to output keeping only the given segments. Returns 0/err."""
+    cfg = cfg or Config.from_env()
+    segs = quantized_segments(segments)
+    if not segs:
+        log.warn("No segments to cut", stream_id)
+        return 0
+    abs_input = os.path.abspath(input_path)
+    try:
+        if cfg.ffmpeg_bin:
+            _external_cut(cfg.ffmpeg_bin, abs_input, output_path, segs)
+        else:
+            native.cut(abs_input, output_path, segs)
+    except Exception as e:  # noqa: BLE001 — cut failure is logged, not fatal
+        # reference behavior: log the error and continue (pipeline.cpp:549-556)
+        log.error(f"Cut failed: {e}", stream_id)
+        return 1
+    log.success(f"Output saved to: {output_path}", stream_id)
+    return 0
+
+
+def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
+                  segs) -> None:
+    """Reference-exact external command over a concat list file."""
+    lines = []
+    for start, end in segs:
+        lines.append(f"file '{abs_input}'\n")
+        lines.append(f"inpoint {start:.2f}\n")
+        lines.append(f"outpoint {end:.2f}\n")
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("".join(lines))
+        list_path = f.name
+    try:
+        cmd = [
+            ffmpeg_bin, "-y", "-hide_banner", "-loglevel", "error",
+            "-f", "concat", "-safe", "0",
+            "-protocol_whitelist", "file,pipe,fd",
+            "-i", list_path,
+            "-c", "copy", "-fflags", "+genpts",
+            "-avoid_negative_ts", "make_zero",
+            "-movflags", "+faststart",
+            output_path,
+        ]
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        if res.returncode != 0:
+            raise RuntimeError(
+                f"ffmpeg exited {res.returncode}: {res.stderr.strip()[:500]}")
+    finally:
+        os.unlink(list_path)
+
+
+class CutQueue:
+    """Producer-consumer cut queue with one consumer thread.
+
+    Scanning streams push jobs; a single worker drains them sequentially so
+    disk writes never contend with each other (the reference's FFmpegQueue
+    + ffmpeg_worker, batch_processor.cpp:138-150).
+    """
+
+    def __init__(self, cfg: Config | None = None):
+        self.cfg = cfg or Config.from_env()
+        self._q: queue.Queue[CutJob | None] = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="cut-worker")
+        self._jobs_done = 0
+        self._failures = 0
+        self._worker.start()
+
+    def push(self, job: CutJob) -> None:
+        self._q.put(job)
+
+    def _run(self) -> None:
+        log.info("[Cut Worker] Started")
+        while True:
+            job = self._q.get()
+            if job is None:
+                break
+            log.info(f"[Cut Worker] Processing job from stream "
+                     f"{job.stream_id}: {os.path.basename(job.output_path)}")
+            rc = execute_cut(job.input_path, job.output_path, job.segments,
+                             job.stream_id, self.cfg)
+            self._jobs_done += 1
+            if rc != 0:
+                self._failures += 1
+        log.info(f"[Cut Worker] Finished ({self._jobs_done} jobs)")
+
+    def finish(self) -> int:
+        """Signal no more jobs, wait for drain; returns #failures."""
+        self._q.put(None)
+        self._worker.join()
+        return self._failures

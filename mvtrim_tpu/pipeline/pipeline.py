@@ -1,0 +1,276 @@
+"""Single-video processing pipeline.
+
+The reference's per-video orchestration (pipeline.cpp:89-415) rebuilt for a
+host-decode / device-analyze split:
+
+  probe -> chunked parallel host decode (threads over a shared task queue,
+  each with its own mmap'd decoder; ctypes releases the GIL) -> per-chunk
+  vote grids stream through the MVClusterDetector (batched device kernel)
+  -> motion timestamps -> merge (sort+unique) -> gap segmentation with
+  padding -> savings decision -> lossless cut (direct or via CutQueue).
+
+The reference's worker threads each ran decode AND analysis; here workers
+only decode+scatter (host-bound), and analysis is a device dispatch — the
+task-queue load balancing survives, the scalar hot loop does not.
+Phase accounting mirrors the reference's timing tree
+(pipeline.cpp:274-292): setup/workers/init/scan{seek,decode,analyze}/join,
+with device_scan replacing the per-thread analyze time.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+from ..core import oracle
+from ..core.config import Config
+from ..core.types import GridGeometry, ScanTask, TimeSegment
+from ..cut.executor import CutJob, CutQueue, execute_cut
+from ..io import native
+from ..models.mv_detector import MVClusterDetector
+from ..utils import logging as log
+from ..utils.logging import format_time
+from ..utils.timing import TimingCollector, timer
+
+
+class ProcessingPipeline:
+    """Process one video: scan for motion, cut out the static parts.
+
+    When ``cut_queue`` is provided (batch mode) the cut job is pushed for
+    deferred execution instead of running inline
+    (pipeline.cpp:358-404); ``stream_id >= 0`` prefixes log lines.
+    """
+
+    def __init__(self, input_path: str, output_path: str,
+                 stream_id: int = -1, num_threads: int = 0,
+                 cfg: Config | None = None,
+                 cut_queue: CutQueue | None = None):
+        self.input_path = input_path
+        self.output_path = output_path
+        self.stream_id = stream_id
+        self.num_threads = num_threads
+        self.cfg = cfg or Config.from_env()
+        self.cut_queue = cut_queue
+        self.duration = 0.0
+        self.time_removed = 0.0
+        self.saved_pct = 0.0
+
+    # --- main entry ---
+
+    def run(self) -> int:
+        sid = self.stream_id
+        t_total = time.perf_counter_ns()
+
+        log.phase("Mapping + probing...", sid)
+        try:
+            with timer("probe"):
+                probe = native.VideoReader(self.input_path)
+                self.duration = probe.duration
+                fps = probe.fps
+                width, height = probe.width, probe.height
+                probe.close()
+        except OSError as e:
+            log.error(f"Failed to open {self.input_path}: {e}", sid)
+            return 1
+
+        log.info(
+            f"Duration: {format_time(self.duration)} "
+            f"({self.duration * fps:.0f} frames @ {fps:.1f}fps)", sid)
+
+        detector = MVClusterDetector(width, height, self.cfg)
+        geom = detector.geom
+        frame_skip = self.cfg.frame_skip(fps)
+
+        # --- thread count (pipeline.cpp:129-143) ---
+        if self.num_threads > 0:
+            n_threads = self.num_threads
+        else:
+            n_threads = max(2, os.cpu_count() or 2)
+        if self.cfg.decode_workers > 0:
+            n_threads = self.cfg.decode_workers
+        num_chunks = max(1, math.ceil(self.duration /
+                                      self.cfg.chunk_duration_sec))
+        n_threads = min(n_threads, num_chunks)
+
+        log.phase(
+            f"Parallel Scan ({n_threads} threads, "
+            f"{self.cfg.chunk_duration_sec:.0f}s chunks)...", sid)
+
+        t_scan = time.perf_counter_ns()
+        setup_t0 = time.perf_counter_ns()
+
+        tasks: queue.Queue[ScanTask | None] = queue.Queue()
+        chunk_id = 0
+        t = 0.0
+        while t < self.duration:
+            end = min(t + self.cfg.chunk_duration_sec, self.duration)
+            tasks.put(ScanTask(t, end, chunk_id))
+            chunk_id += 1
+            t += self.cfg.chunk_duration_sec
+        for _ in range(n_threads):
+            tasks.put(None)
+        log.info(f"Created {chunk_id} chunks", sid)
+        setup_us = (time.perf_counter_ns() - setup_t0) // 1000
+
+        # --- decode workers -> bounded chunk-result stream ---
+        # maxsize bounds host memory: chunks of vote grids waiting for the
+        # device (each ~ chunk_frames * gh * gw bytes).
+        results: queue.Queue = queue.Queue(maxsize=max(4, 2 * n_threads))
+        max_frames = int(math.ceil(
+            self.cfg.chunk_duration_sec * max(fps, 1.0))) + 64
+        init_us = [0] * n_threads
+        timings = [native.ScanTiming() for _ in range(n_threads)]
+        errors: list[Exception] = []
+
+        def worker(widx: int) -> None:
+            try:
+                t0 = time.perf_counter_ns()
+                reader = native.VideoReader(self.input_path)
+                init_us[widx] = (time.perf_counter_ns() - t0) // 1000
+                while True:
+                    task = tasks.get()
+                    if task is None:
+                        break
+                    grids, pts = reader.scan_grids(
+                        task.start, task.end,
+                        threshold_sq=self.cfg.mv_threshold_sq,
+                        block_shift=self.cfg.block_shift,
+                        gw=geom.gw, gh=geom.gh,
+                        y_min=geom.y_min, y_max=geom.y_max,
+                        frame_skip=frame_skip, max_frames=max_frames,
+                        timing=timings[widx])
+                    if len(pts):
+                        results.put((grids, pts))
+                reader.close()
+            except Exception as e:  # noqa: BLE001 — surfaced after join
+                errors.append(e)
+            finally:
+                results.put(None)  # worker-done sentinel
+
+        workers_t0 = time.perf_counter_ns()
+        threads = [threading.Thread(target=worker, args=(i,),
+                                    name=f"decode-{i}")
+                   for i in range(n_threads)]
+        for th in threads:
+            th.start()
+
+        # --- device feeder: consume chunk grids, emit motion timestamps ---
+        device_us = 0
+        motion_ts: list[float] = []
+        frames_scanned = 0
+        done_workers = 0
+        while done_workers < n_threads:
+            item = results.get()
+            if item is None:
+                done_workers += 1
+                continue
+            grids, pts = item
+            t0 = time.perf_counter_ns()
+            motion = detector.scan_votes(grids)
+            device_us += (time.perf_counter_ns() - t0) // 1000
+            frames_scanned += len(pts)
+            motion_ts.extend(pts[motion].tolist())
+
+        join_t0 = time.perf_counter_ns()
+        for th in threads:
+            th.join()
+        join_us = (time.perf_counter_ns() - join_t0) // 1000
+        workers_us = (time.perf_counter_ns() - workers_t0) // 1000
+
+        if errors:
+            log.error(f"Scan failed: {errors[0]}", sid)
+            return 1
+
+        scan_us = (time.perf_counter_ns() - t_scan) // 1000
+        TimingCollector.record("parallel_scan", scan_us)
+        if sid < 0:
+            total_init = sum(init_us)
+            tot = native.ScanTiming()
+            for tm in timings:
+                tot.seek_us += tm.seek_us
+                tot.decode_us += tm.decode_us
+                tot.analyze_us += tm.analyze_us
+            TimingCollector.record("  ├─setup", setup_us)
+            TimingCollector.record("  ├─workers", workers_us)
+            TimingCollector.record(f"  │ ├─init ({n_threads}T)", total_init)
+            TimingCollector.record(f"  │ ├─seek ({n_threads}T)", tot.seek_us)
+            TimingCollector.record(f"  │ ├─decode ({n_threads}T)",
+                                   tot.decode_us)
+            TimingCollector.record(f"  │ └─scatter ({n_threads}T)",
+                                   tot.analyze_us)
+            TimingCollector.record("  ├─device_scan", device_us)
+            TimingCollector.record("  └─join", join_us)
+
+        log.info(f"Processed {chunk_id} chunks, scanned {frames_scanned} "
+                 f"frames, found {len(motion_ts)} motion frames", sid)
+
+        # --- merge + dedupe (pipeline.cpp:302-304) ---
+        log.phase("Merging...", sid)
+        with timer("merge"):
+            timestamps = oracle.merge_timestamps(motion_ts)
+
+        if timestamps.size == 0:
+            log.warn("No motion found.", sid)
+            TimingCollector.record(
+                "total_run", (time.perf_counter_ns() - t_total) // 1000)
+            if sid < 0:
+                TimingCollector.print_summary()
+            return 0
+
+        # --- segmentation (pipeline.cpp:321-356) ---
+        with timer("segmentation"):
+            segments = oracle.segments_from_timestamps(
+                timestamps, max_gap_sec=self.cfg.max_gap_sec,
+                padding_sec=self.cfg.padding_sec, duration=self.duration)
+
+        self.time_removed, self.saved_pct = oracle.savings(
+            segments, self.duration)
+
+        # --- cut-vs-copy decision (pipeline.cpp:358-404) ---
+        is_cut, out_segments = oracle.decide_cut(
+            segments, self.duration, self.cfg.min_savings_pct)
+        if not is_cut:
+            log.warn(
+                f"Savings too low ({int(self.saved_pct)}%). Min required: "
+                f"{int(self.cfg.min_savings_pct)}%. Copying full stream.",
+                sid)
+
+        if self.cut_queue is not None:
+            self.cut_queue.push(CutJob(
+                stream_id=sid,
+                input_path=os.path.abspath(self.input_path),
+                output_path=self.output_path,
+                segments=out_segments))
+            log.info("Pushed cut job to queue", sid)
+        else:
+            log.phase("Cutting...", sid)
+            with timer("execute_cut"):
+                execute_cut(self.input_path, self.output_path, out_segments,
+                            sid, self.cfg)
+
+        TimingCollector.record(
+            "total_run", (time.perf_counter_ns() - t_total) // 1000)
+        if sid < 0:
+            TimingCollector.print_summary()
+        self.print_cut_summary()
+        return 0
+
+    # --- cut summary (pipeline.cpp:419-448) ---
+
+    def print_cut_summary(self) -> None:
+        sid = self.stream_id
+        prefix = f"[Stream {sid}] " if sid >= 0 else ""
+        print()
+        print(f"{prefix}=================== CUT SUMMARY ====================")
+        print(f"{prefix}{'Original:':<20} {format_time(self.duration):>15}")
+        print(f"{prefix}{'Output:':<20} "
+              f"{format_time(self.duration - self.time_removed):>15}")
+        print(f"{prefix}{'Removed:':<20} {format_time(self.time_removed):>15}")
+        print(f"{prefix}{'Saved:':<20} {int(self.saved_pct):>14}%")
+        print(f"{prefix}====================================================",
+              flush=True)

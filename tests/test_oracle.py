@@ -195,3 +195,16 @@ class TestConfig:
         assert cfg.frame_skip(25.0) == 2
         assert cfg.frame_skip(10.0) == 1  # target >= fps -> no skip
         assert Config(target_fps=0.0).frame_skip(25.0) == 1
+
+
+class TestBatchOracle:
+    def test_vectorized_matches_naive(self, rng=np.random.default_rng(7)):
+        for gw, gh, y_min, y_max, vn in [(40, 30, 1, 29, 2), (8, 8, 0, 8, 1),
+                                         (120, 68, 3, 65, 4), (8, 8, 2, 6, 0)]:
+            grids = rng.integers(0, 6, size=(16, gh, gw)).astype(np.uint8)
+            batch = oracle.count_clusters_batch(
+                grids, vectors_needed=vn, y_min=y_min, y_max=y_max)
+            naive = [oracle.count_clusters(g, vectors_needed=vn,
+                                           y_min=y_min, y_max=y_max)
+                     for g in grids]
+            np.testing.assert_array_equal(batch, naive)
