@@ -1,0 +1,91 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 item 4)."""
+
+import numpy as np
+import jax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.oracle import count_clusters_batch
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.parallel.mesh import (build_mesh, shard_votes,
+                                      sharded_scan_step,
+                                      stream_device_assignment)
+
+CFG = Config()
+GEOM = GridGeometry.build(256, 192, CFG)
+
+
+def expected_motion(votes, vec_need):
+    counts = count_clusters_batch(votes, vectors_needed=vec_need,
+                                  y_min=GEOM.y_min, y_max=GEOM.y_max)
+    return counts >= max(1, CFG.clusters_needed)
+
+
+class TestMesh:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    @pytest.mark.parametrize("n,sweep", [(8, 1), (8, 2), (4, 2), (2, 1)])
+    def test_mesh_shapes(self, n, sweep):
+        mesh = build_mesh(n, sweep=sweep)
+        assert mesh.shape["data"] * mesh.shape["sweep"] == n
+        assert mesh.shape["sweep"] == sweep
+
+    def test_stream_assignment_round_robin(self):
+        mesh = build_mesh(4)
+        assert stream_device_assignment(6, mesh) == [0, 1, 2, 3, 0, 1]
+
+
+class TestShardedScan:
+    @pytest.mark.parametrize("sweep", [1, 2, 4])
+    def test_scan_step_matches_oracle(self, rng, sweep):
+        mesh = build_mesh(8, sweep=sweep)
+        step = sharded_scan_step(GEOM, CFG, mesh)
+        b = 16 * mesh.shape["data"]
+        votes = rng.integers(
+            0, 5, size=(b, GEOM.padded_gh, GEOM.padded_gw), dtype=np.uint8)
+        vec_needs = np.arange(1, sweep + 1, dtype=np.int32)
+        motion, global_counts = step(
+            shard_votes(votes, mesh),
+            jax.device_put(vec_needs, NamedSharding(mesh, P("sweep"))))
+        motion = np.asarray(motion)
+        for k, vn in enumerate(vec_needs):
+            expect = expected_motion(votes, int(vn))
+            np.testing.assert_array_equal(motion[:, k], expect)
+            assert int(global_counts[k]) == int(expect.sum())
+
+    def test_data_shard_independence(self, rng):
+        """Same frames produce the same decisions regardless of mesh size —
+        sharding the batch axis is semantically invisible."""
+        votes = rng.integers(
+            0, 5, size=(32, GEOM.padded_gh, GEOM.padded_gw), dtype=np.uint8)
+        vec = np.array([2], dtype=np.int32)
+        results = []
+        for n in (1, 2, 8):
+            mesh = build_mesh(n, sweep=1)
+            step = sharded_scan_step(GEOM, CFG, mesh)
+            motion, counts = step(
+                shard_votes(votes, mesh),
+                jax.device_put(vec, NamedSharding(mesh, P("sweep"))))
+            results.append((np.asarray(motion), int(counts[0])))
+        for m, c in results[1:]:
+            np.testing.assert_array_equal(m, results[0][0])
+            assert c == results[0][1]
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import entry
+        fn, args = entry()
+        counts, motion = jax.jit(fn)(*args)
+        assert counts.shape == motion.shape == (args[0].shape[0],)
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(8)
