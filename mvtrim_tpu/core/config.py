@@ -86,6 +86,7 @@ class Config:
     ffmpeg_bin: str = ""             # optional external ffmpeg for the cut
     sad_threshold: float = 12.0      # mean-abs-diff per-pixel threshold (SAD path)
     decode_workers: int = 0          # host decode threads (0 = auto)
+    pipeline_mode: str = "auto"      # mv | sad | auto (auto: SAD when no MVs)
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -110,6 +111,7 @@ class Config:
             ffmpeg_bin=_env_str("MVT_FFMPEG_BIN", ""),
             sad_threshold=_env_float("MVT_SAD_THRESHOLD", 12.0),
             decode_workers=_env_int("MVT_DECODE_WORKERS", 0),
+            pipeline_mode=_env_str("MVT_PIPELINE", "auto"),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

@@ -84,19 +84,23 @@ def _load_library():
 
 class ScanTiming:
     """seek/decode/analyze microsecond accumulators (the reference's
-    per-worker hot-path accounting, pipeline.cpp:180-184)."""
+    per-worker hot-path accounting, pipeline.cpp:180-184), plus the count
+    of frames that carried MV side data (drives the SAD auto-fallback)."""
 
-    __slots__ = ("seek_us", "decode_us", "analyze_us")
+    __slots__ = ("seek_us", "decode_us", "analyze_us", "frames_with_mvs")
 
     def __init__(self):
         self.seek_us = 0
         self.decode_us = 0
         self.analyze_us = 0
+        self.frames_with_mvs = 0
 
     def add_raw(self, arr):
         self.seek_us += int(arr[0])
         self.decode_us += int(arr[1])
         self.analyze_us += int(arr[2])
+        if len(arr) > 3:
+            self.frames_with_mvs += int(arr[3])
 
 
 class VideoReader:
@@ -145,7 +149,7 @@ class VideoReader:
         """Decode [start, end) and return (grids uint8 [N, gh, gw], pts f64 [N])."""
         grids = np.empty((max_frames, gh, gw), dtype=np.uint8)
         pts = np.empty((max_frames,), dtype=np.float64)
-        t = np.zeros((3,), dtype=np.int64)
+        t = np.zeros((4,), dtype=np.int64)
         n = self._lib.mvt_scan_grids(
             self._h, start, end, threshold_sq, block_shift, gw, gh,
             y_min, y_max, frame_skip, max_frames,
@@ -167,7 +171,7 @@ class VideoReader:
         mvs = np.zeros((max_frames, max_mv, 4), dtype=np.int16)
         counts = np.zeros((max_frames,), dtype=np.int32)
         pts = np.empty((max_frames,), dtype=np.float64)
-        t = np.zeros((3,), dtype=np.int64)
+        t = np.zeros((4,), dtype=np.int64)
         n = self._lib.mvt_scan_mvs(
             self._h, start, end, frame_skip, max_frames, max_mv,
             mvs.ctypes.data, counts.ctypes.data, pts.ctypes.data,
@@ -183,7 +187,7 @@ class VideoReader:
         """Decode [start, end) and return (luma uint8 [N, H, W], pts f64 [N])."""
         luma = np.empty((max_frames, self.height, self.width), dtype=np.uint8)
         pts = np.empty((max_frames,), dtype=np.float64)
-        t = np.zeros((3,), dtype=np.int64)
+        t = np.zeros((4,), dtype=np.int64)
         n = self._lib.mvt_scan_luma(
             self._h, start, end, frame_skip, max_frames,
             luma.ctypes.data, pts.ctypes.data, t.ctypes.data)

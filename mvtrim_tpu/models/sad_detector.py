@@ -1,0 +1,93 @@
+"""SADDetector — pixel-domain fallback detector (no codec MVs needed).
+
+Feeds decoded luma planes through the block-SAD kernels (ops/sad.py).
+Within a chunk, each analyzed frame is compared to the previous analyzed
+frame; a chunk's first frame has no predecessor and is never motion (the
+MV path behaves the same way: the first decodable frame after a seek is an
+I-frame without MV side data).  This keeps chunks independent, so the
+host decode stays embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.config import Config
+from ..core.types import GridGeometry
+from ..ops import sad as sad_ops
+
+
+def sad_oracle_counts(luma: np.ndarray, geom: GridGeometry, *,
+                      sad_threshold: float, block_size: int) -> np.ndarray:
+    """NumPy contract for the SAD path: counts[i] for frame i vs i-1."""
+    from ..core.oracle import count_clusters_batch
+
+    x = luma.astype(np.int64)
+    diff = np.abs(x[1:] - x[:-1])
+    n, h, w = diff.shape
+    gh, gw = geom.gh, geom.gw
+    sad = np.zeros((n, gh, gw), np.int64)
+    for by in range(gh):
+        for bx in range(gw):
+            blk = diff[:, by * block_size:(by + 1) * block_size,
+                       bx * block_size:(bx + 1) * block_size]
+            sad[:, by, bx] = blk.sum(axis=(1, 2))
+    bound = sad_ops.sad_threshold_sum(sad_threshold, block_size)
+    active = (sad >= bound).astype(np.uint8)
+    # reuse the cluster rule with votes=1, threshold=1
+    return count_clusters_batch(active, vectors_needed=1,
+                                y_min=geom.y_min, y_max=geom.y_max)
+
+
+class SADDetector:
+    """Per-video pixel-domain detector: luma frames -> motion decisions."""
+
+    def __init__(self, width: int, height: int, cfg: Config | None = None):
+        self.cfg = cfg or Config.from_env()
+        self.geom = GridGeometry.build(width, height, self.cfg)
+        self.width = width
+        self.height = height
+        backend = self.cfg.scan_backend
+        self.backend = "xla" if backend in ("auto", "tpu", "oracle") \
+            else backend
+        self._op = None
+        # device batch for luma is small: 1080p luma is ~2MB/frame
+        self.device_batch = min(64, max(8, self.cfg.device_batch // 8))
+
+    def _build_op(self):
+        if self._op is None:
+            if self.backend == "pallas":
+                self._op = sad_ops.make_sad_op_pallas(
+                    self.geom, sad_threshold=self.cfg.sad_threshold,
+                    block_size=self.cfg.block_size,
+                    clusters_needed=self.cfg.clusters_needed,
+                    height=self.height, width=self.width)
+            else:
+                self._op = sad_ops.make_sad_op_xla(
+                    self.geom, sad_threshold=self.cfg.sad_threshold,
+                    block_size=self.cfg.block_size,
+                    clusters_needed=self.cfg.clusters_needed)
+        return self._op
+
+    def scan_luma(self, luma: np.ndarray) -> np.ndarray:
+        """luma uint8 [N, H, W] (one chunk, decode order) -> motion [N].
+
+        motion[0] is always False (no predecessor inside the chunk).
+        """
+        n = luma.shape[0]
+        out = np.zeros((n,), bool)
+        if n < 2:
+            return out
+        op = self._build_op()
+        padded = sad_ops.pad_luma(luma, self.geom, self.cfg.block_size)
+        db = self.device_batch
+        # window batches of db+1 frames overlapping by one (the carry)
+        for lo in range(0, n - 1, db):
+            hi = min(lo + db, n - 1)
+            batch = np.zeros(
+                (db + 1,) + padded.shape[1:], np.uint8)
+            batch[:hi - lo + 1] = padded[lo:hi + 1]
+            _, motion = op(jnp.asarray(batch))
+            out[lo + 1:hi + 1] = np.asarray(motion)[:hi - lo]
+        return out

@@ -1,0 +1,146 @@
+"""Pixel-domain block SAD kernels — the MV-less fallback path.
+
+For intra-only / MV-less streams (BASELINE.json config 2) the codec offers
+no motion vectors, so motion is measured from decoded luma directly: per
+16x16 block, the sum of absolute differences against the previous analyzed
+frame.  A block is "active" when its mean absolute difference clears
+``sad_threshold``; active blocks then run through the same 4-neighbor
+cluster rule as the MV path (ops/cluster.py), so segmentation semantics
+are shared.
+
+The reference has no such path (it simply detects nothing on MV-less
+input — check_frame returns false without side data,
+motion_scanner.cpp:219-221); this is a capability extension the north
+star requires.
+
+Two implementations:
+* ``xla``   — reduce_window block sums; XLA fuses diff+reduce.
+* ``pallas``— per-frame kernel: |cur-prev| then the block reduction as two
+  small matmuls (R @ D @ S with block-indicator matrices) on the MXU,
+  cluster decision fused in-kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import GridGeometry
+from .cluster import _center_mask, _shift2d
+
+
+def sad_threshold_sum(sad_threshold: float, block_size: int) -> int:
+    """Active iff block SAD sum >= ceil(threshold * block_area).
+
+    ``sad_threshold`` is a mean-absolute-difference per pixel; comparing
+    against the integer SAD sum keeps the kernel in int32.
+    """
+    import math
+    return int(math.ceil(sad_threshold * block_size * block_size))
+
+
+def _cluster_from_grid(grid_i32, geom: GridGeometry, bound: int):
+    """Active/neighbor/mask cluster count from an activity grid
+    (same rule as ops/cluster._cluster_map, threshold = bound)."""
+    active = grid_i32 >= jnp.int32(bound)
+    neighbor_max = jnp.maximum(
+        jnp.maximum(_shift2d(grid_i32, 0, 1), _shift2d(grid_i32, 0, -1)),
+        jnp.maximum(_shift2d(grid_i32, 1, 0), _shift2d(grid_i32, -1, 0)),
+    )
+    mask = _center_mask(geom, grid_i32.shape[-2], grid_i32.shape[-1])
+    cluster = active & (neighbor_max >= jnp.int32(bound)) & mask
+    return jnp.sum(cluster.astype(jnp.int32), axis=(-2, -1))
+
+
+def make_sad_op_xla(geom: GridGeometry, *, sad_threshold: float,
+                    block_size: int, clusters_needed: int):
+    """luma uint8 [B+1, H_p, W_p] (frame 0 = previous carry) ->
+    (cluster counts int32 [B], motion bool [B]).
+
+    H_p/W_p must be multiples of block_size (zero-pad; pad pixels diff to
+    zero and cannot activate a block).
+    """
+    bound = sad_threshold_sum(sad_threshold, block_size)
+    eff = max(1, clusters_needed)
+
+    @jax.jit
+    def op(luma):
+        x = luma.astype(jnp.int32)
+        diff = jnp.abs(x[1:] - x[:-1])                     # [B, H, W]
+        sad = jax.lax.reduce_window(
+            diff, 0, jax.lax.add,
+            window_dimensions=(1, block_size, block_size),
+            window_strides=(1, block_size, block_size),
+            padding="VALID")                               # [B, gh_p, gw_p]
+        counts = _cluster_from_grid(sad, geom, bound)
+        return counts, counts >= jnp.int32(eff)
+
+    return op
+
+
+def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
+                       block_size: int, clusters_needed: int,
+                       height: int, width: int, interpret: bool = False):
+    """Pallas: one frame pair per grid step; block reduction via two
+    block-indicator matmuls on the MXU (no strided gathers)."""
+    bound = sad_threshold_sum(sad_threshold, block_size)
+    eff = max(1, clusters_needed)
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+    h_p = gh_p * block_size
+    w_p = gw_p * block_size
+
+    def kernel(cur_ref, prev_ref, counts_ref):
+        cur = cur_ref[0].astype(jnp.int32)
+        prev = prev_ref[0].astype(jnp.int32)
+        diff = jnp.abs(cur - prev).astype(jnp.float32)       # [H_p, W_p]
+        # R[g, r] = 1 if row r belongs to block-row g; S[c, g] likewise.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
+        r_ind = (rows // block_size ==
+                 jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
+                 ).astype(jnp.float32)                       # [gh_p, H_p]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
+        c_ind = (cols // block_size ==
+                 jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
+                 ).astype(jnp.float32)                       # [W_p, gw_p]
+        row_sum = jax.lax.dot_general(
+            r_ind, diff, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [gh_p, W_p]
+        sad = jax.lax.dot_general(
+            row_sum, c_ind, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [gh_p, gw_p]
+        n = _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
+        counts_ref[0] = n.reshape(1, 1)
+
+    @jax.jit
+    def op(luma):
+        b = luma.shape[0] - 1
+        frame_spec = lambda off: pl.BlockSpec(
+            (1, h_p, w_p), lambda i, o=off: (i + o, 0, 0),
+            memory_space=pltpu.VMEM)
+        counts = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[frame_spec(1), frame_spec(0)],
+            out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+            interpret=interpret,
+        )(luma, luma)
+        counts = counts[:, 0, 0]
+        return counts, counts >= jnp.int32(eff)
+
+    return op
+
+
+def pad_luma(luma: np.ndarray, geom: GridGeometry,
+             block_size: int) -> np.ndarray:
+    """Zero-pad [N, H, W] luma to block-aligned padded grid extents."""
+    n, h, w = luma.shape
+    h_p = geom.padded_gh * block_size
+    w_p = geom.padded_gw * block_size
+    out = np.zeros((n, h_p, w_p), np.uint8)
+    out[:, :h, :w] = luma
+    return out

@@ -5,20 +5,29 @@ host-decode / device-analyze split:
 
   probe -> chunked parallel host decode (threads over a shared task queue,
   each with its own mmap'd decoder; ctypes releases the GIL) -> per-chunk
-  vote grids stream through the MVClusterDetector (batched device kernel)
+  frame features stream through a detector model (batched device kernel)
   -> motion timestamps -> merge (sort+unique) -> gap segmentation with
   padding -> savings decision -> lossless cut (direct or via CutQueue).
 
+Two detector paths share the structure:
+  * MV   — codec motion vectors scattered to vote grids host-side, cluster
+           kernel on device (default; the reference's only path).
+  * SAD  — decoded luma, per-block sum-of-absolute-differences kernel
+           (fallback for intra-only/MV-less streams; the reference finds
+           nothing on those, motion_scanner.cpp:219-221).
+MVT_PIPELINE=auto runs MV first and falls back to SAD when not a single
+decoded frame carried MV side data.
+
 The reference's worker threads each ran decode AND analysis; here workers
-only decode+scatter (host-bound), and analysis is a device dispatch — the
+only decode (host-bound), and analysis is a device dispatch — the
 task-queue load balancing survives, the scalar hot loop does not.
 Phase accounting mirrors the reference's timing tree
-(pipeline.cpp:274-292): setup/workers/init/scan{seek,decode,analyze}/join,
-with device_scan replacing the per-thread analyze time.
+(pipeline.cpp:274-292).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import os
 import queue
@@ -29,21 +38,30 @@ import numpy as np
 
 from ..core import oracle
 from ..core.config import Config
-from ..core.types import GridGeometry, ScanTask, TimeSegment
+from ..core.types import ScanTask
 from ..cut.executor import CutJob, CutQueue, execute_cut
 from ..io import native
 from ..models.mv_detector import MVClusterDetector
+from ..models.sad_detector import SADDetector
 from ..utils import logging as log
 from ..utils.logging import format_time
 from ..utils.timing import TimingCollector, timer
+
+
+@dataclasses.dataclass
+class ScanResult:
+    motion_ts: list[float]
+    frames_scanned: int
+    frames_with_mvs: int
+    chunks: int
 
 
 class ProcessingPipeline:
     """Process one video: scan for motion, cut out the static parts.
 
     When ``cut_queue`` is provided (batch mode) the cut job is pushed for
-    deferred execution instead of running inline
-    (pipeline.cpp:358-404); ``stream_id >= 0`` prefixes log lines.
+    deferred execution instead of running inline (pipeline.cpp:358-404);
+    ``stream_id >= 0`` prefixes log lines.
     """
 
     def __init__(self, input_path: str, output_path: str,
@@ -82,137 +100,30 @@ class ProcessingPipeline:
             f"Duration: {format_time(self.duration)} "
             f"({self.duration * fps:.0f} frames @ {fps:.1f}fps)", sid)
 
-        detector = MVClusterDetector(width, height, self.cfg)
-        geom = detector.geom
-        frame_skip = self.cfg.frame_skip(fps)
-
-        # --- thread count (pipeline.cpp:129-143) ---
-        if self.num_threads > 0:
-            n_threads = self.num_threads
-        else:
-            n_threads = max(2, os.cpu_count() or 2)
-        if self.cfg.decode_workers > 0:
-            n_threads = self.cfg.decode_workers
-        num_chunks = max(1, math.ceil(self.duration /
-                                      self.cfg.chunk_duration_sec))
-        n_threads = min(n_threads, num_chunks)
-
-        log.phase(
-            f"Parallel Scan ({n_threads} threads, "
-            f"{self.cfg.chunk_duration_sec:.0f}s chunks)...", sid)
-
-        t_scan = time.perf_counter_ns()
-        setup_t0 = time.perf_counter_ns()
-
-        tasks: queue.Queue[ScanTask | None] = queue.Queue()
-        chunk_id = 0
-        t = 0.0
-        while t < self.duration:
-            end = min(t + self.cfg.chunk_duration_sec, self.duration)
-            tasks.put(ScanTask(t, end, chunk_id))
-            chunk_id += 1
-            t += self.cfg.chunk_duration_sec
-        for _ in range(n_threads):
-            tasks.put(None)
-        log.info(f"Created {chunk_id} chunks", sid)
-        setup_us = (time.perf_counter_ns() - setup_t0) // 1000
-
-        # --- decode workers -> bounded chunk-result stream ---
-        # maxsize bounds host memory: chunks of vote grids waiting for the
-        # device (each ~ chunk_frames * gh * gw bytes).
-        results: queue.Queue = queue.Queue(maxsize=max(4, 2 * n_threads))
-        max_frames = int(math.ceil(
-            self.cfg.chunk_duration_sec * max(fps, 1.0))) + 64
-        init_us = [0] * n_threads
-        timings = [native.ScanTiming() for _ in range(n_threads)]
-        errors: list[Exception] = []
-
-        def worker(widx: int) -> None:
-            try:
-                t0 = time.perf_counter_ns()
-                reader = native.VideoReader(self.input_path)
-                init_us[widx] = (time.perf_counter_ns() - t0) // 1000
-                while True:
-                    task = tasks.get()
-                    if task is None:
-                        break
-                    grids, pts = reader.scan_grids(
-                        task.start, task.end,
-                        threshold_sq=self.cfg.mv_threshold_sq,
-                        block_shift=self.cfg.block_shift,
-                        gw=geom.gw, gh=geom.gh,
-                        y_min=geom.y_min, y_max=geom.y_max,
-                        frame_skip=frame_skip, max_frames=max_frames,
-                        timing=timings[widx])
-                    if len(pts):
-                        results.put((grids, pts))
-                reader.close()
-            except Exception as e:  # noqa: BLE001 — surfaced after join
-                errors.append(e)
-            finally:
-                results.put(None)  # worker-done sentinel
-
-        workers_t0 = time.perf_counter_ns()
-        threads = [threading.Thread(target=worker, args=(i,),
-                                    name=f"decode-{i}")
-                   for i in range(n_threads)]
-        for th in threads:
-            th.start()
-
-        # --- device feeder: consume chunk grids, emit motion timestamps ---
-        device_us = 0
-        motion_ts: list[float] = []
-        frames_scanned = 0
-        done_workers = 0
-        while done_workers < n_threads:
-            item = results.get()
-            if item is None:
-                done_workers += 1
-                continue
-            grids, pts = item
-            t0 = time.perf_counter_ns()
-            motion = detector.scan_votes(grids)
-            device_us += (time.perf_counter_ns() - t0) // 1000
-            frames_scanned += len(pts)
-            motion_ts.extend(pts[motion].tolist())
-
-        join_t0 = time.perf_counter_ns()
-        for th in threads:
-            th.join()
-        join_us = (time.perf_counter_ns() - join_t0) // 1000
-        workers_us = (time.perf_counter_ns() - workers_t0) // 1000
-
-        if errors:
-            log.error(f"Scan failed: {errors[0]}", sid)
+        mode = self.cfg.pipeline_mode
+        try:
+            if mode == "sad":
+                result = self._parallel_scan("sad", fps, width, height)
+            else:
+                result = self._parallel_scan("mv", fps, width, height)
+                if (mode == "auto" and not result.motion_ts
+                        and result.frames_scanned > 0
+                        and result.frames_with_mvs == 0):
+                    log.warn("No MV side data in any frame — "
+                             "falling back to pixel-domain SAD scan", sid)
+                    result = self._parallel_scan("sad", fps, width, height)
+        except RuntimeError as e:
+            log.error(f"Scan failed: {e}", sid)
             return 1
 
-        scan_us = (time.perf_counter_ns() - t_scan) // 1000
-        TimingCollector.record("parallel_scan", scan_us)
-        if sid < 0:
-            total_init = sum(init_us)
-            tot = native.ScanTiming()
-            for tm in timings:
-                tot.seek_us += tm.seek_us
-                tot.decode_us += tm.decode_us
-                tot.analyze_us += tm.analyze_us
-            TimingCollector.record("  ├─setup", setup_us)
-            TimingCollector.record("  ├─workers", workers_us)
-            TimingCollector.record(f"  │ ├─init ({n_threads}T)", total_init)
-            TimingCollector.record(f"  │ ├─seek ({n_threads}T)", tot.seek_us)
-            TimingCollector.record(f"  │ ├─decode ({n_threads}T)",
-                                   tot.decode_us)
-            TimingCollector.record(f"  │ └─scatter ({n_threads}T)",
-                                   tot.analyze_us)
-            TimingCollector.record("  ├─device_scan", device_us)
-            TimingCollector.record("  └─join", join_us)
-
-        log.info(f"Processed {chunk_id} chunks, scanned {frames_scanned} "
-                 f"frames, found {len(motion_ts)} motion frames", sid)
+        log.info(f"Processed {result.chunks} chunks, scanned "
+                 f"{result.frames_scanned} frames, found "
+                 f"{len(result.motion_ts)} motion frames", sid)
 
         # --- merge + dedupe (pipeline.cpp:302-304) ---
         log.phase("Merging...", sid)
         with timer("merge"):
-            timestamps = oracle.merge_timestamps(motion_ts)
+            timestamps = oracle.merge_timestamps(result.motion_ts)
 
         if timestamps.size == 0:
             log.warn("No motion found.", sid)
@@ -259,6 +170,180 @@ class ProcessingPipeline:
             TimingCollector.print_summary()
         self.print_cut_summary()
         return 0
+
+    # --- scan phase (pipeline.cpp:127-295) ---
+
+    def _scan_thread_count(self, num_chunks: int) -> int:
+        """Thread count rules (pipeline.cpp:129-143)."""
+        if self.num_threads > 0:
+            n = self.num_threads
+        else:
+            n = max(2, os.cpu_count() or 2)
+        if self.cfg.decode_workers > 0:
+            n = self.cfg.decode_workers
+        return max(1, min(n, num_chunks))
+
+    def _parallel_scan(self, kind: str, fps: float, width: int,
+                       height: int) -> ScanResult:
+        """Chunked parallel decode + batched device analysis.
+
+        kind: 'mv' (vote grids -> cluster kernel) or 'sad' (luma -> block
+        SAD kernel).
+        """
+        sid = self.stream_id
+        cfg = self.cfg
+        if kind == "mv":
+            detector = MVClusterDetector(width, height, cfg)
+        else:
+            detector = SADDetector(width, height, cfg)
+        geom = detector.geom
+        frame_skip = cfg.frame_skip(fps)
+
+        num_chunks = max(1, math.ceil(self.duration /
+                                      cfg.chunk_duration_sec))
+        n_threads = self._scan_thread_count(num_chunks)
+        # luma chunks are large (H*W bytes/frame); cap frames per scan call
+        if kind == "sad":
+            chunk_frames_cap = max(
+                16, (512 * 1024 * 1024) // max(1, width * height)
+                // max(1, n_threads))
+        else:
+            chunk_frames_cap = 1 << 30
+
+        log.phase(
+            f"Parallel {'SAD ' if kind == 'sad' else ''}Scan "
+            f"({n_threads} threads, {cfg.chunk_duration_sec:.0f}s chunks)...",
+            sid)
+
+        t_scan = time.perf_counter_ns()
+        setup_t0 = time.perf_counter_ns()
+
+        tasks: queue.Queue[ScanTask | None] = queue.Queue()
+        chunk_id = 0
+        t = 0.0
+        while t < self.duration:
+            end = min(t + cfg.chunk_duration_sec, self.duration)
+            tasks.put(ScanTask(t, end, chunk_id))
+            chunk_id += 1
+            t += cfg.chunk_duration_sec
+        for _ in range(n_threads):
+            tasks.put(None)
+        log.info(f"Created {chunk_id} chunks", sid)
+        setup_us = (time.perf_counter_ns() - setup_t0) // 1000
+
+        # bounded stream of decoded chunks keeps host memory flat
+        results: queue.Queue = queue.Queue(maxsize=max(4, 2 * n_threads))
+        max_frames = min(
+            chunk_frames_cap,
+            int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64)
+        init_us = [0] * n_threads
+        timings = [native.ScanTiming() for _ in range(n_threads)]
+        errors: list[Exception] = []
+
+        reader_mode = native.MVT_MODE_MV if kind == "mv" \
+            else native.MVT_MODE_LUMA
+
+        def worker(widx: int) -> None:
+            try:
+                t0 = time.perf_counter_ns()
+                reader = native.VideoReader(self.input_path, reader_mode)
+                init_us[widx] = (time.perf_counter_ns() - t0) // 1000
+                while True:
+                    task = tasks.get()
+                    if task is None:
+                        break
+                    if kind == "mv":
+                        data, pts = reader.scan_grids(
+                            task.start, task.end,
+                            threshold_sq=cfg.mv_threshold_sq,
+                            block_shift=cfg.block_shift,
+                            gw=geom.gw, gh=geom.gh,
+                            y_min=geom.y_min, y_max=geom.y_max,
+                            frame_skip=frame_skip, max_frames=max_frames,
+                            timing=timings[widx])
+                        if len(pts):
+                            results.put((data, pts))
+                    else:
+                        # sub-chunk if the luma cap is smaller than the
+                        # chunk's frame count
+                        start = task.start
+                        while start < task.end:
+                            data, pts = reader.scan_luma(
+                                start, task.end, frame_skip=frame_skip,
+                                max_frames=max_frames,
+                                timing=timings[widx])
+                            if len(pts) == 0:
+                                break
+                            results.put((data, pts))
+                            if len(pts) < max_frames:
+                                break
+                            start = float(pts[-1]) + 1e-6
+                reader.close()
+            except Exception as e:  # noqa: BLE001 — surfaced after join
+                errors.append(e)
+            finally:
+                results.put(None)  # worker-done sentinel
+
+        workers_t0 = time.perf_counter_ns()
+        threads = [threading.Thread(target=worker, args=(i,),
+                                    name=f"decode-{i}")
+                   for i in range(n_threads)]
+        for th in threads:
+            th.start()
+
+        # device feeder: consume chunks, emit motion timestamps
+        device_us = 0
+        motion_ts: list[float] = []
+        frames_scanned = 0
+        done_workers = 0
+        while done_workers < n_threads:
+            item = results.get()
+            if item is None:
+                done_workers += 1
+                continue
+            data, pts = item
+            t0 = time.perf_counter_ns()
+            if kind == "mv":
+                motion = detector.scan_votes(data)
+            else:
+                motion = detector.scan_luma(data)
+            device_us += (time.perf_counter_ns() - t0) // 1000
+            frames_scanned += len(pts)
+            motion_ts.extend(pts[motion].tolist())
+
+        join_t0 = time.perf_counter_ns()
+        for th in threads:
+            th.join()
+        join_us = (time.perf_counter_ns() - join_t0) // 1000
+        workers_us = (time.perf_counter_ns() - workers_t0) // 1000
+
+        if errors:
+            raise RuntimeError(errors[0])
+
+        scan_us = (time.perf_counter_ns() - t_scan) // 1000
+        TimingCollector.record(f"parallel_scan[{kind}]", scan_us)
+        if sid < 0:
+            tot = native.ScanTiming()
+            for tm in timings:
+                tot.seek_us += tm.seek_us
+                tot.decode_us += tm.decode_us
+                tot.analyze_us += tm.analyze_us
+                tot.frames_with_mvs += tm.frames_with_mvs
+            TimingCollector.record("  ├─setup", setup_us)
+            TimingCollector.record("  ├─workers", workers_us)
+            TimingCollector.record(f"  │ ├─init ({n_threads}T)",
+                                   sum(init_us))
+            TimingCollector.record(f"  │ ├─seek ({n_threads}T)", tot.seek_us)
+            TimingCollector.record(f"  │ ├─decode ({n_threads}T)",
+                                   tot.decode_us)
+            TimingCollector.record(f"  │ └─scatter ({n_threads}T)",
+                                   tot.analyze_us)
+            TimingCollector.record("  ├─device_scan", device_us)
+            TimingCollector.record("  └─join", join_us)
+
+        frames_with_mvs = sum(tm.frames_with_mvs for tm in timings)
+        return ScanResult(motion_ts, frames_scanned, frames_with_mvs,
+                          chunk_id)
 
     # --- cut summary (pipeline.cpp:419-448) ---
 

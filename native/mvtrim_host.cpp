@@ -385,6 +385,7 @@ MVT_EXPORT long mvt_scan_grids(MvtHandle *h, double start, double end,
         AVFrameSideData *sd =
             av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
         if (!sd) return;
+        if (timing_us) timing_us[3]++;  // frames that carried MV side data
         const auto *mvs = reinterpret_cast<const AVMotionVector *>(sd->data);
         const int count = static_cast<int>(sd->size / sizeof(AVMotionVector));
         for (int i = 0; i < count; ++i) {

@@ -1,0 +1,121 @@
+"""SAD fallback path: kernel parity, detector behavior, pipeline
+auto-fallback on intra-only (MV-less) streams — BASELINE config 2."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.io import native
+from mvtrim_tpu.models.sad_detector import SADDetector, sad_oracle_counts
+from mvtrim_tpu.ops import sad as sad_ops
+from mvtrim_tpu.pipeline.pipeline import ProcessingPipeline
+
+CFG = Config()
+GEOM = GridGeometry.build(320, 240, CFG)  # gw=20, gh=15
+
+
+@pytest.fixture(scope="session")
+def intra_clip(tmp_path_factory):
+    """All-I-frame clip (gop=1): decodes fine, exports zero MVs."""
+    path = str(tmp_path_factory.mktemp("sad") / "intra.mp4")
+    native.synthesize(path, width=320, height=240, fps=25.0, duration=10.0,
+                      codec="libx264", motion_windows=((2.0, 4.0),), gop=1)
+    return path
+
+
+class TestSADKernels:
+    def random_luma(self, rng, n=6):
+        h = GEOM.padded_gh * CFG.block_size
+        w = GEOM.padded_gw * CFG.block_size
+        luma = np.zeros((n, h, w), np.uint8)
+        base = rng.integers(0, 200, size=(h, w), dtype=np.uint8)
+        luma[:] = base
+        # add moving square on some frames
+        for i in range(1, n, 2):
+            luma[i, 50:100, 30 + i * 10:80 + i * 10] = 255
+        return luma
+
+    def test_xla_matches_oracle(self, rng):
+        luma = self.random_luma(rng)
+        op = sad_ops.make_sad_op_xla(
+            GEOM, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size, clusters_needed=CFG.clusters_needed)
+        counts, motion = op(luma)
+        # oracle computes over the unpadded region; our luma is padded and
+        # oracle's geom-based loop only reads geom.gh/gw blocks
+        expect = sad_oracle_counts(
+            luma, GEOM, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size)
+        np.testing.assert_array_equal(np.asarray(counts), expect)
+        np.testing.assert_array_equal(
+            np.asarray(motion), expect >= max(1, CFG.clusters_needed))
+
+    def test_pallas_matches_xla(self, rng):
+        luma = self.random_luma(rng)
+        op_x = sad_ops.make_sad_op_xla(
+            GEOM, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size, clusters_needed=CFG.clusters_needed)
+        op_p = sad_ops.make_sad_op_pallas(
+            GEOM, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size, clusters_needed=CFG.clusters_needed,
+            height=240, width=320, interpret=True)
+        cx, _ = op_x(luma)
+        cp, _ = op_p(luma)
+        np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
+
+    def test_static_frames_inactive(self):
+        h = GEOM.padded_gh * CFG.block_size
+        w = GEOM.padded_gw * CFG.block_size
+        luma = np.full((4, h, w), 77, np.uint8)
+        op = sad_ops.make_sad_op_xla(
+            GEOM, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size, clusters_needed=CFG.clusters_needed)
+        counts, motion = op(luma)
+        assert not np.asarray(motion).any()
+
+
+class TestSADDetector:
+    def test_detects_moving_box(self, intra_clip):
+        with native.VideoReader(intra_clip, native.MVT_MODE_LUMA) as r:
+            luma, pts = r.scan_luma(0.0, r.duration, max_frames=300)
+        det = SADDetector(320, 240, CFG)
+        motion = det.scan_luma(luma)
+        assert not motion[0]  # no predecessor
+        hits = pts[motion]
+        assert len(hits) > 10
+        assert all(1.9 <= p <= 4.1 for p in hits), hits
+
+
+class TestPipelineFallback:
+    def test_intra_clip_has_no_mvs(self, intra_clip):
+        with native.VideoReader(intra_clip) as r:
+            timing = native.ScanTiming()
+            r.scan_grids(0.0, r.duration, threshold_sq=16.0, block_shift=4,
+                         gw=GEOM.gw, gh=GEOM.gh, y_min=GEOM.y_min,
+                         y_max=GEOM.y_max, max_frames=300, timing=timing)
+            assert timing.frames_with_mvs == 0
+
+    def test_auto_fallback_trims(self, intra_clip, tmp_path):
+        out = str(tmp_path / "sad_out.mp4")
+        p = ProcessingPipeline(intra_clip, out, cfg=Config())
+        assert p.run() == 0
+        assert os.path.exists(out)
+        # motion 2-4s of 10s -> ~3s kept with padding
+        assert 50.0 < p.saved_pct < 80.0
+
+    def test_forced_sad_mode(self, intra_clip, tmp_path):
+        out = str(tmp_path / "sad_forced.mp4")
+        p = ProcessingPipeline(intra_clip, out,
+                               cfg=Config(pipeline_mode="sad"))
+        assert p.run() == 0
+        assert os.path.exists(out)
+
+    def test_mv_mode_finds_nothing_on_intra(self, intra_clip, tmp_path):
+        out = str(tmp_path / "mv_none.mp4")
+        p = ProcessingPipeline(intra_clip, out,
+                               cfg=Config(pipeline_mode="mv"))
+        assert p.run() == 0  # "No motion found." — reference behavior
+        assert not os.path.exists(out)
