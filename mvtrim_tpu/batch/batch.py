@@ -23,6 +23,7 @@ import dataclasses
 
 from ..core.config import Config
 from ..cut.executor import CutQueue
+from ..utils import system
 from ..pipeline.pipeline import ProcessingPipeline
 from ..utils import logging as log
 from ..utils.timing import TimingCollector
@@ -56,14 +57,13 @@ class BatchProcessor:
     def __init__(self, num_streams: int = 0, cfg: Config | None = None):
         self.cfg = cfg or Config.from_env()
         if num_streams <= 0:
-            # auto: one stream per ~2 cpus, at least 1 (the reference's
-            # calculate_parallel_streams uses all CPUs / threads_per_stream,
-            # system.cpp:186-197)
-            cpus = os.cpu_count() or 2
-            tps = self.cfg.threads_per_stream or 2
-            self.num_streams = max(1, cpus // tps)
+            self.num_streams = system.calculate_parallel_streams(
+                self.cfg.threads_per_stream)
         else:
-            self.num_streams = max(1, num_streams)
+            # respect user config but cap at the cgroup-aware CPU limit
+            # (batch_processor.cpp:37-46)
+            self.num_streams = max(
+                1, min(num_streams, system.detect_cpu_limit()))
         self._work: queue.Queue[str] = queue.Queue()
         self._seen: set[str] = set()
         self._lock = threading.Lock()
@@ -96,7 +96,7 @@ class BatchProcessor:
         threads_per_stream = self.cfg.threads_per_stream
         if threads_per_stream <= 0:
             threads_per_stream = max(
-                1, (os.cpu_count() or 2) // actual_streams)
+                1, system.detect_cpu_limit() // actual_streams)
 
         log.phase("================== BATCH PROCESSING ==================")
         log.info(f"Files to process: {self._total_files}")

@@ -18,6 +18,7 @@ import numpy as np
 
 MVT_MODE_MV = 0
 MVT_MODE_LUMA = 1
+MVT_MODE_MV_FULL = 2  # export MVs with default decode (every frame incl. B)
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -69,6 +70,15 @@ def _load_library():
         lib.mvt_scan_luma.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
             ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.mvt_scan_mvs_full.restype = ctypes.c_long
+        lib.mvt_scan_mvs_full.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.mvt_time_base.restype = ctypes.c_int
+        lib.mvt_time_base.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int),
+                                      ctypes.POINTER(ctypes.c_int)]
         lib.mvt_cut.restype = ctypes.c_int
         lib.mvt_cut.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                 ctypes.c_void_p, ctypes.c_int,
@@ -181,6 +191,37 @@ class VideoReader:
         if timing is not None:
             timing.add_raw(t)
         return mvs[:n], counts[:n], pts[:n]
+
+    def time_base(self) -> tuple[int, int]:
+        num = ctypes.c_int()
+        den = ctypes.c_int()
+        self._lib.mvt_time_base(self._h, ctypes.byref(num), ctypes.byref(den))
+        return num.value, den.value
+
+    def scan_mvs_full(self, start: float, end: float, *, frame_skip: int = 1,
+                      max_frames: int = 4096, max_mv: int = 8192,
+                      timing: ScanTiming | None = None):
+        """Full-field MV export (extract_mvs schema).
+
+        Returns (mvs int32 [N, max_mv, 10], counts int32 [N],
+        pts f64 [N] (best_effort), ptype int32 [N]).  MV fields:
+        dst_x, dst_y, src_x, src_y, w, h, motion_x, motion_y,
+        motion_scale, source.
+        """
+        mvs = np.zeros((max_frames, max_mv, 10), dtype=np.int32)
+        counts = np.zeros((max_frames,), dtype=np.int32)
+        pts = np.empty((max_frames,), dtype=np.float64)
+        ptype = np.zeros((max_frames,), dtype=np.int32)
+        t = np.zeros((4,), dtype=np.int64)
+        n = self._lib.mvt_scan_mvs_full(
+            self._h, start, end, frame_skip, max_frames, max_mv,
+            mvs.ctypes.data, counts.ctypes.data, pts.ctypes.data,
+            ptype.ctypes.data, t.ctypes.data)
+        if n < 0:
+            raise RuntimeError(f"mvt_scan_mvs_full failed on {self.path}")
+        if timing is not None:
+            timing.add_raw(t)
+        return mvs[:n], counts[:n], pts[:n], ptype[:n]
 
     def scan_luma(self, start: float, end: float, *, frame_skip: int = 1,
                   max_frames: int = 256, timing: ScanTiming | None = None):

@@ -44,6 +44,7 @@ from ..io import native
 from ..models.mv_detector import MVClusterDetector
 from ..models.sad_detector import SADDetector
 from ..utils import logging as log
+from ..utils import system
 from ..utils.logging import format_time
 from ..utils.timing import TimingCollector, timer
 
@@ -174,11 +175,13 @@ class ProcessingPipeline:
     # --- scan phase (pipeline.cpp:127-295) ---
 
     def _scan_thread_count(self, num_chunks: int) -> int:
-        """Thread count rules (pipeline.cpp:129-143)."""
+        """Thread count rules (pipeline.cpp:129-143): explicit per-stream
+        count in batch mode, else max(2, cgroup-aware cpu limit), always
+        capped by the chunk count."""
         if self.num_threads > 0:
             n = self.num_threads
         else:
-            n = max(2, os.cpu_count() or 2)
+            n = max(2, system.detect_cpu_limit())
         if self.cfg.decode_workers > 0:
             n = self.cfg.decode_workers
         return max(1, min(n, num_chunks))

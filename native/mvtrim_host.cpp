@@ -148,8 +148,10 @@ constexpr int kAvioBufferSize = 256 * 1024;  // demux read granularity
 // ---------------------------------------------------------------------------
 
 // Open modes: MV export skips IDCT/loop-filter/B-frames (reference decoder
-// knobs, motion_scanner.cpp:148-169); LUMA decodes real pixels (gray).
-enum MvtMode : int { MVT_MODE_MV = 0, MVT_MODE_LUMA = 1 };
+// knobs, motion_scanner.cpp:148-169); LUMA decodes real pixels (gray);
+// MV_FULL exports MVs with default decode (every frame incl. B — the
+// extract_mvs tool contract, tools/extract_mvs.cpp:84-91).
+enum MvtMode : int { MVT_MODE_MV = 0, MVT_MODE_LUMA = 1, MVT_MODE_MV_FULL = 2 };
 
 struct MvtHandle {
   MappedFile file;
@@ -243,16 +245,17 @@ MVT_EXPORT MvtHandle *mvt_open(const char *path, int mode, char *err,
     h->dec->skip_frame = AVDISCARD_BIDIR;
     h->dec->flags2 |= AV_CODEC_FLAG2_FAST;
     h->dec->flags |= AV_CODEC_FLAG_GRAY;
-  } else {
+  } else if (mode == MVT_MODE_LUMA) {
     // Luma path needs real pixels; still skip B-frames and chroma.
     h->dec->skip_frame = AVDISCARD_BIDIR;
     h->dec->flags |= AV_CODEC_FLAG_GRAY;
     h->dec->flags2 |= AV_CODEC_FLAG2_FAST;
   }
+  // MVT_MODE_MV_FULL: default decode, every frame (extract_mvs contract).
   h->dec->thread_count = 1;  // parallelism lives at the chunk level
 
   AVDictionary *opts = nullptr;
-  if (mode == MVT_MODE_MV) {
+  if (mode == MVT_MODE_MV || mode == MVT_MODE_MV_FULL) {
     av_dict_set(&opts, "flags2", "+export_mvs", 0);
   }
   int ret = avcodec_open2(h->dec, codec, &opts);
@@ -436,6 +439,62 @@ MVT_EXPORT long mvt_scan_mvs(MvtHandle *h, double start, double end,
             (count > max_mv) ? -static_cast<int32_t>(count)
                              : static_cast<int32_t>(count);
       });
+}
+
+// Full-field MV export for the extract_mvs tool (tools/extract_mvs.cpp
+// JSON schema): 10 int32 fields per MV — dst_x, dst_y, src_x, src_y, w, h,
+// motion_x, motion_y, motion_scale, source — plus per-frame
+// best_effort_timestamp pts and picture type (1=I, 2=P, 3=B, 0=?).
+MVT_EXPORT long mvt_scan_mvs_full(MvtHandle *h, double start, double end,
+                                  int frame_skip, long max_frames,
+                                  long max_mv, int32_t *out_mvs,
+                                  int32_t *out_counts, double *out_pts,
+                                  int32_t *out_ptype,
+                                  long long *timing_us) {
+  const double tb = h ? h->time_base : 0.0;
+  return scan_loop(
+      h, start, end, frame_skip, max_frames, timing_us,
+      [&](AVFrame *f, double /*pts*/, long slot) {
+        int64_t bet = f->best_effort_timestamp;
+        out_pts[slot] = (bet == AV_NOPTS_VALUE) ? -1.0 : bet * tb;
+        out_ptype[slot] = static_cast<int32_t>(f->pict_type);
+        int32_t *dst = out_mvs + static_cast<size_t>(slot) * max_mv * 10;
+        AVFrameSideData *sd =
+            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+        if (!sd) {
+          out_counts[slot] = 0;
+          return;
+        }
+        const auto *mvs = reinterpret_cast<const AVMotionVector *>(sd->data);
+        const long count =
+            static_cast<long>(sd->size / sizeof(AVMotionVector));
+        const long n = std::min(count, max_mv);
+        for (long i = 0; i < n; ++i) {
+          const AVMotionVector &mv = mvs[i];
+          dst[i * 10 + 0] = mv.dst_x;
+          dst[i * 10 + 1] = mv.dst_y;
+          dst[i * 10 + 2] = mv.src_x;
+          dst[i * 10 + 3] = mv.src_y;
+          dst[i * 10 + 4] = mv.w;
+          dst[i * 10 + 5] = mv.h;
+          dst[i * 10 + 6] = mv.motion_x;
+          dst[i * 10 + 7] = mv.motion_y;
+          dst[i * 10 + 8] = mv.motion_scale;
+          dst[i * 10 + 9] = static_cast<int32_t>(mv.source);
+        }
+        out_counts[slot] =
+            (count > max_mv) ? -static_cast<int32_t>(count)
+                             : static_cast<int32_t>(count);
+      });
+}
+
+// Stream time base (for the extract_mvs JSON header).
+MVT_EXPORT int mvt_time_base(MvtHandle *h, int *num, int *den) {
+  if (!h || h->video_idx < 0) return -1;
+  AVRational tb = h->fmt->streams[h->video_idx]->time_base;
+  *num = tb.num;
+  *den = tb.den;
+  return 0;
 }
 
 // Decoded luma planes for the pixel-domain SAD fallback.  Emits the full
