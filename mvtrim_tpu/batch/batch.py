@@ -203,7 +203,16 @@ class BatchProcessor:
 
     def _stream_worker(self, stream_id: int, threads_per_stream: int,
                        output_dir: str, cut_queue: CutQueue) -> None:
-        files_done = 0
+        # multi-chip: each stream's device dispatches land on its own chip
+        # (round-robin), replacing the reference's disjoint cpusets
+        import jax
+
+        devices = jax.devices()
+        device = devices[stream_id % len(devices)] if len(devices) > 1 \
+            else None
+        if device is not None:
+            log.info(f"Analysis device: {device}", stream_id)
+
         while True:
             path = self._get_next_file()
             if path is None:
@@ -216,7 +225,7 @@ class BatchProcessor:
             pipeline = ProcessingPipeline(
                 path, out, stream_id=stream_id,
                 num_threads=threads_per_stream, cfg=self.cfg,
-                cut_queue=cut_queue)
+                cut_queue=cut_queue, device=device)
             try:
                 ret = pipeline.run()
             except Exception as e:  # noqa: BLE001 — batch keeps going
@@ -227,7 +236,6 @@ class BatchProcessor:
             result = StreamResult(os.path.basename(path), ret == 0, dt_us)
             with self._lock:
                 self._results.append(result)
-            files_done += 1
             if result.success:
                 log.success(
                     f"Completed: {result.filename} ({dt_us / 1e6:.1f}s)",

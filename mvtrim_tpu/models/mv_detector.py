@@ -39,7 +39,8 @@ class MVClusterDetector:
     frames behave identically in the reference, motion_scanner.cpp:219-221).
     """
 
-    def __init__(self, width: int, height: int, cfg: Config | None = None):
+    def __init__(self, width: int, height: int, cfg: Config | None = None,
+                 device=None):
         self.cfg = cfg or Config.from_env()
         self.geom = GridGeometry.build(width, height, self.cfg)
         self.backend = resolve_backend(self.cfg.scan_backend)
@@ -47,6 +48,9 @@ class MVClusterDetector:
         if self.backend == "pallas":
             # the cached pallas program tiles the batch in blocks of 128
             self.device_batch = ((self.device_batch + 127) // 128) * 128
+        # optional pinned device: multi-chip batch mode places each video
+        # stream's analysis on its own chip (parallel/mesh.py assignment)
+        self.device = device
         self._op = None
         self._mv_op = None
 
@@ -89,6 +93,8 @@ class MVClusterDetector:
             hi = min(lo + db, n)
             batch = np.zeros((db, gh_p, gw_p), np.uint8)
             batch[:hi - lo, :grids.shape[1], :grids.shape[2]] = grids[lo:hi]
+            if self.device is not None:
+                batch = jax.device_put(batch, self.device)
             _, motion = self.forward_padded(jnp.asarray(batch))
             out[lo:hi] = np.asarray(motion)[:hi - lo]
         return out

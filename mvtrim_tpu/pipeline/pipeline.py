@@ -68,13 +68,15 @@ class ProcessingPipeline:
     def __init__(self, input_path: str, output_path: str,
                  stream_id: int = -1, num_threads: int = 0,
                  cfg: Config | None = None,
-                 cut_queue: CutQueue | None = None):
+                 cut_queue: CutQueue | None = None,
+                 device=None):
         self.input_path = input_path
         self.output_path = output_path
         self.stream_id = stream_id
         self.num_threads = num_threads
         self.cfg = cfg or Config.from_env()
         self.cut_queue = cut_queue
+        self.device = device  # pin this stream's analysis to one chip
         self.duration = 0.0
         self.time_removed = 0.0
         self.saved_pct = 0.0
@@ -196,7 +198,8 @@ class ProcessingPipeline:
         sid = self.stream_id
         cfg = self.cfg
         if kind == "mv":
-            detector = MVClusterDetector(width, height, cfg)
+            detector = MVClusterDetector(width, height, cfg,
+                                         device=self.device)
         else:
             detector = SADDetector(width, height, cfg)
         geom = detector.geom

@@ -746,6 +746,9 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
     // Sub-16x16 partitions give several MVs per 16px grid cell (real CCTV
     // encoders do too), which the VECTORS_NEEDED>=2 defaults rely on.
     av_dict_set(&opts, "x264-params", "partitions=all", 0);
+  } else if (std::strcmp(codec_name, "libx265") == 0) {
+    av_dict_set(&opts, "preset", "ultrafast", 0);
+    av_dict_set(&opts, "x265-params", "log-level=none", 0);
   }
   if (avcodec_open2(enc, codec, &opts) < 0) {
     set_err(err, errlen, "encoder open failed");

@@ -1,0 +1,87 @@
+"""Codec-family coverage (BASELINE config 3: HEVC / 4K / copy-vs-cut).
+
+Notes on MV export support in libavcodec: the MOTION_VECTORS side data is
+produced by the mpegvideo/h264 decoder family (h264, mpeg1/2/4, vc1...).
+The HEVC decoder in this FFmpeg 5.x exports none — the reference would
+scan HEVC and find zero motion (check_frame's !sd early-out) — so HEVC
+automatically takes our pixel-domain SAD path; on newer FFmpeg libs with
+HEVC MV export the MV path works unchanged (side data is read
+generically).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.io import native
+from mvtrim_tpu.pipeline.pipeline import ProcessingPipeline
+
+
+class TestHEVC:
+    @pytest.fixture(scope="class")
+    def hevc_clip(self, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("codecs") / "hevc.mp4")
+        native.synthesize(path, width=1280, height=720, fps=25.0,
+                          duration=10.0, codec="libx265",
+                          motion_windows=((2.0, 4.0),))
+        return path
+
+    def test_decodes_and_trims_via_sad_fallback(self, hevc_clip, tmp_path):
+        with native.VideoReader(hevc_clip) as r:
+            assert r.width == 1280 and r.height == 720
+        out = str(tmp_path / "hevc_out.mp4")
+        p = ProcessingPipeline(hevc_clip, out, cfg=Config())
+        assert p.run() == 0
+        assert os.path.exists(out)
+        assert 50.0 < p.saved_pct < 85.0
+        with native.VideoReader(out) as r:
+            assert 2.0 < r.duration < 5.0
+
+    def test_min_savings_copy_decision(self, hevc_clip, tmp_path):
+        out = str(tmp_path / "hevc_copy.mp4")
+        p = ProcessingPipeline(hevc_clip, out,
+                               cfg=Config(min_savings_pct=99.0))
+        assert p.run() == 0
+        with native.VideoReader(hevc_clip) as a, native.VideoReader(out) as b:
+            assert abs(a.duration - b.duration) < 0.5
+
+
+class TestMPEG2:
+    def test_mv_path_works(self, tmp_path):
+        """mpeg2video is in the MV-exporting decoder family."""
+        path = str(tmp_path / "m2.mpg")
+        native.synthesize(path, width=640, height=480, fps=25.0,
+                          duration=8.0, codec="mpeg2video",
+                          motion_windows=((2.0, 4.0),))
+        cfg = Config()
+        with native.VideoReader(path) as r:
+            geom = GridGeometry.build(r.width, r.height, cfg)
+            timing = native.ScanTiming()
+            grids, pts = r.scan_grids(
+                0.0, r.duration, threshold_sq=cfg.mv_threshold_sq,
+                block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                y_min=geom.y_min, y_max=geom.y_max, max_frames=256,
+                timing=timing)
+        assert timing.frames_with_mvs > 0, "mpeg2 exported no MVs"
+        assert grids.max() >= 1
+
+
+class Test4K:
+    def test_large_grid_mv_path(self, tmp_path):
+        """4K H.264: 240x135 grid through the MV path end to end."""
+        path = str(tmp_path / "uhd.mp4")
+        native.synthesize(path, width=3840, height=2160, fps=25.0,
+                          duration=4.0, codec="libx264",
+                          motion_windows=((1.0, 2.5),))
+        cfg = Config()
+        geom = GridGeometry.build(3840, 2160, cfg)
+        assert (geom.gw, geom.gh) == (240, 135)
+        assert cfg.vertical_margin(geom.gh) == 6
+        out = str(tmp_path / "uhd_out.mp4")
+        p = ProcessingPipeline(path, out, cfg=cfg)
+        assert p.run() == 0
+        assert os.path.exists(out)
+        assert p.saved_pct > 30.0

@@ -89,3 +89,24 @@ class TestGraftEntry:
         sys.path.insert(0, "/root/repo")
         from __graft_entry__ import dryrun_multichip
         dryrun_multichip(8)
+
+
+class TestMultiDeviceBatch:
+    def test_streams_pinned_to_distinct_devices(self, tmp_path):
+        """Batch mode with >1 device: each stream analyzes on its own chip
+        (virtual CPU devices here), outputs identical to single-device."""
+        import os
+        from mvtrim_tpu.batch.batch import BatchProcessor, list_videos
+        from mvtrim_tpu.io import native as nat
+
+        in_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        for name in ("a.mp4", "b.mp4", "c.mp4"):
+            nat.synthesize(str(in_dir / name), width=320, height=240,
+                           fps=25.0, duration=6.0, codec="libx264",
+                           motion_windows=((1.0, 3.0),))
+        bp = BatchProcessor(3, Config(scan_backend="xla"))
+        assert bp.process(list_videos(str(in_dir)), str(out_dir)) == 0
+        for name in ("a.mp4", "b.mp4", "c.mp4"):
+            assert os.path.exists(out_dir / name)

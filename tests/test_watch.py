@@ -1,0 +1,94 @@
+"""Watch-mode daemon behavior (reference batch_processor.cpp:237-305).
+
+Runs BatchProcessor in watch mode on a directory, drops a new file in
+while it's running, and checks it gets picked up and processed; then
+terminates via stop() (which the reference cannot do — its stop_watch_
+is never set, SURVEY.md §3.3).
+"""
+
+import os
+import shutil
+import threading
+import time
+
+import pytest
+
+from mvtrim_tpu.batch.batch import BatchProcessor
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.io import native
+
+
+def wait_for(predicate, timeout=90.0, interval=0.25):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return False
+
+
+@pytest.fixture(scope="module")
+def small_clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("watch") / "seed.mp4")
+    native.synthesize(path, width=320, height=240, fps=25.0, duration=6.0,
+                      codec="libx264", motion_windows=((1.0, 3.0),))
+    return path
+
+
+class TestWatchMode:
+    def test_new_file_detected_and_processed(self, small_clip, tmp_path):
+        in_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        out_dir.mkdir()
+        shutil.copy(small_clip, in_dir / "first.mp4")
+
+        cfg = Config(watch_mode=True, scan_backend="oracle",
+                     parallel_streams=1)
+        bp = BatchProcessor(1, cfg)
+        result = {}
+
+        def run():
+            result["failures"] = bp.process(
+                [str(in_dir / "first.mp4")], str(out_dir), str(in_dir))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        try:
+            assert wait_for(lambda: (out_dir / "first.mp4").exists()), \
+                "initial file not processed"
+            # drop a new file in atomically (write elsewhere, rename):
+            # the watcher's 500ms size-stability check must accept it
+            staging = tmp_path / "second.mp4"
+            shutil.copy(small_clip, staging)
+            os.rename(staging, in_dir / "second.mp4")
+            assert wait_for(lambda: (out_dir / "second.mp4").exists()), \
+                "watched file not processed"
+        finally:
+            bp.stop()
+        t.join(timeout=60)
+        assert not t.is_alive(), "watch mode did not terminate after stop()"
+        assert result.get("failures") == 0
+
+    def test_existing_output_not_reprocessed(self, small_clip, tmp_path):
+        in_dir = tmp_path / "in2"
+        out_dir = tmp_path / "out2"
+        in_dir.mkdir()
+        out_dir.mkdir()
+        shutil.copy(small_clip, in_dir / "v.mp4")
+        sentinel = out_dir / "v.mp4"
+        sentinel.write_bytes(b"sentinel")
+
+        cfg = Config(watch_mode=True, scan_backend="oracle")
+        bp = BatchProcessor(1, cfg)
+        t = threading.Thread(
+            target=lambda: bp.process([], str(out_dir), str(in_dir)),
+            daemon=True)
+        t.start()
+        try:
+            time.sleep(4.0)  # a couple of poll cycles
+            assert sentinel.read_bytes() == b"sentinel"
+        finally:
+            bp.stop()
+        t.join(timeout=30)
+        assert not t.is_alive()
