@@ -1,0 +1,162 @@
+"""Sharded streaming scan for very long archives (BASELINE config 5).
+
+One video's timeline is chunk-decoded by host workers (same task-queue
+model as the single-chip pipeline), but frame batches are assembled into
+global device batches sharded over the mesh's 'data' axis: every chip
+scans 1/N of each batch and the per-frame motion booleans come back
+gathered.  Segmentation stays on host in float64 (the bit-parity path);
+the device segment op (ops/segmentation.py) serves streaming statistics.
+
+This replaces the reference's only scale-out story — more CPU threads in
+one box — with ICI-connected chips: decode scales with host cores, scan
+scales with mesh size.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+
+import numpy as np
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core import oracle
+from ..core.config import Config
+from ..core.types import GridGeometry, ScanTask, TimeSegment
+from ..io import native
+from ..utils import logging as log
+from .mesh import build_mesh, sharded_scan_step
+
+
+def scan_archive(input_path: str, cfg: Config | None = None, *,
+                 mesh=None, decode_workers: int = 0,
+                 frames_per_device: int = 256):
+    """Scan one (long) video over a device mesh.
+
+    Returns (segments, duration, stats dict).  Segments come from the
+    host float64 oracle path over the gathered motion timestamps, so they
+    are identical to the single-chip pipeline's.
+    """
+    cfg = cfg or Config.from_env()
+    mesh = mesh or build_mesh()
+    data_size = mesh.shape["data"]
+    global_batch = frames_per_device * data_size
+
+    reader = native.VideoReader(input_path)
+    duration, fps = reader.duration, reader.fps
+    width, height = reader.width, reader.height
+    reader.close()
+    geom = GridGeometry.build(width, height, cfg)
+    frame_skip = cfg.frame_skip(fps)
+
+    step = sharded_scan_step(geom, cfg, mesh)
+    vec_needs = jax.device_put(
+        np.full((mesh.shape["sweep"],), cfg.vectors_needed, np.int32),
+        NamedSharding(mesh, P("sweep")))
+    votes_sharding = NamedSharding(mesh, P("data", None, None))
+
+    # --- host decode workers over the chunked timeline ---
+    n_workers = decode_workers or max(2, min(8, (len(jax.devices()) or 1)))
+    num_chunks = max(1, math.ceil(duration / cfg.chunk_duration_sec))
+    n_workers = min(n_workers, num_chunks)
+    tasks: queue.Queue = queue.Queue()
+    t = 0.0
+    cid = 0
+    while t < duration:
+        tasks.put(ScanTask(t, min(t + cfg.chunk_duration_sec, duration), cid))
+        cid += 1
+        t += cfg.chunk_duration_sec
+    for _ in range(n_workers):
+        tasks.put(None)
+
+    results: queue.Queue = queue.Queue(maxsize=2 * n_workers)
+    max_frames = int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64
+    errors: list[Exception] = []
+
+    def worker():
+        try:
+            r = native.VideoReader(input_path)
+            while True:
+                task = tasks.get()
+                if task is None:
+                    break
+                grids, pts = r.scan_grids(
+                    task.start, task.end,
+                    threshold_sq=cfg.mv_threshold_sq,
+                    block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                    y_min=geom.y_min, y_max=geom.y_max,
+                    frame_skip=frame_skip, max_frames=max_frames)
+                if len(pts):
+                    results.put((grids, pts))
+            r.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            results.put(None)
+
+    threads = [threading.Thread(target=worker, name=f"archive-{i}")
+               for i in range(n_workers)]
+    for th in threads:
+        th.start()
+
+    # --- feeder: pack frames into sharded global batches ---
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+    buf = np.zeros((global_batch, gh_p, gw_p), np.uint8)
+    buf_pts = np.zeros((global_batch,), np.float64)
+    fill = 0
+    motion_ts: list[float] = []
+    frames_scanned = 0
+    dispatches = 0
+
+    def flush(n_valid: int):
+        nonlocal dispatches
+        if n_valid == 0:
+            return
+        dispatches += 1
+        votes = jax.device_put(buf, votes_sharding)
+        motion, _ = step(votes, vec_needs)
+        m = np.asarray(motion)[:n_valid, 0]
+        motion_ts.extend(buf_pts[:n_valid][m].tolist())
+        buf[:] = 0
+
+    done = 0
+    while done < n_workers:
+        item = results.get()
+        if item is None:
+            done += 1
+            continue
+        grids, pts = item
+        frames_scanned += len(pts)
+        off = 0
+        while off < len(pts):
+            take = min(global_batch - fill, len(pts) - off)
+            buf[fill:fill + take, :geom.gh, :geom.gw] = grids[off:off + take]
+            buf_pts[fill:fill + take] = pts[off:off + take]
+            fill += take
+            off += take
+            if fill == global_batch:
+                flush(global_batch)
+                fill = 0
+    flush(fill)
+
+    for th in threads:
+        th.join()
+    if errors:
+        raise RuntimeError(errors[0])
+
+    timestamps = oracle.merge_timestamps(motion_ts)
+    segments = oracle.segments_from_timestamps(
+        timestamps, max_gap_sec=cfg.max_gap_sec,
+        padding_sec=cfg.padding_sec, duration=duration)
+    stats = {
+        "frames_scanned": frames_scanned,
+        "motion_frames": int(timestamps.size),
+        "dispatches": dispatches,
+        "mesh": dict(mesh.shape),
+        "global_batch": global_batch,
+    }
+    log.info(f"archive scan: {frames_scanned} frames over mesh "
+             f"{dict(mesh.shape)} in {dispatches} dispatches")
+    return segments, duration, stats

@@ -93,13 +93,14 @@ def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
             jnp.sum(motion.astype(jnp.int32), axis=0), axis_name="data")
         return motion, global_count
 
-    from jax.experimental.shard_map import shard_map
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(P("data", None, None), P("sweep")),
         out_specs=(P("data", "sweep"), P("sweep")),
-        check_rep=False,
     )
     return jax.jit(step)
 

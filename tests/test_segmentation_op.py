@@ -1,0 +1,101 @@
+"""Device segmentation op + sharded archive scan tests."""
+
+import numpy as np
+import pytest
+
+from mvtrim_tpu.core import oracle
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import TimeSegment
+from mvtrim_tpu.io import native
+from mvtrim_tpu.ops.segmentation import make_segment_op
+from mvtrim_tpu.parallel.archive import scan_archive
+from mvtrim_tpu.parallel.mesh import build_mesh
+
+
+def run_op(ts_motion, duration, max_gap=5.0, pad=0.5, cap=16):
+    ts = np.asarray([t for t, _ in ts_motion], np.float32)
+    motion = np.asarray([m for _, m in ts_motion], bool)
+    op = make_segment_op(cap, max_gap_sec=max_gap, padding_sec=pad)
+    starts, ends, count, kept = op(ts, motion, np.float32(duration))
+    n = int(count)
+    return ([TimeSegment(round(float(s), 4), round(float(e), 4))
+             for s, e in zip(np.asarray(starts)[:n], np.asarray(ends)[:n])],
+            float(kept))
+
+
+class TestSegmentOp:
+    def test_matches_oracle_basic(self):
+        pts = [10.0, 11.0, 12.0, 20.0, 21.0]
+        segs, kept = run_op([(t, True) for t in pts], 100.0)
+        expect = oracle.segments_from_timestamps(
+            pts, max_gap_sec=5.0, padding_sec=0.5, duration=100.0)
+        assert segs == expect
+        assert kept == pytest.approx(sum(s.end - s.start for s in expect))
+
+    def test_non_motion_frames_ignored(self):
+        stream = [(9.0, False), (10.0, True), (10.5, False), (11.0, True),
+                  (30.0, False), (40.0, True)]
+        segs, _ = run_op(stream, 100.0)
+        expect = oracle.segments_from_timestamps(
+            [10.0, 11.0, 40.0], max_gap_sec=5.0, padding_sec=0.5,
+            duration=100.0)
+        assert segs == expect
+
+    def test_no_motion(self):
+        segs, kept = run_op([(1.0, False), (2.0, False)], 10.0)
+        assert segs == [] and kept == 0.0
+
+    def test_clamping(self):
+        segs, _ = run_op([(0.2, True), (9.9, True)], 10.0, max_gap=2.0)
+        expect = oracle.segments_from_timestamps(
+            [0.2, 9.9], max_gap_sec=2.0, padding_sec=0.5, duration=10.0)
+        assert segs == expect
+
+    def test_random_streams_match_oracle(self, rng):
+        for _ in range(10):
+            n = 64
+            ts = np.sort(rng.uniform(0, 300, n)).astype(np.float32)
+            ts = np.unique(ts)
+            motion = rng.random(len(ts)) < 0.3
+            segs, _ = run_op(list(zip(ts.tolist(), motion.tolist())), 300.0,
+                             max_gap=7.0, pad=1.0, cap=64)
+            expect = oracle.segments_from_timestamps(
+                ts[motion].astype(np.float64), max_gap_sec=7.0,
+                padding_sec=1.0, duration=300.0)
+            assert len(segs) == len(expect)
+            for got, want in zip(segs, expect):
+                assert got.start == pytest.approx(want.start, abs=1e-3)
+                assert got.end == pytest.approx(want.end, abs=1e-3)
+
+    def test_capacity_saturation(self):
+        # 20 isolated motion frames, cap 4: count saturates, no crash
+        stream = [(float(10 * i), True) for i in range(20)]
+        segs, _ = run_op(stream, 1000.0, max_gap=2.0, cap=4)
+        assert len(segs) == 4
+
+
+class TestArchiveScan:
+    @pytest.fixture(scope="class")
+    def clip(self, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("arch") / "long.mp4")
+        native.synthesize(path, width=320, height=240, fps=25.0,
+                          duration=30.0, codec="libx264",
+                          motion_windows=((3.0, 6.0), (20.0, 22.0)))
+        return path
+
+    def test_sharded_scan_matches_single_device(self, clip):
+        cfg = Config(chunk_duration_sec=5.0)
+        mesh8 = build_mesh(8, sweep=1)
+        segs8, dur, stats = scan_archive(clip, cfg, mesh=mesh8,
+                                         frames_per_device=32)
+        assert stats["mesh"]["data"] == 8
+        assert stats["dispatches"] >= 2
+        mesh1 = build_mesh(1, sweep=1)
+        segs1, _, _ = scan_archive(clip, cfg, mesh=mesh1,
+                                   frames_per_device=64)
+        assert segs8 == segs1
+        # both motion windows are represented (detection onset depends on
+        # encoder GOP/partition dynamics; require overlap, not exact edges)
+        assert len(segs8) == 2
+        assert segs8[0].start < 6.0 and segs8[0].end > 3.0
+        assert segs8[1].start < 22.0 and segs8[1].end > 20.0
