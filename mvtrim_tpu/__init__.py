@@ -22,6 +22,18 @@ Layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent jit cache: CLI invocations are short-lived processes, and the
+# scan programs are identical across runs for a given (geometry, config) —
+# without this every invocation pays tens of seconds of XLA compilation.
+# Opt out with MVT_JAX_CACHE=0 or by setting JAX_COMPILATION_CACHE_DIR.
+if _os.environ.get("MVT_JAX_CACHE", "1") != "0":
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/mvtrim_tpu/jax"))
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from .core.config import Config
 from .core.types import TimeSegment, ScanTask, GridGeometry
 

@@ -87,6 +87,8 @@ class Config:
     sad_threshold: float = 12.0      # mean-abs-diff per-pixel threshold (SAD path)
     decode_workers: int = 0          # host decode threads (0 = auto)
     pipeline_mode: str = "auto"      # mv | sad | auto (auto: SAD when no MVs)
+    profile_dir: str = ""            # write jax.profiler traces here
+    metrics_json: str = ""           # append per-video metrics JSON lines here
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -112,6 +114,8 @@ class Config:
             sad_threshold=_env_float("MVT_SAD_THRESHOLD", 12.0),
             decode_workers=_env_int("MVT_DECODE_WORKERS", 0),
             pipeline_mode=_env_str("MVT_PIPELINE", "auto"),
+            profile_dir=_env_str("MVT_PROFILE_DIR", ""),
+            metrics_json=_env_str("MVT_METRICS_JSON", ""),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

@@ -71,24 +71,27 @@ class MVClusterDetector:
         (cluster counts int32 [B], motion bool [B])."""
         return self._build_op()(votes_padded)
 
-    def scan_votes(self, grids: np.ndarray) -> np.ndarray:
-        """Host entry: vote grids uint8 [N, gh, gw] -> motion bool [N].
+    def scan_votes_async(self, grids: np.ndarray):
+        """Dispatch vote grids uint8 [N, gh, gw]; return a resolver.
 
-        Batches of device_batch frames; the tail batch is zero-padded.
+        JAX dispatch is asynchronous: the returned zero-arg callable blocks
+        on and returns the motion bool [N].  Callers overlap device work
+        with host decode by resolving late (pipeline feeder does).
         """
         n = grids.shape[0]
         if n == 0:
-            return np.zeros((0,), bool)
+            return lambda: np.zeros((0,), bool)
         if self.backend == "oracle":
             counts = oracle.count_clusters_batch(
                 grids, vectors_needed=self.cfg.vectors_needed,
                 y_min=self.geom.y_min, y_max=self.geom.y_max)
-            return counts >= oracle.effective_clusters_needed(
+            motion = counts >= oracle.effective_clusters_needed(
                 self.cfg.clusters_needed)
+            return lambda: motion
 
         db = self.device_batch
         gh_p, gw_p = self.geom.padded_gh, self.geom.padded_gw
-        out = np.zeros((n,), bool)
+        futures = []
         for lo in range(0, n, db):
             hi = min(lo + db, n)
             batch = np.zeros((db, gh_p, gw_p), np.uint8)
@@ -96,8 +99,19 @@ class MVClusterDetector:
             if self.device is not None:
                 batch = jax.device_put(batch, self.device)
             _, motion = self.forward_padded(jnp.asarray(batch))
-            out[lo:hi] = np.asarray(motion)[:hi - lo]
-        return out
+            futures.append((lo, hi, motion))
+
+        def resolve():
+            out = np.zeros((n,), bool)
+            for lo, hi, motion in futures:
+                out[lo:hi] = np.asarray(motion)[:hi - lo]
+            return out
+
+        return resolve
+
+    def scan_votes(self, grids: np.ndarray) -> np.ndarray:
+        """Host entry: vote grids uint8 [N, gh, gw] -> motion bool [N]."""
+        return self.scan_votes_async(grids)()
 
     # --- forward over raw MV fields (on-device thresholding path) ---
 

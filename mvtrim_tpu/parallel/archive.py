@@ -112,13 +112,16 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
 
     def flush(n_valid: int):
         nonlocal dispatches
-        if n_valid == 0:
+        if n_valid == 0 or errors:
             return
         dispatches += 1
-        votes = jax.device_put(buf, votes_sharding)
-        motion, _ = step(votes, vec_needs)
-        m = np.asarray(motion)[:n_valid, 0]
-        motion_ts.extend(buf_pts[:n_valid][m].tolist())
+        try:
+            votes = jax.device_put(buf, votes_sharding)
+            motion, _ = step(votes, vec_needs)
+            m = np.asarray(motion)[:n_valid, 0]
+            motion_ts.extend(buf_pts[:n_valid][m].tolist())
+        except Exception as e:  # noqa: BLE001 — drain workers, raise after
+            errors.append(e)
         buf[:] = 0
 
     done = 0
@@ -127,6 +130,8 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         if item is None:
             done += 1
             continue
+        if errors:
+            continue  # drain only
         grids, pts = item
         frames_scanned += len(pts)
         off = 0

@@ -104,6 +104,14 @@ class ProcessingPipeline:
             f"({self.duration * fps:.0f} frames @ {fps:.1f}fps)", sid)
 
         mode = self.cfg.pipeline_mode
+        profiler_cm = None
+        if self.cfg.profile_dir:
+            # device-level tracing (the rebuild's analog of the reference's
+            # TIMER_* phase accounting, viewable in TensorBoard/XProf)
+            import jax.profiler
+
+            profiler_cm = jax.profiler.trace(self.cfg.profile_dir)
+            profiler_cm.__enter__()
         try:
             if mode == "sad":
                 result = self._parallel_scan("sad", fps, width, height)
@@ -118,6 +126,9 @@ class ProcessingPipeline:
         except RuntimeError as e:
             log.error(f"Scan failed: {e}", sid)
             return 1
+        finally:
+            if profiler_cm is not None:
+                profiler_cm.__exit__(None, None, None)
 
         log.info(f"Processed {result.chunks} chunks, scanned "
                  f"{result.frames_scanned} frames, found "
@@ -134,6 +145,7 @@ class ProcessingPipeline:
                 "total_run", (time.perf_counter_ns() - t_total) // 1000)
             if sid < 0:
                 TimingCollector.print_summary()
+            self._emit_metrics(result, 0, None, t_total)
             return 0
 
         # --- segmentation (pipeline.cpp:321-356) ---
@@ -172,7 +184,37 @@ class ProcessingPipeline:
         if sid < 0:
             TimingCollector.print_summary()
         self.print_cut_summary()
+        self._emit_metrics(result, int(timestamps.size), is_cut, t_total)
         return 0
+
+    def _emit_metrics(self, result: ScanResult, motion_frames: int,
+                      is_cut: bool | None, t_total: int) -> None:
+        """Structured per-video metrics (MVT_METRICS_JSON, append-only
+        JSON lines) — the metrics export the reference lacks."""
+        if not self.cfg.metrics_json:
+            return
+        import json
+
+        rec = {
+            "input": self.input_path,
+            "output": self.output_path,
+            "stream_id": self.stream_id,
+            "duration_sec": self.duration,
+            "frames_scanned": result.frames_scanned,
+            "frames_with_mvs": result.frames_with_mvs,
+            "motion_frames": motion_frames,
+            "time_removed_sec": self.time_removed,
+            "saved_pct": self.saved_pct,
+            "decision": ("cut" if is_cut else
+                         "copy" if is_cut is not None else "no_motion"),
+            "wall_sec": (time.perf_counter_ns() - t_total) / 1e9,
+            "phases_us": dict(TimingCollector.entries()),
+        }
+        try:
+            with open(self.cfg.metrics_json, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError as e:
+            log.warn(f"metrics export failed: {e}", self.stream_id)
 
     # --- scan phase (pipeline.cpp:127-295) ---
 
@@ -222,6 +264,17 @@ class ProcessingPipeline:
             sid)
 
         t_scan = time.perf_counter_ns()
+
+        # Warm the device program BEFORE spawning decode threads: tracing +
+        # compilation are host-CPU-heavy and would otherwise contend with
+        # the decoders (painful on small hosts / remote-compile setups).
+        warm_t0 = time.perf_counter_ns()
+        if kind == "mv":
+            detector.scan_votes(np.zeros((1, geom.gh, geom.gw), np.uint8))
+        else:
+            detector.scan_luma(np.zeros((2, height, width), np.uint8))
+        warmup_us = (time.perf_counter_ns() - warm_t0) // 1000
+
         setup_t0 = time.perf_counter_ns()
 
         tasks: queue.Queue[ScanTask | None] = queue.Queue()
@@ -297,9 +350,12 @@ class ProcessingPipeline:
         for th in threads:
             th.start()
 
-        # device feeder: consume chunks, emit motion timestamps
+        # device feeder: consume chunks, dispatch asynchronously, resolve
+        # at the end so H2D+compute overlap decode.  Keep draining even
+        # after a detector failure: decode workers block on the bounded
+        # queue otherwise and the process never exits.
         device_us = 0
-        motion_ts: list[float] = []
+        pending: list[tuple[np.ndarray, object]] = []
         frames_scanned = 0
         done_workers = 0
         while done_workers < n_threads:
@@ -307,15 +363,32 @@ class ProcessingPipeline:
             if item is None:
                 done_workers += 1
                 continue
+            if errors:
+                continue  # drain only; a failure is already recorded
             data, pts = item
             t0 = time.perf_counter_ns()
-            if kind == "mv":
-                motion = detector.scan_votes(data)
-            else:
-                motion = detector.scan_luma(data)
+            try:
+                if kind == "mv":
+                    resolver = detector.scan_votes_async(data)
+                else:
+                    motion = detector.scan_luma(data)
+                    resolver = (lambda m=motion: m)
+            except Exception as e:  # noqa: BLE001 — surfaced after drain
+                errors.append(e)
+                continue
             device_us += (time.perf_counter_ns() - t0) // 1000
             frames_scanned += len(pts)
-            motion_ts.extend(pts[motion].tolist())
+            pending.append((pts, resolver))
+
+        motion_ts: list[float] = []
+        t0 = time.perf_counter_ns()
+        try:
+            for pts, resolver in pending:
+                motion = resolver()
+                motion_ts.extend(pts[motion].tolist())
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+        device_us += (time.perf_counter_ns() - t0) // 1000
 
         join_t0 = time.perf_counter_ns()
         for th in threads:
@@ -335,6 +408,7 @@ class ProcessingPipeline:
                 tot.decode_us += tm.decode_us
                 tot.analyze_us += tm.analyze_us
                 tot.frames_with_mvs += tm.frames_with_mvs
+            TimingCollector.record("  ├─warmup(jit)", warmup_us)
             TimingCollector.record("  ├─setup", setup_us)
             TimingCollector.record("  ├─workers", workers_us)
             TimingCollector.record(f"  │ ├─init ({n_threads}T)",
