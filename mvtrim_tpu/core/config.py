@@ -89,6 +89,7 @@ class Config:
     pipeline_mode: str = "auto"      # mv | sad | auto (auto: SAD when no MVs)
     profile_dir: str = ""            # write jax.profiler traces here
     metrics_json: str = ""           # append per-video metrics JSON lines here
+    archive_mode: bool = False       # single-file mode: shard scan over mesh
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -116,6 +117,7 @@ class Config:
             pipeline_mode=_env_str("MVT_PIPELINE", "auto"),
             profile_dir=_env_str("MVT_PROFILE_DIR", ""),
             metrics_json=_env_str("MVT_METRICS_JSON", ""),
+            archive_mode=_env_bool("MVT_ARCHIVE", False),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

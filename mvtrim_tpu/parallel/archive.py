@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core import oracle
 from ..core.config import Config
-from ..core.types import GridGeometry, ScanTask, TimeSegment
+from ..core.types import GridGeometry, ScanTask
 from ..io import native
 from ..utils import logging as log
 from .mesh import build_mesh, sharded_scan_step

@@ -24,7 +24,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import Config
 from ..core.types import GridGeometry
-from ..ops.cluster import _cluster_map
 
 
 def build_mesh(n_devices: int | None = None,
