@@ -60,7 +60,8 @@ def run_archive(input_arg: str, output_arg: str, cfg: Config) -> int:
 
     log.phase("Archive Scan (mesh-sharded)...")
     try:
-        segments, duration, stats = scan_archive(input_arg, cfg)
+        segments, duration, stats = scan_archive(
+            input_arg, cfg, checkpoint=cfg.checkpoint_path or None)
     except (OSError, RuntimeError) as e:
         log.error(f"Archive scan failed: {e}")
         return 1

@@ -90,6 +90,7 @@ class Config:
     profile_dir: str = ""            # write jax.profiler traces here
     metrics_json: str = ""           # append per-video metrics JSON lines here
     archive_mode: bool = False       # single-file mode: shard scan over mesh
+    checkpoint_path: str = ""        # archive-scan resume sidecar (JSONL)
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -118,6 +119,7 @@ class Config:
             profile_dir=_env_str("MVT_PROFILE_DIR", ""),
             metrics_json=_env_str("MVT_METRICS_JSON", ""),
             archive_mode=_env_bool("MVT_ARCHIVE", False),
+            checkpoint_path=_env_str("MVT_CHECKPOINT", ""),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

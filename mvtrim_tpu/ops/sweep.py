@@ -1,0 +1,110 @@
+"""Multi-config sweep kernels: score K detector configs in one pass.
+
+The reference evaluates exactly one (MV_THRESHOLD_SQ, VECTORS_NEEDED,
+CLUSTERS_NEEDED) triple per process run; tuning means re-decoding the
+video once per candidate.  On TPU the marginal cost of extra configs is a
+few VPU ops per frame, so a whole tuning grid rides one decode:
+
+* ``make_vote_sweep_op``  — vote grids were scattered host-side with a
+  fixed MV threshold, so the sweep covers (vectors_needed,
+  clusters_needed) pairs: [B, GH, GW] votes x [K] configs -> bool [B, K].
+* ``make_mv_sweep_op``    — raw MV fields; the magnitude threshold is
+  traced too, so the sweep covers (threshold_bound, vectors_needed,
+  clusters_needed) triples.
+
+Configs are *data* (traced arrays), not compile-time constants: one
+compiled program serves any K of the same static shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import GridGeometry
+from .cluster import _center_mask, _shift2d
+
+
+def _cluster_counts_traced(votes_i32, geom: GridGeometry, vec_need):
+    """Cluster counts with a traced vectors_needed scalar.
+
+    votes_i32 [..., GH, GW], vec_need scalar int32 -> counts [...] i32.
+    """
+    active = votes_i32 >= vec_need
+    neighbor_max = jnp.maximum(
+        jnp.maximum(_shift2d(votes_i32, 0, 1), _shift2d(votes_i32, 0, -1)),
+        jnp.maximum(_shift2d(votes_i32, 1, 0), _shift2d(votes_i32, -1, 0)),
+    )
+    mask = _center_mask(geom, votes_i32.shape[-2], votes_i32.shape[-1])
+    cluster = active & (neighbor_max >= vec_need) & mask
+    return jnp.sum(cluster.astype(jnp.int32), axis=(-2, -1))
+
+
+def make_vote_sweep_op(geom: GridGeometry):
+    """(votes u8 [B, GH, GW], vec_needs i32 [K], clusters_needs i32 [K])
+    -> motion bool [B, K]."""
+
+    @jax.jit
+    def op(votes, vec_needs, clusters_needs):
+        v = votes.astype(jnp.int32)
+
+        def per_config(vec_need, clust_need):
+            counts = _cluster_counts_traced(v, geom, vec_need)
+            return counts >= jnp.maximum(1, clust_need)
+
+        return jax.vmap(per_config, out_axes=1)(vec_needs, clusters_needs)
+
+    return op
+
+
+def make_mv_sweep_op(geom: GridGeometry, block_shift: int):
+    """Raw-MV sweep: thresholds are traced data.
+
+    (dst_x/dst_y/src_x/src_y i32 [B, M], counts i32 [B],
+     bounds i32 [K], vec_needs i32 [K], clusters_needs i32 [K])
+    -> motion bool [B, K].
+
+    ``bounds`` are integer magnitude bounds (ceil of the double threshold,
+    ops/mv_vote.threshold_bound) so the compare is exact.
+    """
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+
+    def frame(dst_x, dst_y, src_x, src_y, count, bounds, vec_needs,
+              clusters_needs):
+        m = dst_x.shape[-1]
+        dx = dst_x - src_x
+        dy = dst_y - src_y
+        mag = dx * dx + dy * dy
+        gx = jax.lax.shift_right_arithmetic(dst_x, block_shift)
+        gy = jax.lax.shift_right_arithmetic(dst_y, block_shift)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+        base_keep = ((idx < count)
+                     & (gx >= 0) & (gx < geom.gw)
+                     & (gy >= geom.y_min) & (gy < geom.y_max))
+
+        rows_y = jax.lax.broadcasted_iota(jnp.int32, (gh_p, m), 0)
+        cols_x = jax.lax.broadcasted_iota(jnp.int32, (m, gw_p), 1)
+        one_x = (cols_x == gx[:, None]).astype(jnp.float32)   # [M, GW]
+
+        def per_config(bound, vec_need, clust_need):
+            keep = base_keep & (mag >= bound)
+            one_y = ((rows_y == gy[None, :])
+                     & keep[None, :]).astype(jnp.float32)      # [GH, M]
+            votes = jax.lax.dot_general(
+                one_y, one_x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            counts = _cluster_counts_traced(
+                votes.astype(jnp.int32), geom, vec_need)
+            return counts >= jnp.maximum(1, clust_need)        # scalar
+
+        return jax.vmap(per_config)(bounds, vec_needs, clusters_needs)
+
+    @jax.jit
+    def op(dst_x, dst_y, src_x, src_y, counts, bounds, vec_needs,
+           clusters_needs):
+        return jax.vmap(
+            frame, in_axes=(0, 0, 0, 0, 0, None, None, None)
+        )(dst_x, dst_y, src_x, src_y, counts, bounds, vec_needs,
+          clusters_needs)
+
+    return op

@@ -30,19 +30,54 @@ from ..utils import logging as log
 from .mesh import build_mesh, sharded_scan_step
 
 
+class ScanCheckpoint:
+    """Chunk-granular resume state for long archive scans.
+
+    JSON-lines sidecar: one record per completed chunk with its motion
+    timestamps.  A re-run skips completed chunks and seeds their
+    timestamps — the mid-video resume the reference lacks (its only
+    idempotency is the output-exists skip, batch_processor.cpp:66-69).
+    """
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        self._json = json
+        self.done: dict[int, list[float]] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    self.done[int(rec["chunk"])] = rec["motion_ts"]
+
+    def record(self, chunk_id: int, motion_ts: list[float]) -> None:
+        with open(self.path, "a") as f:
+            f.write(self._json.dumps(
+                {"chunk": chunk_id, "motion_ts": motion_ts}) + "\n")
+        self.done[chunk_id] = motion_ts
+
+
 def scan_archive(input_path: str, cfg: Config | None = None, *,
                  mesh=None, decode_workers: int = 0,
-                 frames_per_device: int = 256):
+                 frames_per_device: int = 256,
+                 checkpoint: str | None = None):
     """Scan one (long) video over a device mesh.
 
     Returns (segments, duration, stats dict).  Segments come from the
     host float64 oracle path over the gathered motion timestamps, so they
-    are identical to the single-chip pipeline's.
+    are identical to the single-chip pipeline's.  With ``checkpoint``, a
+    sidecar file records per-chunk results so interrupted scans resume.
     """
     cfg = cfg or Config.from_env()
     mesh = mesh or build_mesh()
     data_size = mesh.shape["data"]
     global_batch = frames_per_device * data_size
+    ckpt = ScanCheckpoint(checkpoint) if checkpoint else None
 
     reader = native.VideoReader(input_path)
     duration, fps = reader.duration, reader.fps
@@ -62,10 +97,17 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     num_chunks = max(1, math.ceil(duration / cfg.chunk_duration_sec))
     n_workers = min(n_workers, num_chunks)
     tasks: queue.Queue = queue.Queue()
+    resumed_ts: list[float] = []
+    resumed_chunks = 0
     t = 0.0
     cid = 0
     while t < duration:
-        tasks.put(ScanTask(t, min(t + cfg.chunk_duration_sec, duration), cid))
+        if ckpt is not None and cid in ckpt.done:
+            resumed_ts.extend(ckpt.done[cid])
+            resumed_chunks += 1
+        else:
+            tasks.put(ScanTask(
+                t, min(t + cfg.chunk_duration_sec, duration), cid))
         cid += 1
         t += cfg.chunk_duration_sec
     for _ in range(n_workers):
@@ -88,8 +130,7 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
                     block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
                     y_min=geom.y_min, y_max=geom.y_max,
                     frame_skip=frame_skip, max_frames=max_frames)
-                if len(pts):
-                    results.put((grids, pts))
+                results.put((task.chunk_id, grids, pts))
             r.close()
         except Exception as e:  # noqa: BLE001
             errors.append(e)
@@ -106,13 +147,21 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     buf = np.zeros((global_batch, gh_p, gw_p), np.uint8)
     buf_pts = np.zeros((global_batch,), np.float64)
     fill = 0
-    motion_ts: list[float] = []
+    motion_ts: list[float] = list(resumed_ts)
     frames_scanned = 0
     dispatches = 0
+    # chunk attribution for checkpointing: spans of the current buffer
+    # belonging to each chunk, plus per-chunk completion accounting
+    spans: list[tuple[int, int, int]] = []        # (chunk_id, buf_lo, n)
+    chunk_left: dict[int, int] = {}
+    chunk_motion: dict[int, list[float]] = {}
 
     def flush(n_valid: int):
         nonlocal dispatches
-        if n_valid == 0 or errors:
+        if errors:
+            spans.clear()
+            return
+        if n_valid == 0:
             return
         dispatches += 1
         try:
@@ -120,8 +169,15 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
             motion, _ = step(votes, vec_needs)
             m = np.asarray(motion)[:n_valid, 0]
             motion_ts.extend(buf_pts[:n_valid][m].tolist())
+            for cid, lo, n in spans:
+                sel = m[lo:lo + n]
+                chunk_motion[cid].extend(buf_pts[lo:lo + n][sel].tolist())
+                chunk_left[cid] -= n
+                if chunk_left[cid] == 0 and ckpt is not None:
+                    ckpt.record(cid, chunk_motion.pop(cid))
         except Exception as e:  # noqa: BLE001 — drain workers, raise after
             errors.append(e)
+        spans.clear()
         buf[:] = 0
 
     done = 0
@@ -132,13 +188,19 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
             continue
         if errors:
             continue  # drain only
-        grids, pts = item
+        cid, grids, pts = item
         frames_scanned += len(pts)
+        chunk_left[cid] = len(pts)
+        chunk_motion[cid] = []
+        if len(pts) == 0 and ckpt is not None:
+            ckpt.record(cid, [])
+            continue
         off = 0
         while off < len(pts):
             take = min(global_batch - fill, len(pts) - off)
             buf[fill:fill + take, :geom.gh, :geom.gw] = grids[off:off + take]
             buf_pts[fill:fill + take] = pts[off:off + take]
+            spans.append((cid, fill, take))
             fill += take
             off += take
             if fill == global_batch:
@@ -161,6 +223,7 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         "dispatches": dispatches,
         "mesh": dict(mesh.shape),
         "global_batch": global_batch,
+        "resumed_chunks": resumed_chunks,
     }
     log.info(f"archive scan: {frames_scanned} frames over mesh "
              f"{dict(mesh.shape)} in {dispatches} dispatches")

@@ -74,15 +74,16 @@ class TestSegmentOp:
         assert len(segs) == 4
 
 
-class TestArchiveScan:
-    @pytest.fixture(scope="class")
-    def clip(self, tmp_path_factory):
-        path = str(tmp_path_factory.mktemp("arch") / "long.mp4")
-        native.synthesize(path, width=320, height=240, fps=25.0,
-                          duration=30.0, codec="libx264",
-                          motion_windows=((3.0, 6.0), (20.0, 22.0)))
-        return path
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("arch") / "long.mp4")
+    native.synthesize(path, width=320, height=240, fps=25.0,
+                      duration=30.0, codec="libx264",
+                      motion_windows=((3.0, 6.0), (20.0, 22.0)))
+    return path
 
+
+class TestArchiveScan:
     def test_sharded_scan_matches_single_device(self, clip):
         cfg = Config(chunk_duration_sec=5.0)
         mesh8 = build_mesh(8, sweep=1)
@@ -99,3 +100,46 @@ class TestArchiveScan:
         assert len(segs8) == 2
         assert segs8[0].start < 6.0 and segs8[0].end > 3.0
         assert segs8[1].start < 22.0 and segs8[1].end > 20.0
+
+
+class TestArchiveCheckpoint:
+    def test_resume_skips_chunks_and_matches(self, clip, tmp_path):
+        cfg = Config(chunk_duration_sec=5.0)
+        mesh = build_mesh(2, sweep=1)
+        ck = str(tmp_path / "scan.ckpt")
+        # full scan writing the checkpoint
+        segs_a, dur, stats_a = scan_archive(clip, cfg, mesh=mesh,
+                                            frames_per_device=64,
+                                            checkpoint=ck)
+        assert stats_a["resumed_chunks"] == 0
+        import os
+        assert os.path.exists(ck)
+        # resume: everything is checkpointed, nothing rescanned
+        segs_b, _, stats_b = scan_archive(clip, cfg, mesh=mesh,
+                                          frames_per_device=64,
+                                          checkpoint=ck)
+        assert stats_b["resumed_chunks"] == 6  # 30s / 5s chunks
+        assert stats_b["frames_scanned"] == 0
+        assert segs_b == segs_a
+
+    def test_partial_checkpoint_resumes(self, clip, tmp_path):
+        import json
+        cfg = Config(chunk_duration_sec=5.0)
+        mesh = build_mesh(1, sweep=1)
+        ck_full = str(tmp_path / "full.ckpt")
+        segs_full, _, _ = scan_archive(clip, cfg, mesh=mesh,
+                                       frames_per_device=64,
+                                       checkpoint=ck_full)
+        # simulate an interrupted scan: keep only the first 3 chunk records
+        lines = open(ck_full).read().strip().split("\n")
+        recs = sorted((json.loads(x) for x in lines),
+                      key=lambda r: r["chunk"])
+        ck_part = str(tmp_path / "part.ckpt")
+        with open(ck_part, "w") as f:
+            for r in recs[:3]:
+                f.write(json.dumps(r) + "\n")
+        segs_res, _, stats = scan_archive(clip, cfg, mesh=mesh,
+                                          frames_per_device=64,
+                                          checkpoint=ck_part)
+        assert stats["resumed_chunks"] == 3
+        assert segs_res == segs_full

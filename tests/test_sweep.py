@@ -1,0 +1,86 @@
+"""Multi-config sweep ops + tune tool (capability beyond the reference)."""
+
+import numpy as np
+import pytest
+
+from mvtrim_tpu.core import oracle
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.io import native
+from mvtrim_tpu.ops.mv_vote import threshold_bound
+from mvtrim_tpu.ops.sweep import make_mv_sweep_op, make_vote_sweep_op
+from mvtrim_tpu.tools import tune
+
+CFG = Config()
+GEOM = GridGeometry.build(640, 480, CFG)
+
+
+class TestVoteSweep:
+    def test_matches_oracle_per_config(self, rng):
+        grids = rng.integers(0, 6, size=(24, GEOM.gh, GEOM.gw),
+                             dtype=np.uint8)
+        padded = np.zeros((24, GEOM.padded_gh, GEOM.padded_gw), np.uint8)
+        padded[:, :GEOM.gh, :GEOM.gw] = grids
+        vec_needs = np.asarray([1, 2, 4, 0], np.int32)
+        clust_needs = np.asarray([1, 2, 1, 3], np.int32)
+        op = make_vote_sweep_op(GEOM)
+        motion = np.asarray(op(padded, vec_needs, clust_needs))
+        assert motion.shape == (24, 4)
+        for k, (vn, cn) in enumerate(zip(vec_needs, clust_needs)):
+            counts = oracle.count_clusters_batch(
+                grids, vectors_needed=int(vn),
+                y_min=GEOM.y_min, y_max=GEOM.y_max)
+            expect = counts >= oracle.effective_clusters_needed(int(cn))
+            np.testing.assert_array_equal(motion[:, k], expect,
+                                          err_msg=f"config {k}")
+
+
+class TestMVSweep:
+    def test_matches_single_config_ops(self, rng):
+        b, m = 8, 256
+        dst = rng.integers(0, 640, size=(b, m)).astype(np.int32)
+        dsty = rng.integers(0, 480, size=(b, m)).astype(np.int32)
+        src = dst - rng.integers(-8, 9, size=(b, m)).astype(np.int32)
+        srcy = dsty - rng.integers(-8, 9, size=(b, m)).astype(np.int32)
+        counts = rng.integers(50, m, size=(b,)).astype(np.int32)
+
+        configs = [(16.0, 2, 2), (4.0, 1, 1), (64.0, 4, 1)]
+        bounds = np.asarray([threshold_bound(t) for t, _, _ in configs],
+                            np.int32)
+        vecs = np.asarray([v for _, v, _ in configs], np.int32)
+        clus = np.asarray([c for _, _, c in configs], np.int32)
+        op = make_mv_sweep_op(GEOM, CFG.block_shift)
+        motion = np.asarray(op(dst, dsty, src, srcy, counts,
+                               bounds, vecs, clus))
+        for k, (thr, vn, cn) in enumerate(configs):
+            for i in range(b):
+                mvs = np.stack([dst[i], dsty[i], src[i], srcy[i]],
+                               axis=1)[:counts[i]].astype(np.int64)
+                expect = oracle.check_frame(
+                    mvs, GEOM.gw, GEOM.gh, threshold_sq=thr,
+                    block_shift=CFG.block_shift, y_min=GEOM.y_min,
+                    y_max=GEOM.y_max, vectors_needed=vn,
+                    clusters_needed=cn)
+                assert bool(motion[i, k]) == expect, (k, i)
+
+
+class TestTuneTool:
+    def test_sweep_on_clip(self, tmp_path):
+        clip = str(tmp_path / "t.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((2.0, 4.0),))
+        results = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2],
+                             cfg=Config(), max_mv=2048, batch_frames=64)
+        assert len(results) == 8
+        # looser configs find at least as many motion frames
+        loosest = next(r for r in results if r["mv_threshold_sq"] == 4.0
+                       and r["vectors_needed"] == 1
+                       and r["clusters_needed"] == 1)
+        strictest = next(r for r in results if r["mv_threshold_sq"] == 16.0
+                         and r["vectors_needed"] == 2
+                         and r["clusters_needed"] == 2)
+        assert loosest["motion_frames"] >= strictest["motion_frames"]
+        # the default config's result matches a plain pipeline-style scan
+        assert strictest["motion_frames"] > 0
+        assert 0 <= strictest["saved_pct"] <= 100
