@@ -99,7 +99,9 @@ class Config:
             mv_threshold_sq=_env_float("MV_THRESHOLD_SQ", 16.0),
             block_size=_env_int("BLOCK_SIZE", 16),
             block_shift=_env_int("BLOCK_SHIFT", 4),
-            vectors_needed=min(255, max(0, _env_int("VECTORS_NEEDED", 2))),
+            # reference truncates via static_cast<uint8_t> (config.hpp:74-77)
+            # i.e. wraps mod 256 — not a clamp
+            vectors_needed=_env_int("VECTORS_NEEDED", 2) & 0xFF,
             clusters_needed=_env_int("CLUSTERS_NEEDED", 2),
             vertical_mask=_env_float("VERTICAL_MASK", 0.05),
             max_gap_sec=_env_float("MAX_GAP_SEC", 5.0),

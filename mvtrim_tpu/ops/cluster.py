@@ -83,6 +83,24 @@ def _cluster_body(votes_i32, geom: GridGeometry, vectors_needed: int):
     return jnp.sum(cluster.astype(jnp.int32), axis=(-2, -1))
 
 
+def cluster_counts_traced(votes_i32, geom: GridGeometry, vec_need):
+    """Cluster counts with a *traced* activity threshold.
+
+    Same math as _cluster_map/_cluster_body but ``vec_need`` is a traced
+    int32 scalar instead of a compile-time constant — the single source of
+    the cluster rule for the sweep ops, the SAD path, and the mesh-sharded
+    scan step (which all vary the threshold as data).
+    """
+    active = votes_i32 >= vec_need
+    neighbor_max = jnp.maximum(
+        jnp.maximum(_shift2d(votes_i32, 0, 1), _shift2d(votes_i32, 0, -1)),
+        jnp.maximum(_shift2d(votes_i32, 1, 0), _shift2d(votes_i32, -1, 0)),
+    )
+    mask = _center_mask(geom, votes_i32.shape[-2], votes_i32.shape[-1])
+    cluster = active & (neighbor_max >= vec_need) & mask
+    return jnp.sum(cluster.astype(jnp.int32), axis=(-2, -1))
+
+
 def pad_votes(votes, geom: GridGeometry):
     """Pad host vote grids [B, gh, gw] -> [B, GH, GW] (zero votes)."""
     b, gh, gw = votes.shape

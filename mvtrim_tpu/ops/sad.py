@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import GridGeometry
-from .cluster import _center_mask, _shift2d
+from .cluster import cluster_counts_traced
 
 
 def sad_threshold_sum(sad_threshold: float, block_size: int) -> int:
@@ -43,16 +43,9 @@ def sad_threshold_sum(sad_threshold: float, block_size: int) -> int:
 
 
 def _cluster_from_grid(grid_i32, geom: GridGeometry, bound: int):
-    """Active/neighbor/mask cluster count from an activity grid
-    (same rule as ops/cluster._cluster_map, threshold = bound)."""
-    active = grid_i32 >= jnp.int32(bound)
-    neighbor_max = jnp.maximum(
-        jnp.maximum(_shift2d(grid_i32, 0, 1), _shift2d(grid_i32, 0, -1)),
-        jnp.maximum(_shift2d(grid_i32, 1, 0), _shift2d(grid_i32, -1, 0)),
-    )
-    mask = _center_mask(geom, grid_i32.shape[-2], grid_i32.shape[-1])
-    cluster = active & (neighbor_max >= jnp.int32(bound)) & mask
-    return jnp.sum(cluster.astype(jnp.int32), axis=(-2, -1))
+    """Cluster count over an activity grid — the shared cluster rule
+    (ops/cluster.cluster_counts_traced) with the SAD bound as threshold."""
+    return cluster_counts_traced(grid_i32, geom, jnp.int32(bound))
 
 
 def make_sad_op_xla(geom: GridGeometry, *, sad_threshold: float,

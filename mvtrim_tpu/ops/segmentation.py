@@ -43,15 +43,18 @@ def make_segment_op(max_segments: int, *, max_gap_sec: float,
             t, is_motion = x
 
             gap_exceeded = have_open & is_motion & (t - last_act > gap)
-            # close the open segment into slot seg_idx
+            # close the open segment into slot seg_idx; past capacity the
+            # write is suppressed so the FIRST max_segments segments are
+            # kept (count still advances and saturates below)
+            write_ok = gap_exceeded & (seg_idx < max_segments)
             close_idx = jnp.minimum(seg_idx, max_segments - 1)
             new_starts = jnp.where(
-                gap_exceeded,
+                write_ok,
                 starts.at[close_idx].set(
                     jnp.maximum(0.0, curr_start - pad)),
                 starts)
             new_ends = jnp.where(
-                gap_exceeded,
+                write_ok,
                 ends.at[close_idx].set(last_act + pad),
                 ends)
             seg_idx = jnp.where(gap_exceeded, seg_idx + 1, seg_idx)
@@ -76,13 +79,14 @@ def make_segment_op(max_segments: int, *, max_gap_sec: float,
             jax.lax.scan(body, init, (ts, motion), length=n))
 
         # flush the final open segment (pipeline.cpp:343-344)
+        flush_ok = have_open & (seg_idx < max_segments)
         close_idx = jnp.minimum(seg_idx, max_segments - 1)
         starts = jnp.where(
-            have_open,
+            flush_ok,
             starts.at[close_idx].set(jnp.maximum(0.0, curr_start - pad)),
             starts)
         ends = jnp.where(
-            have_open, ends.at[close_idx].set(last_act + pad), ends)
+            flush_ok, ends.at[close_idx].set(last_act + pad), ends)
         count = jnp.where(have_open, seg_idx + 1, seg_idx)
         count = jnp.minimum(count, max_segments)
 

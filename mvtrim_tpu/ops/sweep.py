@@ -22,22 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import GridGeometry
-from .cluster import _center_mask, _shift2d
-
-
-def _cluster_counts_traced(votes_i32, geom: GridGeometry, vec_need):
-    """Cluster counts with a traced vectors_needed scalar.
-
-    votes_i32 [..., GH, GW], vec_need scalar int32 -> counts [...] i32.
-    """
-    active = votes_i32 >= vec_need
-    neighbor_max = jnp.maximum(
-        jnp.maximum(_shift2d(votes_i32, 0, 1), _shift2d(votes_i32, 0, -1)),
-        jnp.maximum(_shift2d(votes_i32, 1, 0), _shift2d(votes_i32, -1, 0)),
-    )
-    mask = _center_mask(geom, votes_i32.shape[-2], votes_i32.shape[-1])
-    cluster = active & (neighbor_max >= vec_need) & mask
-    return jnp.sum(cluster.astype(jnp.int32), axis=(-2, -1))
+from .cluster import cluster_counts_traced as _cluster_counts_traced
 
 
 def make_vote_sweep_op(geom: GridGeometry):

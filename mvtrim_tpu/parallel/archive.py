@@ -124,13 +124,32 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
                 task = tasks.get()
                 if task is None:
                     break
-                grids, pts = r.scan_grids(
-                    task.start, task.end,
-                    threshold_sq=cfg.mv_threshold_sq,
-                    block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
-                    y_min=geom.y_min, y_max=geom.y_max,
-                    frame_skip=frame_skip, max_frames=max_frames)
-                results.put((task.chunk_id, grids, pts))
+                # resume past the frame cap (VFR bursts); concatenate so
+                # each chunk stays one attribution unit for checkpointing
+                parts_g, parts_p = [], []
+                start = task.start
+                while start < task.end:
+                    grids, pts = r.scan_grids(
+                        start, task.end,
+                        threshold_sq=cfg.mv_threshold_sq,
+                        block_shift=cfg.block_shift, gw=geom.gw,
+                        gh=geom.gh, y_min=geom.y_min, y_max=geom.y_max,
+                        frame_skip=frame_skip, max_frames=max_frames)
+                    if len(pts) == 0:
+                        break
+                    parts_g.append(grids)
+                    parts_p.append(pts)
+                    if len(pts) < max_frames:
+                        break
+                    start = float(pts[-1]) + 1e-6
+                if parts_p:
+                    results.put((task.chunk_id,
+                                 np.concatenate(parts_g),
+                                 np.concatenate(parts_p)))
+                else:
+                    results.put((task.chunk_id,
+                                 np.zeros((0, geom.gh, geom.gw), np.uint8),
+                                 np.zeros((0,), np.float64)))
             r.close()
         except Exception as e:  # noqa: BLE001
             errors.append(e)

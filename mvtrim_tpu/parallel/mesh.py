@@ -59,31 +59,16 @@ def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
     The per-frame math is the cluster kernel (ops/cluster.py); thresholds
     arrive as *data* so one compiled program serves every sweep point.
     """
+    from ..ops.cluster import cluster_counts_traced
+
     clusters_eff = max(1, cfg.clusters_needed)
 
     def local_step(votes, vec_needs):
         # votes: [B_local, GH, GW] uint8; vec_needs: [K_local] int32
         v = votes.astype(jnp.int32)
-        # cluster map per threshold: vmap the threshold over K_local.
+
         def per_threshold(vec_need):
-            # _cluster_map with a *traced* vec_need: replicate its math
-            # here (static helper expects python int) — same ops.
-            active = v >= vec_need
-            def sh(dy, dx):
-                pads = ((0, 0), (max(dy, 0), max(-dy, 0)),
-                        (max(dx, 0), max(-dx, 0)))
-                p = jnp.pad(v, pads)
-                h, w = v.shape[-2], v.shape[-1]
-                return p[:, max(-dy, 0):max(-dy, 0) + h,
-                         max(-dx, 0):max(-dx, 0) + w]
-            nb_max = jnp.maximum(jnp.maximum(sh(0, 1), sh(0, -1)),
-                                 jnp.maximum(sh(1, 0), sh(-1, 0)))
-            ys = jax.lax.broadcasted_iota(jnp.int32, v.shape[-2:], 0)
-            xs = jax.lax.broadcasted_iota(jnp.int32, v.shape[-2:], 1)
-            mask = ((ys >= geom.y_min) & (ys < geom.y_max)
-                    & (xs >= 1) & (xs <= geom.gw - 2))
-            cl = active & (nb_max >= vec_need) & mask
-            counts = jnp.sum(cl.astype(jnp.int32), axis=(-2, -1))
+            counts = cluster_counts_traced(v, geom, vec_need)
             return counts >= jnp.int32(clusters_eff)      # [B_local]
 
         motion = jax.vmap(per_threshold, out_axes=1)(vec_needs)  # [B_l, K_l]

@@ -312,16 +312,26 @@ class ProcessingPipeline:
                     if task is None:
                         break
                     if kind == "mv":
-                        data, pts = reader.scan_grids(
-                            task.start, task.end,
-                            threshold_sq=cfg.mv_threshold_sq,
-                            block_shift=cfg.block_shift,
-                            gw=geom.gw, gh=geom.gh,
-                            y_min=geom.y_min, y_max=geom.y_max,
-                            frame_skip=frame_skip, max_frames=max_frames,
-                            timing=timings[widx])
-                        if len(pts):
+                        # resume when the frame cap saturates (VFR bursts
+                        # can exceed the probed-fps estimate; silently
+                        # dropping the chunk tail would lose motion)
+                        start = task.start
+                        while start < task.end:
+                            data, pts = reader.scan_grids(
+                                start, task.end,
+                                threshold_sq=cfg.mv_threshold_sq,
+                                block_shift=cfg.block_shift,
+                                gw=geom.gw, gh=geom.gh,
+                                y_min=geom.y_min, y_max=geom.y_max,
+                                frame_skip=frame_skip,
+                                max_frames=max_frames,
+                                timing=timings[widx])
+                            if len(pts) == 0:
+                                break
                             results.put((data, pts))
+                            if len(pts) < max_frames:
+                                break
+                            start = float(pts[-1]) + 1e-6
                     else:
                         # sub-chunk if the luma cap is smaller than the
                         # chunk's frame count

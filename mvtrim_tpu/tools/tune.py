@@ -49,13 +49,14 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     motion_ts: list[list[float]] = [[] for _ in range(k)]
     t = 0.0
     chunk = cfg.chunk_duration_sec
+    cap = int(math.ceil(chunk * max(fps, 1.0))) + 64
     while t < duration:
         end = min(t + chunk, duration)
         mvs, counts, pts = reader.scan_mvs(
-            t, end, frame_skip=frame_skip,
-            max_frames=int(math.ceil(chunk * max(fps, 1.0))) + 64,
-            max_mv=max_mv)
-        t = end
+            t, end, frame_skip=frame_skip, max_frames=cap, max_mv=max_mv)
+        # resume past the frame cap (VFR bursts) instead of skipping to
+        # the next window
+        t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
         if len(pts) == 0:
             continue
         # overflowed frames (negative counts) are clipped to capacity;

@@ -14,23 +14,31 @@ import time
 
 
 class TimingCollector:
-    _lock = threading.Lock()
-    _entries: list[tuple[str, int]] = []
+    """Thread-local by design: in batch mode each stream worker thread runs
+    its own pipeline and clears between files (batch_processor.cpp:378); a
+    process-global list would let one stream wipe another's in-flight
+    entries."""
+
+    _tls = threading.local()
+
+    @classmethod
+    def _list(cls) -> list:
+        entries = getattr(cls._tls, "entries", None)
+        if entries is None:
+            entries = cls._tls.entries = []
+        return entries
 
     @classmethod
     def record(cls, name: str, micros: int) -> None:
-        with cls._lock:
-            cls._entries.append((name, int(micros)))
+        cls._list().append((name, int(micros)))
 
     @classmethod
     def entries(cls) -> list[tuple[str, int]]:
-        with cls._lock:
-            return list(cls._entries)
+        return list(cls._list())
 
     @classmethod
     def clear(cls) -> None:
-        with cls._lock:
-            cls._entries.clear()
+        cls._list().clear()
 
     @classmethod
     def print_summary(cls) -> None:

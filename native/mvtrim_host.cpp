@@ -167,9 +167,12 @@ struct MvtHandle {
 
   ~MvtHandle() {
     if (dec) avcodec_free_context(&dec);
-    if (fmt) {
-      avformat_close_input(&fmt);  // frees the AVIO buffer via CUSTOM_IO
-    } else if (avio) {
+    if (fmt) avformat_close_input(&fmt);
+    // With AVFMT_FLAG_CUSTOM_IO, avformat_close_input does NOT free the
+    // AVIO context or its buffer — the caller owns both.  The buffer is
+    // read from the context (FFmpeg may have reallocated it internally).
+    if (avio) {
+      av_freep(&avio->buffer);
       avio_context_free(&avio);
     }
     if (frame) av_frame_free(&frame);
@@ -198,6 +201,7 @@ MVT_EXPORT MvtHandle *mvt_open(const char *path, int mode, char *err,
   h->avio = avio_alloc_context(avio_buf, kAvioBufferSize, 0, &h->reader,
                                mem_read, nullptr, mem_seek);
   if (!h->fmt || !h->avio) {
+    if (!h->avio) av_free(avio_buf);  // context never took ownership
     set_err(err, errlen, "alloc failed");
     delete h;
     return nullptr;
@@ -488,6 +492,95 @@ MVT_EXPORT long mvt_scan_mvs_full(MvtHandle *h, double start, double end,
       });
 }
 
+// Single-pass streaming JSON export of all MV side data — the exact
+// extract_mvs tool contract (tools/extract_mvs.cpp:97-176): EVERY decoded
+// frame in decode order (incl. B-frames), 1-based frame_index, best-effort
+// pts (null when unknown), frame type, and per-MV integer dst plus sub-pel
+// src derived from motion_x/motion_scale.  O(1) memory; no pts windowing,
+// so B-frames landing across arbitrary time boundaries cannot be dropped.
+MVT_EXPORT long mvt_export_mvs_json(const char *video_path,
+                                    const char *json_path, char *err,
+                                    int errlen) {
+  MvtHandle *h = mvt_open(video_path, MVT_MODE_MV_FULL, err, errlen);
+  if (!h) return -1;
+  FILE *out = fopen(json_path, "w");
+  if (!out) {
+    set_err(err, errlen, std::string("cannot open ") + json_path);
+    mvt_close(h);
+    return -1;
+  }
+
+  AVRational tbq = h->fmt->streams[h->video_idx]->time_base;
+  fprintf(out, "{\n  \"input\": \"%s\",\n  \"time_base\": \"%d/%d\",\n"
+               "  \"frames\": [\n",
+          video_path, tbq.num, tbq.den);
+
+  long frame_index = 0;
+  bool first_frame = true;
+  auto emit_frame = [&](AVFrame *f) {
+    frame_index++;
+    int64_t bet = f->best_effort_timestamp;
+    AVFrameSideData *sd =
+        av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+    const auto *mvs =
+        sd ? reinterpret_cast<const AVMotionVector *>(sd->data) : nullptr;
+    const long count =
+        sd ? static_cast<long>(sd->size / sizeof(AVMotionVector)) : 0;
+    const char *ftype = (f->pict_type == AV_PICTURE_TYPE_I)   ? "I"
+                        : (f->pict_type == AV_PICTURE_TYPE_P) ? "P"
+                        : (f->pict_type == AV_PICTURE_TYPE_B) ? "B"
+                                                              : "?";
+    if (!first_frame) fprintf(out, ",\n");
+    first_frame = false;
+    fprintf(out, "    {\n      \"frame_index\": %ld,\n", frame_index);
+    if (bet != AV_NOPTS_VALUE)
+      fprintf(out, "      \"pts_seconds\": %.6f,\n", bet * h->time_base);
+    else
+      fprintf(out, "      \"pts_seconds\": null,\n");
+    fprintf(out, "      \"frame_type\": \"%s\",\n", ftype);
+    fprintf(out, "      \"num_mvs\": %ld,\n", count);
+    fprintf(out, "      \"motion_vectors\": [");
+    for (long i = 0; i < count; ++i) {
+      const AVMotionVector &mv = mvs[i];
+      const int scale = mv.motion_scale ? mv.motion_scale : 1;
+      if (i) fprintf(out, ",");
+      fprintf(out,
+              "\n        {\"dst_x\":%d,\"dst_y\":%d,"
+              "\"src_x\":%.3f,\"src_y\":%.3f,\"w\":%d,\"h\":%d,"
+              "\"motion_x\":%d,\"motion_y\":%d,\"motion_scale\":%d,"
+              "\"source\":%d}",
+              mv.dst_x, mv.dst_y,
+              mv.dst_x + static_cast<double>(mv.motion_x) / scale,
+              mv.dst_y + static_cast<double>(mv.motion_y) / scale,
+              mv.w, mv.h, mv.motion_x, mv.motion_y, mv.motion_scale,
+              static_cast<int>(mv.source));
+    }
+    if (count) fprintf(out, "\n      ");
+    fprintf(out, "]\n    }");
+  };
+
+  while (av_read_frame(h->fmt, h->pkt) >= 0) {
+    if (h->pkt->stream_index == h->video_idx &&
+        avcodec_send_packet(h->dec, h->pkt) >= 0) {
+      while (avcodec_receive_frame(h->dec, h->frame) == 0) {
+        emit_frame(h->frame);
+      }
+    }
+    av_packet_unref(h->pkt);
+  }
+  // drain the decoder (B-frame reordering holds frames back)
+  if (avcodec_send_packet(h->dec, nullptr) >= 0) {
+    while (avcodec_receive_frame(h->dec, h->frame) == 0) {
+      emit_frame(h->frame);
+    }
+  }
+
+  fprintf(out, "\n  ]\n}\n");
+  fclose(out);
+  mvt_close(h);
+  return frame_index;
+}
+
 // Stream time base (for the extract_mvs JSON header).
 MVT_EXPORT int mvt_time_base(MvtHandle *h, int *num, int *den) {
   if (!h || h->video_idx < 0) return -1;
@@ -626,12 +719,12 @@ MVT_EXPORT int mvt_cut(const char *input, const char *output,
       break;
     }
 
-    // The splice maps input time seg_in -> output time out_timeline.
-    // Video packets from the preceding keyframe are included (negative
-    // relative pts), then shifted to land at/after the segment start —
-    // the same net effect as concat+copy with -avoid_negative_ts
-    // make_zero (pipeline.cpp:520).
-    double first_video_pts = NAN;
+    // The splice anchors the segment's first video packet (the keyframe
+    // at/before inpoint) at out_timeline and shifts ALL packets uniformly
+    // from there, preserving relative timing within the preroll — like
+    // ffmpeg concat+copy, the output segment is keyframe-aligned and may
+    // be slightly longer than outpoint-inpoint.
+    double seg_base = NAN;  // input time of the segment's first video pkt
     bool segment_done = false;
 
     while (!segment_done && av_read_frame(in, pkt) >= 0) {
@@ -651,10 +744,15 @@ MVT_EXPORT int mvt_cut(const char *input, const char *output,
           segment_done = true;
           break;
         }
-        if (std::isnan(first_video_pts)) first_video_pts = pts_sec;
+        if (std::isnan(seg_base)) {
+          // Anchor on dts when available (it leads pts with B-frames).
+          seg_base = (pkt->dts != AV_NOPTS_VALUE) ? pkt->dts * tb : pts_sec;
+          if (seg_base > seg_in) seg_base = seg_in;
+        }
       } else {
-        // Non-video packets: keep only inside the window.
-        if (pts_sec < seg_in || pts_sec >= seg_out) {
+        // Non-video packets: keep only inside the window; drop any that
+        // arrive before the anchor keyframe establishes the shift.
+        if (std::isnan(seg_base) || pts_sec < seg_in || pts_sec >= seg_out) {
           av_packet_unref(pkt);
           continue;
         }
@@ -662,14 +760,11 @@ MVT_EXPORT int mvt_cut(const char *input, const char *output,
 
       const int oidx = stream_map[idx];
       AVStream *ost = out->streams[oidx];
-      // Shift: input seg_in maps to output out_timeline; keyframe preroll
-      // before seg_in is clamped forward to the timeline start (make_zero).
-      const double shift = out_timeline - seg_in;
+      const double shift = out_timeline - seg_base;
       auto shift_ts = [&](int64_t ts) -> int64_t {
         if (ts == AV_NOPTS_VALUE) return AV_NOPTS_VALUE;
-        double t = ts * tb + shift;
-        if (t < out_timeline) t = out_timeline;
-        return static_cast<int64_t>(llround(t / av_q2d(ost->time_base)));
+        return static_cast<int64_t>(
+            llround((ts * tb + shift) / av_q2d(ost->time_base)));
       };
       pkt->pts = shift_ts(pkt->pts);
       pkt->dts = shift_ts(pkt->dts);
@@ -691,7 +786,8 @@ MVT_EXPORT int mvt_cut(const char *input, const char *output,
         break;
       }
     }
-    out_timeline += (seg_out - seg_in);
+    // Advance by the emitted span: keyframe anchor -> outpoint.
+    out_timeline += seg_out - (std::isnan(seg_base) ? seg_in : seg_base);
   }
 
   av_packet_free(&pkt);

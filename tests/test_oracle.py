@@ -208,3 +208,34 @@ class TestBatchOracle:
                                            y_min=y_min, y_max=y_max)
                      for g in grids]
             np.testing.assert_array_equal(batch, naive)
+
+
+class TestReviewFixes:
+    def test_vectors_needed_wraps_like_uint8_cast(self, monkeypatch):
+        # reference: static_cast<uint8_t> == mod 256 (config.hpp:74-77)
+        monkeypatch.setenv("VECTORS_NEEDED", "256")
+        assert Config.from_env().vectors_needed == 0
+        monkeypatch.setenv("VECTORS_NEEDED", "257")
+        assert Config.from_env().vectors_needed == 1
+        monkeypatch.setenv("VECTORS_NEEDED", "-1")
+        assert Config.from_env().vectors_needed == 255
+
+    def test_timing_collector_thread_local(self):
+        import threading
+        from mvtrim_tpu.utils.timing import TimingCollector
+
+        TimingCollector.clear()
+        TimingCollector.record("main-entry", 1)
+        seen = {}
+
+        def worker():
+            TimingCollector.record("worker-entry", 2)
+            TimingCollector.clear()  # must not affect main thread
+            seen["after_clear"] = TimingCollector.entries()
+
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert seen["after_clear"] == []
+        assert TimingCollector.entries() == [("main-entry", 1)]
+        TimingCollector.clear()

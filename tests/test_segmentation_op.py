@@ -67,11 +67,15 @@ class TestSegmentOp:
                 assert got.start == pytest.approx(want.start, abs=1e-3)
                 assert got.end == pytest.approx(want.end, abs=1e-3)
 
-    def test_capacity_saturation(self):
-        # 20 isolated motion frames, cap 4: count saturates, no crash
+    def test_capacity_saturation_keeps_first(self):
+        # 20 isolated motion frames, cap 4: the FIRST 4 segments are kept
         stream = [(float(10 * i), True) for i in range(20)]
         segs, _ = run_op(stream, 1000.0, max_gap=2.0, cap=4)
         assert len(segs) == 4
+        expect = oracle.segments_from_timestamps(
+            [10.0 * i for i in range(20)], max_gap_sec=2.0,
+            padding_sec=0.5, duration=1000.0)[:4]
+        assert segs == expect
 
 
 @pytest.fixture(scope="module")
