@@ -87,7 +87,7 @@ def _load_library():
         lib.mvt_synth.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
             ctypes.c_double, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -259,14 +259,17 @@ def cut(input_path: str, output_path: str, segments) -> None:
 def synthesize(path: str, *, width: int = 640, height: int = 480,
                fps: float = 25.0, duration: float = 10.0,
                codec: str = "libx264", motion_windows=((2.0, 5.0),),
-               gop: int = 0) -> None:
-    """Generate a synthetic moving-box clip (tests/benches)."""
+               gop: int = 0, b_frames: int = 0) -> None:
+    """Generate a synthetic moving-box clip (tests/benches).
+
+    b_frames > 0 enables B-frames (exercises decode-order handling).
+    """
     lib = _load_library()
     flat = np.asarray([v for w in motion_windows for v in (w[0], w[1])],
                       dtype=np.float64)
     err = ctypes.create_string_buffer(256)
     rc = lib.mvt_synth(path.encode(), width, height, fps, duration,
                        codec.encode(), flat.ctypes.data, len(flat) // 2,
-                       gop, err, len(err))
+                       gop, b_frames, err, len(err))
     if rc != 0:
         raise RuntimeError(f"mvt_synth({path}): {err.value.decode()}")

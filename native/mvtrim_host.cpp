@@ -808,7 +808,7 @@ MVT_EXPORT int mvt_cut(const char *input, const char *output,
 MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
                          double duration_sec, const char *codec_name,
                          const double *motion_windows, int n_windows,
-                         int gop, char *err, int errlen) {
+                         int gop, int b_frames, char *err, int errlen) {
   av_log_set_level(AV_LOG_ERROR);
   AVFormatContext *out = nullptr;
   avformat_alloc_output_context2(&out, nullptr, nullptr, path);
@@ -830,7 +830,10 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
   enc->time_base = av_d2q(1.0 / fps, 100000);
   enc->framerate = av_d2q(fps, 100000);
   enc->gop_size = gop > 0 ? gop : static_cast<int>(fps);
-  enc->max_b_frames = 0;  // keep every frame a P-frame with MVs
+  // 0 keeps every frame a P-frame with MVs (CCTV-like); >0 produces
+  // B-frames to exercise the scanner's AVDISCARD_BIDIR skip and the
+  // cut's decode-order handling
+  enc->max_b_frames = b_frames > 0 ? b_frames : 0;
   enc->bit_rate = static_cast<int64_t>(w) * h * 4;
   if (out->oformat->flags & AVFMT_GLOBALHEADER)
     enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -838,7 +841,7 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
   AVDictionary *opts = nullptr;
   if (std::strcmp(codec_name, "libx264") == 0) {
     av_dict_set(&opts, "preset", "fast", 0);
-    av_dict_set(&opts, "tune", "zerolatency", 0);
+    if (b_frames <= 0) av_dict_set(&opts, "tune", "zerolatency", 0);
     // Sub-16x16 partitions give several MVs per 16px grid cell (real CCTV
     // encoders do too), which the VECTORS_NEEDED>=2 defaults rely on.
     av_dict_set(&opts, "x264-params", "partitions=all", 0);

@@ -85,3 +85,58 @@ class Test4K:
         assert p.run() == 0
         assert os.path.exists(out)
         assert p.saved_pct > 30.0
+
+
+class TestBFrames:
+    @pytest.fixture(scope="class")
+    def b_clip(self, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("bframes") / "b.mp4")
+        native.synthesize(path, width=320, height=240, fps=25.0,
+                          duration=10.0, codec="libx264",
+                          motion_windows=((2.0, 4.0),), b_frames=2)
+        return path
+
+    def test_clip_has_b_frames(self, b_clip):
+        from mvtrim_tpu.tools import extract_mvs
+        doc = extract_mvs.extract(b_clip)
+        types = {f["frame_type"] for f in doc["frames"]}
+        assert "B" in types, f"no B-frames produced: {types}"
+        # decode-order export: every decoded frame indexed contiguously
+        idx = [f["frame_index"] for f in doc["frames"]]
+        assert idx == list(range(1, len(idx) + 1))
+        assert len(idx) >= 240  # ~250 frames, drain included
+
+    def test_scan_skips_bidir_like_reference(self, b_clip):
+        """MV mode sets skip_frame=BIDIR (motion_scanner.cpp:154): B-frames
+        are not analyzed, but motion is still found on P-frames."""
+        with native.VideoReader(b_clip) as r:
+            geom = GridGeometry.build(r.width, r.height, Config())
+            grids, pts = r.scan_grids(
+                0.0, r.duration, threshold_sq=16.0, block_shift=4,
+                gw=geom.gw, gh=geom.gh, y_min=geom.y_min, y_max=geom.y_max,
+                max_frames=512)
+        # fewer analyzed frames than total (B skipped)
+        assert 0 < len(pts) < 240
+        from mvtrim_tpu.core.oracle import (count_clusters_batch,
+                                            effective_clusters_needed)
+        # this encode emits one MV per 16x16 macroblock, so vec_need=1
+        # (the reference would find nothing at its default 2 either)
+        counts = count_clusters_batch(grids, vectors_needed=1,
+                                      y_min=geom.y_min, y_max=geom.y_max)
+        motion = pts[counts >= effective_clusters_needed(2)]
+        assert len(motion) > 5
+        assert all(1.9 <= p <= 4.1 for p in motion)
+
+    def test_pipeline_and_cut_on_b_frames(self, b_clip, tmp_path):
+        out = str(tmp_path / "b_out.mp4")
+        p = ProcessingPipeline(b_clip, out,
+                               cfg=Config(scan_backend="oracle",
+                                          vectors_needed=1))
+        assert p.run() == 0
+        assert os.path.exists(out)
+        with native.VideoReader(out) as r:
+            # cut output decodes cleanly with reordered B-frames
+            g, pts = r.scan_grids(0.0, r.duration, threshold_sq=16.0,
+                                  block_shift=4, gw=20, gh=15, y_min=0,
+                                  y_max=15, max_frames=256)
+            assert len(pts) > 30

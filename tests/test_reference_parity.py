@@ -50,6 +50,11 @@ def clips(tmp_path_factory):
     native.synthesize(p, width=320, height=240, fps=25.0, duration=12.0,
                       codec="libx264", motion_windows=((0.5, 11.5),))
     paths["busy"] = p
+    p = str(d / "bframes.mp4")
+    native.synthesize(p, width=320, height=240, fps=25.0, duration=12.0,
+                      codec="libx264", motion_windows=((2.0, 5.0),),
+                      b_frames=2)
+    paths["bframes"] = p
     return paths
 
 
@@ -113,3 +118,13 @@ class TestConcatListParity:
         ref = run_reference(binary, interposer, clips["busy"], {}, tmp_path)
         ours = run_ours(clips["busy"], {}, tmp_path)
         assert ours == ref
+
+    def test_b_frame_clip(self, reference_bin, clips, tmp_path):
+        """B-frame stream: the skip_frame=BIDIR analyzed-frame set and the
+        resulting segments must match the reference exactly."""
+        binary, interposer = reference_bin
+        knobs = {"VECTORS_NEEDED": "1"}
+        ref = run_reference(binary, interposer, clips["bframes"], knobs,
+                            tmp_path)
+        ours = run_ours(clips["bframes"], knobs, tmp_path)
+        assert ref is not None and ours == ref
