@@ -119,6 +119,48 @@ class TestConcatListParity:
         ours = run_ours(clips["busy"], {}, tmp_path)
         assert ours == ref
 
+    def test_batch_mode(self, reference_bin, clips, tmp_path):
+        """Directory batch (BASELINE config 4): per-file concat lists from
+        the reference's parallel streams + cut queue match ours."""
+        binary, interposer = reference_bin
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        os.symlink(clips["two_windows"], in_dir / "a.mp4")
+        os.symlink(clips["busy"], in_dir / "b.mp4")
+
+        def dumps_for(cmd_env, out_dir, dump_dir):
+            os.makedirs(out_dir, exist_ok=True)
+            os.makedirs(dump_dir, exist_ok=True)
+            argv = cmd_env.pop("_argv")
+            env = dict(os.environ)
+            env.update(cmd_env)
+            env["MVT_CONCAT_DUMP_DIR"] = dump_dir
+            env["PARALLEL_STREAMS"] = "2"
+            res = subprocess.run(
+                argv, env=env, capture_output=True,
+                text=True, cwd=REPO, timeout=600)
+            assert res.returncode == 0, res.stdout + res.stderr
+            return {
+                f: open(os.path.join(dump_dir, f)).read()
+                for f in sorted(os.listdir(dump_dir))
+            }
+
+        ref = dumps_for(
+            {"_argv": [binary, str(in_dir), str(tmp_path / "ref_out")],
+             "LD_PRELOAD": interposer},
+            str(tmp_path / "ref_out"), str(tmp_path / "ref_dump"))
+        ours = dumps_for(
+            {"_argv": ["python", "-m", "mvtrim_tpu", str(in_dir),
+                       str(tmp_path / "our_out")],
+             "MVT_FFMPEG_BIN": os.path.join(REPO, "parity",
+                                            "fake_ffmpeg.sh"),
+             "MVT_SCAN_BACKEND": "oracle", "MVT_LOG": "0"},
+            str(tmp_path / "our_out"), str(tmp_path / "our_dump"))
+        assert set(ref) == {"a.mp4.concat", "b.mp4.concat"}
+        # concat lists reference absolute input paths — identical inputs,
+        # so full byte equality holds per file
+        assert ours == ref
+
     def test_b_frame_clip(self, reference_bin, clips, tmp_path):
         """B-frame stream: the skip_frame=BIDIR analyzed-frame set and the
         resulting segments must match the reference exactly."""
