@@ -69,7 +69,7 @@ def main() -> int:
 
     try:
         op_pl = cluster_ops.make_cluster_op_pallas(
-            geom, cfg.vectors_needed, cfg.clusters_needed, block_b=128)
+            geom, cfg.vectors_needed, cfg.clusters_needed, block_b=64)
         dt_pl = _bench_rotating(lambda v: op_pl(v)[0], bufs)
         fps_pl = B / dt_pl
     except Exception as e:  # pallas unavailable on some backends

@@ -121,7 +121,7 @@ def make_cluster_op_xla(geom: GridGeometry, vectors_needed: int,
 
 
 def make_cluster_op_pallas(geom: GridGeometry, vectors_needed: int,
-                           clusters_needed: int, block_b: int = 128,
+                           clusters_needed: int, block_b: int = 64,
                            interpret: bool = False):
     """Pallas implementation, tiled over the frame batch.
 
@@ -175,7 +175,7 @@ def cluster_counts(votes, geom: GridGeometry, *, vectors_needed: int,
     votes = pad_votes(jnp.asarray(votes, dtype=jnp.uint8), geom)
     if backend == "pallas":
         b = votes.shape[0]
-        block_b = min(128, b)
+        block_b = min(64, b)
         while b % block_b:
             block_b -= 1
         op = make_cluster_op_pallas(geom, vectors_needed, clusters_needed,
