@@ -26,6 +26,24 @@ _lib_lock = threading.Lock()
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 
+# Must match mvt_abi_version() in native/mvtrim_host.cpp.  Calling a stale
+# prebuilt .so with shifted ctypes signatures corrupts the stack silently,
+# so the loader rebuilds (dev checkouts) or refuses on mismatch.
+_ABI_VERSION = 2
+
+
+def _rebuild() -> None:
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                   capture_output=True)
+
+
+def _lib_abi(lib) -> int:
+    try:
+        lib.mvt_abi_version.restype = ctypes.c_int
+        return int(lib.mvt_abi_version())
+    except AttributeError:
+        return 0  # pre-versioning build
+
 
 def _load_library():
     global _lib
@@ -34,15 +52,29 @@ def _load_library():
             return _lib
         so_path = os.environ.get(
             "MVT_NATIVE_LIB", os.path.join(_NATIVE_DIR, "libmvtrim_host.so"))
-        if not os.path.exists(so_path):
+        src_path = os.path.join(_NATIVE_DIR, "mvtrim_host.cpp")
+        stale = (os.path.exists(so_path) and os.path.exists(src_path)
+                 and os.path.getmtime(src_path) > os.path.getmtime(so_path))
+        if not os.path.exists(so_path) or stale:
             # Best-effort self-build (dev checkouts); fails loudly otherwise.
             try:
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                               capture_output=True)
+                _rebuild()
             except Exception as e:
-                raise OSError(
-                    f"native library missing at {so_path} and build failed: {e}")
+                if not os.path.exists(so_path):
+                    raise OSError(f"native library missing at {so_path} "
+                                  f"and build failed: {e}")
         lib = ctypes.CDLL(so_path)
+        if _lib_abi(lib) != _ABI_VERSION:
+            # stale prebuilt library: one rebuild attempt, then hard error
+            try:
+                _rebuild()
+                lib = ctypes.CDLL(so_path)
+            except Exception:
+                pass
+            if _lib_abi(lib) != _ABI_VERSION:
+                raise OSError(
+                    f"{so_path} has ABI {_lib_abi(lib)}, expected "
+                    f"{_ABI_VERSION}; rebuild with `make -C native`")
 
         lib.mvt_open.restype = ctypes.c_void_p
         lib.mvt_open.argtypes = [ctypes.c_char_p, ctypes.c_int,

@@ -946,3 +946,8 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
 }
 
 MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
+
+// Bump whenever any exported signature changes; the ctypes loader refuses
+// stale prebuilt libraries (calling with shifted arguments corrupts the
+// stack silently).
+MVT_EXPORT int mvt_abi_version() { return 2; }
