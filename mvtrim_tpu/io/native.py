@@ -29,7 +29,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # Must match mvt_abi_version() in native/mvtrim_host.cpp.  Calling a stale
 # prebuilt .so with shifted ctypes signatures corrupts the stack silently,
 # so the loader rebuilds (dev checkouts) or refuses on mismatch.
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _rebuild() -> None:
@@ -119,7 +119,8 @@ def _load_library():
         lib.mvt_synth.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
             ctypes.c_double, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int]
         _lib = lib
         return lib
 
@@ -291,10 +292,12 @@ def cut(input_path: str, output_path: str, segments) -> None:
 def synthesize(path: str, *, width: int = 640, height: int = 480,
                fps: float = 25.0, duration: float = 10.0,
                codec: str = "libx264", motion_windows=((2.0, 5.0),),
-               gop: int = 0, b_frames: int = 0) -> None:
+               gop: int = 0, b_frames: int = 0, noise: int = 0) -> None:
     """Generate a synthetic moving-box clip (tests/benches).
 
-    b_frames > 0 enables B-frames (exercises decode-order handling).
+    b_frames > 0 enables B-frames (exercises decode-order handling);
+    noise > 0 adds +-noise per-pixel sensor noise per frame (realistic
+    CCTV: stresses thresholds and encoder MV counts).
     """
     lib = _load_library()
     flat = np.asarray([v for w in motion_windows for v in (w[0], w[1])],
@@ -302,6 +305,6 @@ def synthesize(path: str, *, width: int = 640, height: int = 480,
     err = ctypes.create_string_buffer(256)
     rc = lib.mvt_synth(path.encode(), width, height, fps, duration,
                        codec.encode(), flat.ctypes.data, len(flat) // 2,
-                       gop, b_frames, err, len(err))
+                       gop, b_frames, noise, err, len(err))
     if rc != 0:
         raise RuntimeError(f"mvt_synth({path}): {err.value.decode()}")

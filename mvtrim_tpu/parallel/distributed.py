@@ -1,0 +1,61 @@
+"""Multi-host (pod / multi-process) initialization.
+
+The reference has no cross-machine story at all (SURVEY.md §5: no
+NCCL/MPI/RPC); here the distributed substrate is JAX's: each host process
+joins a coordination service and ``jax.devices()`` then spans the pod, so
+``parallel.mesh.build_mesh()`` / ``sharded_scan_step`` transparently shard
+frame batches across hosts with ICI/DCN collectives.
+
+On Cloud TPU pods, ``jax.distributed.initialize()`` discovers everything
+from the metadata server; elsewhere pass coordinator/process info
+explicitly or via the standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+/ JAX_PROCESS_ID env vars.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..utils import logging as log
+
+_initialized = False
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Join the multi-host coordination service (idempotent).
+
+    Returns True when running multi-process after the call, False for
+    single-process operation (the default everywhere except pods).
+    """
+    global _initialized
+    import jax
+
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return jax.process_count() > 1
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    explicit = coordinator_address is not None
+    on_tpu_pod = jax.default_backend() == "tpu" and os.environ.get(
+        "TPU_WORKER_HOSTNAMES")
+    if not (explicit or on_tpu_pod):
+        return False
+
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(
+            num_processes or os.environ["JAX_NUM_PROCESSES"])
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(
+            process_id if process_id is not None
+            else os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    _initialized = True
+    log.info(f"distributed: process {jax.process_index()} of "
+             f"{jax.process_count()}, {jax.device_count()} devices total")
+    return jax.process_count() > 1

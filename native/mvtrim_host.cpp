@@ -808,7 +808,8 @@ MVT_EXPORT int mvt_cut(const char *input, const char *output,
 MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
                          double duration_sec, const char *codec_name,
                          const double *motion_windows, int n_windows,
-                         int gop, int b_frames, char *err, int errlen) {
+                         int gop, int b_frames, int noise, char *err,
+                         int errlen) {
   av_log_set_level(AV_LOG_ERROR);
   AVFormatContext *out = nullptr;
   avformat_alloc_output_context2(&out, nullptr, nullptr, path);
@@ -909,9 +910,27 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
       }
     }
     // Static textured background (stripes) so P-frames have content.
+    // With noise > 0, per-frame sensor-like noise is added (deterministic
+    // xorshift so clips are reproducible): realistic CCTV footage is never
+    // pixel-static, which stresses the MV threshold and encoder MV counts.
+    uint32_t rng_state = 0x9E3779B9u ^ static_cast<uint32_t>(i * 2654435761u);
+    auto xs = [&rng_state]() {
+      rng_state ^= rng_state << 13;
+      rng_state ^= rng_state >> 17;
+      rng_state ^= rng_state << 5;
+      return rng_state;
+    };
     for (int y = 0; y < h; y++) {
       uint8_t *row = frame->data[0] + static_cast<size_t>(y) * frame->linesize[0];
-      for (int x = 0; x < w; x++) row[x] = 40 + ((x >> 4) + (y >> 4)) % 2 * 24;
+      for (int x = 0; x < w; x++) {
+        int v = 40 + ((x >> 4) + (y >> 4)) % 2 * 24;
+        if (noise > 0) {
+          v += static_cast<int>(xs() % (2 * noise + 1)) - noise;
+          if (v < 0) v = 0;
+          if (v > 255) v = 255;
+        }
+        row[x] = static_cast<uint8_t>(v);
+      }
     }
     for (int y = 0; y < h / 2; y++) {
       std::memset(frame->data[1] + static_cast<size_t>(y) * frame->linesize[1],
@@ -950,4 +969,4 @@ MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 2; }
+MVT_EXPORT int mvt_abi_version() { return 3; }

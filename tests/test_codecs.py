@@ -140,3 +140,39 @@ class TestBFrames:
                                   block_shift=4, gw=20, gh=15, y_min=0,
                                   y_max=15, max_frames=256)
             assert len(pts) > 30
+
+
+class TestNoisyCCTV:
+    def test_threshold_rejects_noise(self, tmp_path):
+        """Sensor-like per-frame noise makes the encoder's motion search
+        emit spurious MVs; the documented tuning workflow (raise
+        MV_THRESHOLD_SQ, as the shipped env file does) rejects them while
+        the real motion window is kept."""
+        path = str(tmp_path / "noisy.mp4")
+        native.synthesize(path, width=640, height=480, fps=25.0,
+                          duration=12.0, codec="libx264",
+                          motion_windows=((3.0, 6.0),), noise=6)
+        # defaults: noise floods the detector, almost nothing is trimmed
+        p0 = ProcessingPipeline(path, str(tmp_path / "o0.mp4"),
+                                cfg=Config(scan_backend="oracle"))
+        assert p0.run() == 0
+        assert p0.saved_pct < 20.0
+        # tuned threshold (|mv| >= 8px): noise rejected, window found
+        p1 = ProcessingPipeline(
+            path, str(tmp_path / "o1.mp4"),
+            cfg=Config(scan_backend="oracle", mv_threshold_sq=64.0))
+        assert p1.run() == 0
+        assert 50.0 < p1.saved_pct < 80.0
+
+    def test_noise_increases_mv_count(self, tmp_path):
+        quiet = str(tmp_path / "q.mp4")
+        noisy = str(tmp_path / "n.mp4")
+        for path, noise in ((quiet, 0), (noisy, 8)):
+            native.synthesize(path, width=320, height=240, fps=25.0,
+                              duration=4.0, codec="libx264",
+                              motion_windows=(), noise=noise)
+        def total_mvs(path):
+            with native.VideoReader(path) as r:
+                _, counts, _ = r.scan_mvs(0.0, r.duration, max_frames=128)
+            return int(np.abs(counts).sum())
+        assert total_mvs(noisy) > total_mvs(quiet)

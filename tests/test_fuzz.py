@@ -1,0 +1,111 @@
+"""Config-space fuzz: random geometries/configs/MV sets through every
+kernel path must match the oracle bit for bit.
+
+The targeted tests pin known semantics; this sweep guards the corners
+nobody thought to write a case for (odd grid sizes, extreme masks,
+degenerate thresholds, OOB motion vectors).
+"""
+
+import numpy as np
+import pytest
+
+from mvtrim_tpu.core import oracle
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.ops import mv_vote
+from mvtrim_tpu.ops.cluster import make_cluster_op_xla, pad_votes
+from mvtrim_tpu.ops.sweep import make_vote_sweep_op
+
+
+def random_geometry(rng):
+    gw = int(rng.integers(4, 64))
+    gh = int(rng.integers(4, 48))
+    margin = int(rng.integers(0, max(1, gh // 3)))
+    return GridGeometry(width=gw * 16, height=gh * 16, gw=gw, gh=gh,
+                        y_min=margin, y_max=gh - margin)
+
+
+def random_mvs(rng, n, geom):
+    dst = np.stack([
+        rng.integers(-40, geom.width + 40, n),
+        rng.integers(-40, geom.height + 40, n),
+    ], axis=1)
+    disp = rng.integers(-12, 13, size=(n, 2))
+    return np.concatenate([dst, dst - disp], axis=1).astype(np.int64)
+
+
+class TestFuzz:
+    def test_cluster_kernel_random_configs(self, rng):
+        for trial in range(10):
+            geom = random_geometry(rng)
+            vec = int(rng.integers(0, 7))
+            clust = int(rng.integers(0, 5))
+            grids = rng.integers(
+                0, 8, size=(6, geom.gh, geom.gw)).astype(np.uint8)
+            op = make_cluster_op_xla(geom, vec, clust)
+            counts, motion = op(pad_votes(grids, geom))
+            for i, g in enumerate(grids):
+                expect = oracle.count_clusters(
+                    g, vectors_needed=vec, y_min=geom.y_min,
+                    y_max=geom.y_max)
+                assert int(counts[i]) == expect, (trial, i, geom, vec)
+                assert bool(motion[i]) == (
+                    expect >= oracle.effective_clusters_needed(clust))
+
+    def test_fused_mv_kernel_random_configs(self, rng):
+        for trial in range(8):
+            geom = random_geometry(rng)
+            vec = int(rng.integers(0, 5))
+            clust = int(rng.integers(1, 4))
+            threshold = float(rng.choice([0.0, 1.0, 4.5, 16.0, 16.5, 100.0]))
+            m = 128
+            mv_list = [random_mvs(rng, int(rng.integers(0, m)), geom)
+                       for _ in range(4)]
+            dx_, dy_, sx_, sy_, counts, overflow = mv_vote.pad_mvs(
+                mv_list, m)
+            assert not overflow.any()
+            op = mv_vote.make_mv_cluster_op_xla(
+                geom, threshold_sq=threshold, block_shift=4,
+                vectors_needed=vec, clusters_needed=clust)
+            _, motion = op(dx_, dy_, sx_, sy_, counts)
+            for i, mvs in enumerate(mv_list):
+                expect = oracle.check_frame(
+                    mvs, geom.gw, geom.gh, threshold_sq=threshold,
+                    block_shift=4, y_min=geom.y_min, y_max=geom.y_max,
+                    vectors_needed=vec, clusters_needed=clust)
+                assert bool(motion[i]) == expect, \
+                    (trial, i, geom, vec, clust, threshold)
+
+    def test_vote_sweep_random_configs(self, rng):
+        geom = random_geometry(rng)
+        grids = rng.integers(
+            0, 8, size=(8, geom.gh, geom.gw)).astype(np.uint8)
+        k = 6
+        vecs = rng.integers(0, 7, k).astype(np.int32)
+        clusts = rng.integers(0, 5, k).astype(np.int32)
+        padded = np.asarray(pad_votes(grids, geom))
+        motion = np.asarray(make_vote_sweep_op(geom)(padded, vecs, clusts))
+        for ki in range(k):
+            for i, g in enumerate(grids):
+                expect = oracle.count_clusters(
+                    g, vectors_needed=int(vecs[ki]), y_min=geom.y_min,
+                    y_max=geom.y_max)
+                assert bool(motion[i, ki]) == (
+                    expect >= oracle.effective_clusters_needed(
+                        int(clusts[ki])))
+
+    def test_segmentation_random(self, rng):
+        for _ in range(30):
+            n = int(rng.integers(0, 40))
+            ts = np.sort(rng.uniform(0, 200, n))
+            ts = np.unique(np.round(ts, 3))
+            max_gap = float(rng.uniform(0.5, 20))
+            pad = float(rng.uniform(0, 3))
+            duration = float(rng.uniform(100, 250))
+            segs = oracle.segments_from_timestamps(
+                ts, max_gap_sec=max_gap, padding_sec=pad, duration=duration)
+            # structural invariants
+            assert all(0.0 <= s.start <= s.end <= duration for s in segs)
+            for a, b in zip(segs, segs[1:]):
+                assert a.end - pad <= b.start + pad + 1e-9
+            removed, pct = oracle.savings(segs, duration)
+            assert -1e-9 <= pct <= 100.0 + 1e-9 or n == 0

@@ -110,3 +110,10 @@ class TestMultiDeviceBatch:
         assert bp.process(list_videos(str(in_dir)), str(out_dir)) == 0
         for name in ("a.mp4", "b.mp4", "c.mp4"):
             assert os.path.exists(out_dir / name)
+
+
+class TestDistributed:
+    def test_single_process_noop(self):
+        from mvtrim_tpu.parallel import distributed
+        # no coordinator configured anywhere -> stays single-process
+        assert distributed.initialize() is False
