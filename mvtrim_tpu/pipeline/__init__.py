@@ -1,0 +1,3 @@
+from .pipeline import ProcessingPipeline, ScanResult
+
+__all__ = ["ProcessingPipeline", "ScanResult"]

@@ -79,6 +79,11 @@ CONFIGS = [
     pytest.param({"MAX_GAP_SEC": "2.0", "PADDING_SEC": "1.25"},
                  id="segmentation-knobs"),
     pytest.param({"MIN_SAVINGS_PCT": "95"}, id="full-copy-path"),
+    pytest.param({"VERTICAL_MASK": "0.2"}, id="wide-vertical-mask"),
+    pytest.param({"PADDING_SEC": "0", "MAX_GAP_SEC": "0.5"},
+                 id="zero-padding-tight-gap"),
+    pytest.param({"TARGET_FPS": "7", "CHUNK_DURATION_SEC": "4.0"},
+                 id="skip-phase-across-chunks"),
 ]
 
 
