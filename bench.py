@@ -79,6 +79,15 @@ def main() -> int:
     print(f"cluster xla:    {fps_xla:,.0f} frames/s", file=sys.stderr)
     print(f"cluster pallas: {fps_pl:,.0f} frames/s", file=sys.stderr)
 
+    value = max(fps_xla, fps_pl)
+    print(json.dumps({
+        "metric": "1080p_scan_frames_per_sec_per_chip",
+        "value": round(value),
+        "unit": "frames/s",
+        "vs_baseline": round(value / 50000.0, 2),
+    }), flush=True)
+    # Secondaries run AFTER the headline JSON is flushed so a driver
+    # timeout mid-compile cannot lose the metric.
     # --- secondary: fused raw-MV path (on-device thresholding) ---
     try:
         M, Bmv = 2048, 1024
@@ -105,13 +114,6 @@ def main() -> int:
     except Exception as e:
         print(f"fused MV bench skipped: {e}", file=sys.stderr)
 
-    value = max(fps_xla, fps_pl)
-    print(json.dumps({
-        "metric": "1080p_scan_frames_per_sec_per_chip",
-        "value": round(value),
-        "unit": "frames/s",
-        "vs_baseline": round(value / 50000.0, 2),
-    }))
     return 0
 
 
