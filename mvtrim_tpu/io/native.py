@@ -29,7 +29,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # Must match mvt_abi_version() in native/mvtrim_host.cpp.  Calling a stale
 # prebuilt .so with shifted ctypes signatures corrupts the stack silently,
 # so the loader rebuilds (dev checkouts) or refuses on mismatch.
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _rebuild() -> None:
@@ -107,6 +107,10 @@ def _load_library():
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
             ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.mvt_stream_counts.restype = ctypes.c_int
+        lib.mvt_stream_counts.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_int),
+                                          ctypes.POINTER(ctypes.c_int)]
         lib.mvt_time_base.restype = ctypes.c_int
         lib.mvt_time_base.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int),
@@ -119,8 +123,8 @@ def _load_library():
         lib.mvt_synth.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
             ctypes.c_double, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
-            ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -225,6 +229,14 @@ class VideoReader:
             timing.add_raw(t)
         return mvs[:n], counts[:n], pts[:n]
 
+    def stream_counts(self) -> tuple[int, int]:
+        """(total streams, audio streams) in the container."""
+        n = ctypes.c_int()
+        a = ctypes.c_int()
+        self._lib.mvt_stream_counts(self._h, ctypes.byref(n),
+                                    ctypes.byref(a))
+        return n.value, a.value
+
     def time_base(self) -> tuple[int, int]:
         num = ctypes.c_int()
         den = ctypes.c_int()
@@ -292,12 +304,14 @@ def cut(input_path: str, output_path: str, segments) -> None:
 def synthesize(path: str, *, width: int = 640, height: int = 480,
                fps: float = 25.0, duration: float = 10.0,
                codec: str = "libx264", motion_windows=((2.0, 5.0),),
-               gop: int = 0, b_frames: int = 0, noise: int = 0) -> None:
+               gop: int = 0, b_frames: int = 0, noise: int = 0,
+               with_audio: bool = False) -> None:
     """Generate a synthetic moving-box clip (tests/benches).
 
     b_frames > 0 enables B-frames (exercises decode-order handling);
     noise > 0 adds +-noise per-pixel sensor noise per frame (realistic
-    CCTV: stresses thresholds and encoder MV counts).
+    CCTV: stresses thresholds and encoder MV counts); with_audio adds a
+    mono AAC sine track (exercises the cut's non-video windowing).
     """
     lib = _load_library()
     flat = np.asarray([v for w in motion_windows for v in (w[0], w[1])],
@@ -305,6 +319,7 @@ def synthesize(path: str, *, width: int = 640, height: int = 480,
     err = ctypes.create_string_buffer(256)
     rc = lib.mvt_synth(path.encode(), width, height, fps, duration,
                        codec.encode(), flat.ctypes.data, len(flat) // 2,
-                       gop, b_frames, noise, err, len(err))
+                       gop, b_frames, noise, int(with_audio), err,
+                       len(err))
     if rc != 0:
         raise RuntimeError(f"mvt_synth({path}): {err.value.decode()}")

@@ -581,6 +581,21 @@ MVT_EXPORT long mvt_export_mvs_json(const char *video_path,
   return frame_index;
 }
 
+// Stream inventory (n_streams, n_audio) — lets tests assert the cut
+// carried non-video streams through.
+MVT_EXPORT int mvt_stream_counts(MvtHandle *h, int *n_streams,
+                                 int *n_audio) {
+  if (!h) return -1;
+  *n_streams = static_cast<int>(h->fmt->nb_streams);
+  int audio = 0;
+  for (unsigned i = 0; i < h->fmt->nb_streams; i++) {
+    if (h->fmt->streams[i]->codecpar->codec_type == AVMEDIA_TYPE_AUDIO)
+      audio++;
+  }
+  *n_audio = audio;
+  return 0;
+}
+
 // Stream time base (for the extract_mvs JSON header).
 MVT_EXPORT int mvt_time_base(MvtHandle *h, int *num, int *den) {
   if (!h || h->video_idx < 0) return -1;
@@ -808,8 +823,8 @@ MVT_EXPORT int mvt_cut(const char *input, const char *output,
 MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
                          double duration_sec, const char *codec_name,
                          const double *motion_windows, int n_windows,
-                         int gop, int b_frames, int noise, char *err,
-                         int errlen) {
+                         int gop, int b_frames, int noise, int with_audio,
+                         char *err, int errlen) {
   av_log_set_level(AV_LOG_ERROR);
   AVFormatContext *out = nullptr;
   avformat_alloc_output_context2(&out, nullptr, nullptr, path);
@@ -861,6 +876,33 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
   avcodec_parameters_from_context(st->codecpar, enc);
   st->time_base = enc->time_base;
 
+  // Optional mono AAC sine-tone track: exercises the cut executor's
+  // non-video packet windowing (the reference's concat+copy also carries
+  // audio through).
+  AVStream *ast = nullptr;
+  AVCodecContext *aenc = nullptr;
+  if (with_audio) {
+    const AVCodec *acodec = avcodec_find_encoder(AV_CODEC_ID_AAC);
+    if (acodec) {
+      ast = avformat_new_stream(out, nullptr);
+      aenc = avcodec_alloc_context3(acodec);
+      aenc->sample_rate = 44100;
+      av_channel_layout_default(&aenc->ch_layout, 1);
+      aenc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+      aenc->bit_rate = 64000;
+      aenc->time_base = AVRational{1, aenc->sample_rate};
+      if (out->oformat->flags & AVFMT_GLOBALHEADER)
+        aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+      if (avcodec_open2(aenc, acodec, nullptr) < 0) {
+        avcodec_free_context(&aenc);
+        ast = nullptr;
+      } else {
+        avcodec_parameters_from_context(ast->codecpar, aenc);
+        ast->time_base = aenc->time_base;
+      }
+    }
+  }
+
   if (!(out->oformat->flags & AVFMT_NOFILE)) {
     if (avio_open(&out->pb, path, AVIO_FLAG_WRITE) < 0) {
       set_err(err, errlen, "cannot open output");
@@ -883,6 +925,17 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
   frame->height = h;
   av_frame_get_buffer(frame, 0);
   AVPacket *pkt = av_packet_alloc();
+
+  AVFrame *aframe = nullptr;
+  int64_t audio_pts = 0;
+  if (aenc) {
+    aframe = av_frame_alloc();
+    aframe->format = aenc->sample_fmt;
+    av_channel_layout_copy(&aframe->ch_layout, &aenc->ch_layout);
+    aframe->sample_rate = aenc->sample_rate;
+    aframe->nb_samples = aenc->frame_size > 0 ? aenc->frame_size : 1024;
+    av_frame_get_buffer(aframe, 0);
+  }
 
   const long n_frames = static_cast<long>(duration_sec * fps);
   int rc = 0;
@@ -951,13 +1004,49 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
     }
     frame->pts = i;
     rc = flush_enc(frame);
+
+    // keep the audio clock caught up with the video clock
+    if (aenc && rc == 0) {
+      const double next_t = (i + 1) / fps;
+      while (audio_pts < static_cast<int64_t>(next_t * aenc->sample_rate)) {
+        av_frame_make_writable(aframe);
+        float *sm = reinterpret_cast<float *>(aframe->data[0]);
+        for (int s = 0; s < aframe->nb_samples; s++) {
+          sm[s] = 0.25f * sinf(2.0f * 3.14159265f * 440.0f *
+                               (audio_pts + s) / aenc->sample_rate);
+        }
+        aframe->pts = audio_pts;
+        audio_pts += aframe->nb_samples;
+        if (avcodec_send_frame(aenc, aframe) < 0) { rc = -1; break; }
+        while (true) {
+          int r = avcodec_receive_packet(aenc, pkt);
+          if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+          if (r < 0) { rc = -1; break; }
+          av_packet_rescale_ts(pkt, aenc->time_base, ast->time_base);
+          pkt->stream_index = ast->index;
+          if (av_interleaved_write_frame(out, pkt) < 0) { rc = -1; break; }
+        }
+      }
+    }
   }
   if (rc == 0) rc = flush_enc(nullptr);  // drain
+  if (aenc && rc == 0 && avcodec_send_frame(aenc, nullptr) >= 0) {
+    while (true) {
+      int r = avcodec_receive_packet(aenc, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+      if (r < 0) break;
+      av_packet_rescale_ts(pkt, aenc->time_base, ast->time_base);
+      pkt->stream_index = ast->index;
+      av_interleaved_write_frame(out, pkt);
+    }
+  }
 
   av_write_trailer(out);
   if (out->pb) avio_closep(&out->pb);
   av_packet_free(&pkt);
   av_frame_free(&frame);
+  if (aframe) av_frame_free(&aframe);
+  if (aenc) avcodec_free_context(&aenc);
   avcodec_free_context(&enc);
   avformat_free_context(out);
   if (rc != 0) set_err(err, errlen, "encode failed");
@@ -969,4 +1058,4 @@ MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 3; }
+MVT_EXPORT int mvt_abi_version() { return 4; }
