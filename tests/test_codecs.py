@@ -176,3 +176,26 @@ class TestNoisyCCTV:
                 _, counts, _ = r.scan_mvs(0.0, r.duration, max_frames=128)
             return int(np.abs(counts).sum())
         assert total_mvs(noisy) > total_mvs(quiet)
+
+
+class TestContainers:
+    @pytest.mark.parametrize("ext", ["mkv", "ts", "avi"])
+    def test_scan_and_cut(self, tmp_path, ext):
+        """Every container in the batch extension filter (main.cpp:68-69)
+        must decode, scan, and cut."""
+        path = str(tmp_path / f"c.{ext}")
+        codec = "mpeg4" if ext == "avi" else "libx264"
+        native.synthesize(path, width=320, height=240, fps=25.0,
+                          duration=8.0, codec=codec,
+                          motion_windows=((2.0, 4.0),))
+        with native.VideoReader(path) as r:
+            geom = GridGeometry.build(r.width, r.height, Config())
+            g, p = r.scan_grids(0.0, r.duration, threshold_sq=16.0,
+                                block_shift=4, gw=geom.gw, gh=geom.gh,
+                                y_min=geom.y_min, y_max=geom.y_max,
+                                max_frames=256)
+            assert len(p) > 150
+        out = str(tmp_path / f"out.{ext}")
+        native.cut(path, out, [(1.5, 4.5)])
+        with native.VideoReader(out) as r:
+            assert 2.0 < r.duration < 5.5
