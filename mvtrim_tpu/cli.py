@@ -68,14 +68,23 @@ def run_archive(input_arg: str, output_arg: str, cfg: Config) -> int:
     if not segments:
         log.warn("No motion found.")
         return 0
-    _, saved_pct = oracle.savings(segments, duration)
+    time_removed, saved_pct = oracle.savings(segments, duration)
     is_cut, out_segments = oracle.decide_cut(segments, duration,
                                              cfg.min_savings_pct)
     if not is_cut:
         log.warn(f"Savings too low ({int(saved_pct)}%). Min required: "
                  f"{int(cfg.min_savings_pct)}%. Copying full stream.")
     log.phase("Cutting...")
-    return execute_cut(input_arg, output_arg, out_segments, -1, cfg)
+    rc = execute_cut(input_arg, output_arg, out_segments, -1, cfg)
+
+    from .utils.logging import format_time
+    print("\n=================== CUT SUMMARY ====================")
+    print(f"{'Original:':<20} {format_time(duration):>15}")
+    print(f"{'Output:':<20} {format_time(duration - time_removed):>15}")
+    print(f"{'Removed:':<20} {format_time(time_removed):>15}")
+    print(f"{'Saved:':<20} {int(saved_pct):>14}%")
+    print("====================================================", flush=True)
+    return rc
 
 
 if __name__ == "__main__":
