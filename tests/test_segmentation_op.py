@@ -147,3 +147,36 @@ class TestArchiveCheckpoint:
                                           checkpoint=ck_part)
         assert stats["resumed_chunks"] == 3
         assert segs_res == segs_full
+
+
+class TestArchivePipelineEquivalence:
+    def test_archive_mode_matches_standard_pipeline(self, clip, tmp_path):
+        """MVT_ARCHIVE=1 and the standard pipeline must produce identical
+        quantized cut segments for the same clip/config."""
+        from mvtrim_tpu.cut.executor import quantized_segments
+        from mvtrim_tpu.pipeline.pipeline import ProcessingPipeline
+        from mvtrim_tpu.core import oracle as orc
+
+        cfg = Config(scan_backend="oracle", chunk_duration_sec=5.0)
+        segs_arch, dur, _ = scan_archive(clip, cfg, mesh=build_mesh(4, sweep=1),
+                                         frames_per_device=64)
+        # run the standard pipeline capturing its emitted segments via the
+        # fake-ffmpeg concat dump
+        import os
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dump = str(tmp_path / "std.txt")
+        env = dict(os.environ,
+                   MVT_FFMPEG_BIN=os.path.join(repo, "parity",
+                                               "fake_ffmpeg.sh"),
+                   MVT_CONCAT_DUMP=dump, MVT_SCAN_BACKEND="oracle",
+                   CHUNK_DURATION_SEC="5.0", MVT_LOG="0")
+        subprocess.run([sys.executable, "-m", "mvtrim_tpu", clip,
+                        str(tmp_path / "std.mp4")], env=env, cwd=repo,
+                       check=True, capture_output=True, timeout=300)
+        std_concat = open(dump).read()
+        _, out_segments = orc.decide_cut(segs_arch, dur,
+                                         cfg.min_savings_pct)
+        arch_concat = orc.concat_list(os.path.abspath(clip), out_segments)
+        assert arch_concat == std_concat
