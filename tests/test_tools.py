@@ -86,3 +86,25 @@ class TestMotionScalar:
         captured = capsys.readouterr()
         assert captured.out.startswith("second,motion_value")
         assert "PERFORMANCE METRICS" in captured.err
+
+
+class TestDeviceProbe:
+    def test_probe_json(self, capsys):
+        from mvtrim_tpu.tools import device_probe
+        assert device_probe.main([]) == 0
+        import json
+        doc = json.loads(capsys.readouterr().out)
+        assert len(doc["devices"]) == 8  # virtual CPU mesh in tests
+        assert doc["scan_geometry_1080p"]["grid"] == [68, 120]
+        assert doc["host"]["cpu_limit"] >= 1
+
+
+class TestTuneCLI:
+    def test_main(self, clip, capsys):
+        from mvtrim_tpu.tools import tune
+        assert tune.main([clip, "--thresholds", "16",
+                          "--vectors", "1,2", "--clusters", "2"]) == 0
+        import json
+        results = json.loads(capsys.readouterr().out)
+        assert len(results) == 2
+        assert {r["vectors_needed"] for r in results} == {1, 2}
