@@ -52,6 +52,10 @@ def clips(tmp_path_factory):
                       codec="libx264", motion_windows=((2.0, 5.0),),
                       b_frames=2)
     paths["bframes"] = p
+    p = str(d / "legacy.avi")
+    native.synthesize(p, width=320, height=240, fps=25.0, duration=12.0,
+                      codec="mpeg4", motion_windows=((3.0, 6.0),))
+    paths["mpeg4_avi"] = p
     return paths
 
 
@@ -103,6 +107,12 @@ class TestConcatListParity:
         """B-frame stream: the skip_frame=BIDIR analyzed-frame set and the
         resulting segments must match the reference exactly."""
         ref, ours = both_concats(reference_bin, clips["bframes"],
+                                 {"VECTORS_NEEDED": "1"}, tmp_path)
+        assert ref is not None and ours == ref
+
+    def test_mpeg4_avi_clip(self, reference_bin, clips, tmp_path):
+        """Second codec family (mpeg4/AVI) through both implementations."""
+        ref, ours = both_concats(reference_bin, clips["mpeg4_avi"],
                                  {"VECTORS_NEEDED": "1"}, tmp_path)
         assert ref is not None and ours == ref
 
