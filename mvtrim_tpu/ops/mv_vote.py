@@ -62,12 +62,14 @@ def threshold_bound(threshold_sq: float) -> int:
 
 
 def _mv_frame_votes(dst_x, dst_y, src_x, src_y, dst_x_sub, count,
-                    geom: GridGeometry, bound: int, block_shift: int):
+                    geom: GridGeometry, bound: int, block_shift: int,
+                    idx_offset: int = 0):
     """Fused per-frame vote accumulation.
 
     dst_x/dst_y/src_x/src_y are [1, M] int32 (lane-major), dst_x_sub is the
     same dst_x data as [M, 1] (sublane-major), count is a scalar int32.
-    Returns f32 votes [GH_p, GW_p].
+    ``idx_offset`` shifts the validity iota when the caller feeds an
+    M-chunk of a larger MV list.  Returns f32 votes [GH_p, GW_p].
     """
     m = dst_x.shape[-1]
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
@@ -79,7 +81,7 @@ def _mv_frame_votes(dst_x, dst_y, src_x, src_y, dst_x_sub, count,
     gy = jax.lax.shift_right_arithmetic(dst_y, block_shift)      # [1, M]
     gx_sub = jax.lax.shift_right_arithmetic(dst_x_sub, block_shift)  # [M, 1]
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) + idx_offset
     keep = ((idx < count)
             & (mag >= jnp.int32(bound))
             & (gx >= 0) & (gx < geom.gw)
@@ -121,20 +123,46 @@ def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
 
 def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                               block_shift: int, vectors_needed: int,
-                              clusters_needed: int, interpret: bool = False):
+                              clusters_needed: int, interpret: bool = False,
+                              m_chunk: int = 2048):
     """Pallas implementation: one frame per grid step, everything in VMEM.
 
     The MV count array rides as a scalar-prefetch arg (SMEM) so the keep
-    mask is computed without an extra VMEM stream.
+    mask is computed without an extra VMEM stream.  MV capacities larger
+    than ``m_chunk`` are accumulated via a fori_loop so the one-hot
+    operands fit VMEM at any geometry (4K + M=16384 in one shot exceeds
+    the ~16MB limit; a static unroll keeps every chunk resident and fails
+    too).  2048 is validated across 1080p/4K up to M=16384; oddly, exactly
+    4 chunks of 4096 at 4K trips a Mosaic scheduling limit — keep the
+    chunk small rather than clever.
     """
     bound = threshold_bound(threshold_sq)
 
     def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,
                dst_x_sub_ref, counts_ref):
         i = pl.program_id(0)
-        votes = _mv_frame_votes(
-            dst_x_ref[0], dst_y_ref[0], src_x_ref[0], src_y_ref[0],
-            dst_x_sub_ref[0], count_ref[i], geom, bound, block_shift)
+        count = count_ref[i]
+        m = dst_x_ref.shape[-1]
+        if m <= m_chunk:
+            votes = _mv_frame_votes(
+                dst_x_ref[0], dst_y_ref[0], src_x_ref[0], src_y_ref[0],
+                dst_x_sub_ref[0], count, geom, bound, block_shift)
+        else:
+            # fori_loop (not a static unroll): one chunk's one-hot operands
+            # live at a time, or the scheduler keeps them all resident and
+            # blows VMEM at 4 chunks x 4K geometry
+            def chunk_body(ci, votes):
+                off = pl.multiple_of(ci * m_chunk, m_chunk)
+                sl = pl.ds(off, m_chunk)
+                return votes + _mv_frame_votes(
+                    dst_x_ref[0, :, sl], dst_y_ref[0, :, sl],
+                    src_x_ref[0, :, sl], src_y_ref[0, :, sl],
+                    dst_x_sub_ref[0, sl, :], count,
+                    geom, bound, block_shift, idx_offset=off)
+
+            votes = jax.lax.fori_loop(
+                0, m // m_chunk, chunk_body,
+                jnp.zeros((geom.padded_gh, geom.padded_gw), jnp.float32))
         cluster = _cluster_map(votes.astype(jnp.int32), geom,
                                vectors_needed).astype(jnp.int32)
         # keep every reduction step >=2D for Mosaic: [GH,GW]->[1,GW]->[1,1]
