@@ -1,0 +1,111 @@
+"""heatmap — spatial motion-frequency map for a video.
+
+The reference's motion_scalar tool answers "when is there motion"
+(per-second scalars); this answers "where": for every 16x16 grid cell, the
+fraction of analyzed frames in which the cell was active (votes >=
+VECTORS_NEEDED).  The per-cell accumulation is a device reduction over the
+same vote grids the detector scans — analytics ride the scan pipeline for
+free.
+
+Usage:
+  python -m mvtrim_tpu.tools.heatmap input.mp4 [-o heatmap.json] [--npy out.npy]
+
+JSON output: grid dims, frames analyzed, per-cell activity fractions
+(rounded), and the hottest cells.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+import numpy as np
+
+from ..core.config import Config
+from ..core.types import GridGeometry
+from ..io import native
+
+
+def compute_heatmap(input_path: str, cfg: Config | None = None):
+    """Returns (activity [gh, gw] float64 in [0,1], frames_analyzed, geom)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = cfg or Config.from_env()
+    reader = native.VideoReader(input_path)
+    geom = GridGeometry.build(reader.width, reader.height, cfg)
+    frame_skip = cfg.frame_skip(reader.fps)
+    duration = reader.duration
+
+    @jax.jit
+    def accumulate(acc, grids):
+        active = grids >= jnp.uint8(cfg.vectors_needed)
+        return acc + jnp.sum(active.astype(jnp.int32), axis=0)
+
+    acc = jnp.zeros((geom.gh, geom.gw), jnp.int32)
+    frames = 0
+    t = 0.0
+    chunk = cfg.chunk_duration_sec
+    cap = int(math.ceil(chunk * max(reader.fps, 1.0))) + 64
+    while t < duration:
+        end = min(t + chunk, duration)
+        grids, pts = reader.scan_grids(
+            t, end, threshold_sq=cfg.mv_threshold_sq,
+            block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+            y_min=geom.y_min, y_max=geom.y_max,
+            frame_skip=frame_skip, max_frames=cap)
+        if len(pts):
+            acc = accumulate(acc, jnp.asarray(grids))
+            frames += len(pts)
+        t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
+    reader.close()
+
+    counts = np.asarray(acc, dtype=np.float64)
+    activity = counts / frames if frames else counts
+    return activity, frames, geom
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="heatmap")
+    parser.add_argument("input")
+    parser.add_argument("-o", "--output", default=None,
+                        help="JSON output path (default: stdout)")
+    parser.add_argument("--npy", default=None,
+                        help="also save the raw activity matrix as .npy")
+    parser.add_argument("--top", type=int, default=10)
+    args = parser.parse_args(argv)
+
+    activity, frames, geom = compute_heatmap(args.input)
+    if args.npy:
+        np.save(args.npy, activity)
+
+    flat = activity.ravel()
+    order = np.argsort(flat)[::-1][:args.top]
+    hottest = [{
+        "cell": [int(i // geom.gw), int(i % geom.gw)],
+        "pixel": [int((i % geom.gw)) * 16, int(i // geom.gw) * 16],
+        "activity": round(float(flat[i]), 4),
+    } for i in order if flat[i] > 0]
+
+    doc = {
+        "input": args.input,
+        "grid": [geom.gh, geom.gw],
+        "frames_analyzed": frames,
+        "mean_activity": round(float(activity.mean()), 6),
+        "max_activity": round(float(activity.max()), 4),
+        "hottest_cells": hottest,
+        "activity": [[round(float(v), 4) for v in row] for row in activity],
+    }
+    text = json.dumps(doc)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+    else:
+        print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

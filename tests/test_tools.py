@@ -108,3 +108,29 @@ class TestTuneCLI:
         results = json.loads(capsys.readouterr().out)
         assert len(results) == 2
         assert {r["vectors_needed"] for r in results} == {1, 2}
+
+
+class TestHeatmap:
+    def test_activity_localized_to_box_path(self, clip):
+        """The moving box sweeps a horizontal band at mid-height: heatmap
+        activity must concentrate there and be ~zero at top/bottom."""
+        from mvtrim_tpu.tools import heatmap
+        activity, frames, geom = heatmap.compute_heatmap(clip)
+        assert frames > 100
+        assert activity.shape == (geom.gh, geom.gw)
+        band = activity[geom.gh // 3: 2 * geom.gh // 3].mean()
+        top = activity[:2].mean()
+        assert band > 0
+        assert band > 10 * max(top, 1e-9)
+
+    def test_cli_json(self, clip, tmp_path, capsys):
+        from mvtrim_tpu.tools import heatmap
+        npy = str(tmp_path / "h.npy")
+        assert heatmap.main([clip, "--npy", npy]) == 0
+        import json
+        import numpy as np
+        doc = json.loads(capsys.readouterr().out)
+        assert doc["grid"] == [15, 20]
+        assert doc["hottest_cells"]
+        arr = np.load(npy)
+        assert arr.shape == (15, 20)
