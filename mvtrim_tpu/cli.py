@@ -76,14 +76,8 @@ def run_archive(input_arg: str, output_arg: str, cfg: Config) -> int:
                  f"{int(cfg.min_savings_pct)}%. Copying full stream.")
     log.phase("Cutting...")
     rc = execute_cut(input_arg, output_arg, out_segments, -1, cfg)
-
-    from .utils.logging import format_time
-    print("\n=================== CUT SUMMARY ====================")
-    print(f"{'Original:':<20} {format_time(duration):>15}")
-    print(f"{'Output:':<20} {format_time(duration - time_removed):>15}")
-    print(f"{'Removed:':<20} {format_time(time_removed):>15}")
-    print(f"{'Saved:':<20} {int(saved_pct):>14}%")
-    print("====================================================", flush=True)
+    if rc == 0:  # don't claim savings for a cut that produced no output
+        log.print_cut_summary(duration, time_removed, saved_pct)
     return rc
 
 

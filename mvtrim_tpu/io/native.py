@@ -233,8 +233,10 @@ class VideoReader:
         """(total streams, audio streams) in the container."""
         n = ctypes.c_int()
         a = ctypes.c_int()
-        self._lib.mvt_stream_counts(self._h, ctypes.byref(n),
-                                    ctypes.byref(a))
+        rc = self._lib.mvt_stream_counts(self._h, ctypes.byref(n),
+                                         ctypes.byref(a))
+        if rc != 0:
+            raise RuntimeError(f"mvt_stream_counts failed on {self.path}")
         return n.value, a.value
 
     def time_base(self) -> tuple[int, int]:

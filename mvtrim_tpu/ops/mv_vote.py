@@ -172,6 +172,14 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     @jax.jit
     def op(dst_x, dst_y, src_x, src_y, counts):
         b, m = dst_x.shape
+        if m > m_chunk and m % m_chunk:
+            # pad to a whole number of chunks; padded entries have
+            # idx >= m >= count, so the validity mask already drops them
+            pad = m_chunk - m % m_chunk
+            padder = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+            dst_x, dst_y, src_x, src_y = (padder(a) for a in
+                                          (dst_x, dst_y, src_x, src_y))
+            m += pad
         # Blocks must keep their last two dims tile-aligned or array-equal;
         # [B, 1, M] with block (1, 1, M) satisfies that for one frame/step.
         lane = lambda a: a.reshape(b, 1, m)

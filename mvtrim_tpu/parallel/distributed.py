@@ -6,6 +6,11 @@ joins a coordination service and ``jax.devices()`` then spans the pod, so
 ``parallel.mesh.build_mesh()`` / ``sharded_scan_step`` transparently shard
 frame batches across hosts with ICI/DCN collectives.
 
+IMPORTANT: call ``initialize()`` before any other JAX usage —
+``jax.distributed.initialize`` must run before backends initialize, so
+this function decides from environment variables alone and never queries
+jax state beforehand.
+
 On Cloud TPU pods, ``jax.distributed.initialize()`` discovers everything
 from the metadata server; elsewhere pass coordinator/process info
 explicitly or via the standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
@@ -28,21 +33,21 @@ def initialize(coordinator_address: str | None = None,
 
     Returns True when running multi-process after the call, False for
     single-process operation (the default everywhere except pods).
+    Must be called before any JAX computation/backend use.
     """
     global _initialized
-    import jax
-
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
-        return jax.process_count() > 1
-
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     explicit = coordinator_address is not None
-    on_tpu_pod = jax.default_backend() == "tpu" and os.environ.get(
-        "TPU_WORKER_HOSTNAMES")
+    on_tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES"))
+
     if not (explicit or on_tpu_pod):
         return False
+
+    import jax
+
+    if _initialized:
+        return jax.process_count() > 1
 
     kwargs = {}
     if coordinator_address:

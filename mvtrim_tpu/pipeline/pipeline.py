@@ -438,14 +438,5 @@ class ProcessingPipeline:
     # --- cut summary (pipeline.cpp:419-448) ---
 
     def print_cut_summary(self) -> None:
-        sid = self.stream_id
-        prefix = f"[Stream {sid}] " if sid >= 0 else ""
-        print()
-        print(f"{prefix}=================== CUT SUMMARY ====================")
-        print(f"{prefix}{'Original:':<20} {format_time(self.duration):>15}")
-        print(f"{prefix}{'Output:':<20} "
-              f"{format_time(self.duration - self.time_removed):>15}")
-        print(f"{prefix}{'Removed:':<20} {format_time(self.time_removed):>15}")
-        print(f"{prefix}{'Saved:':<20} {int(self.saved_pct):>14}%")
-        print(f"{prefix}====================================================",
-              flush=True)
+        log.print_cut_summary(self.duration, self.time_removed,
+                              self.saved_pct, self.stream_id)

@@ -3,9 +3,8 @@
 The reference's motion_scalar tool answers "when is there motion"
 (per-second scalars); this answers "where": for every 16x16 grid cell, the
 fraction of analyzed frames in which the cell was active (votes >=
-VECTORS_NEEDED).  The per-cell accumulation is a device reduction over the
-same vote grids the detector scans — analytics ride the scan pipeline for
-free.
+VECTORS_NEEDED), accumulated over the same vote grids the detector
+scans — analytics ride the scan pipeline's grids directly.
 
 Usage:
   python -m mvtrim_tpu.tools.heatmap input.mp4 [-o heatmap.json] [--npy out.npy]
@@ -30,21 +29,20 @@ from ..io import native
 
 def compute_heatmap(input_path: str, cfg: Config | None = None):
     """Returns (activity [gh, gw] float64 in [0,1], frames_analyzed, geom)."""
-    import jax
-    import jax.numpy as jnp
-
     cfg = cfg or Config.from_env()
     reader = native.VideoReader(input_path)
     geom = GridGeometry.build(reader.width, reader.height, cfg)
     frame_skip = cfg.frame_skip(reader.fps)
     duration = reader.duration
 
-    @jax.jit
+    # NumPy accumulation: chunk frame counts vary (tails, cap resumes), so
+    # a jitted reduction would retrace per distinct shape — and the grids
+    # are tiny, so the host sum is effectively free.
     def accumulate(acc, grids):
-        active = grids >= jnp.uint8(cfg.vectors_needed)
-        return acc + jnp.sum(active.astype(jnp.int32), axis=0)
+        active = grids >= cfg.vectors_needed
+        return acc + active.sum(axis=0, dtype=np.int64)
 
-    acc = jnp.zeros((geom.gh, geom.gw), jnp.int32)
+    acc = np.zeros((geom.gh, geom.gw), np.int64)
     frames = 0
     t = 0.0
     chunk = cfg.chunk_duration_sec
@@ -57,7 +55,7 @@ def compute_heatmap(input_path: str, cfg: Config | None = None):
             y_min=geom.y_min, y_max=geom.y_max,
             frame_skip=frame_skip, max_frames=cap)
         if len(pts):
-            acc = accumulate(acc, jnp.asarray(grids))
+            acc = accumulate(acc, grids)
             frames += len(pts)
         t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
     reader.close()
@@ -77,15 +75,17 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--top", type=int, default=10)
     args = parser.parse_args(argv)
 
-    activity, frames, geom = compute_heatmap(args.input)
+    cfg = Config.from_env()
+    activity, frames, geom = compute_heatmap(args.input, cfg)
     if args.npy:
         np.save(args.npy, activity)
 
+    bs = cfg.block_size
     flat = activity.ravel()
     order = np.argsort(flat)[::-1][:args.top]
     hottest = [{
-        "cell": [int(i // geom.gw), int(i % geom.gw)],
-        "pixel": [int((i % geom.gw)) * 16, int(i // geom.gw) * 16],
+        "cell": [int(i // geom.gw), int(i % geom.gw)],          # [row, col]
+        "pixel_xy": [int(i % geom.gw) * bs, int(i // geom.gw) * bs],
         "activity": round(float(flat[i]), 4),
     } for i in order if flat[i] > 0]
 

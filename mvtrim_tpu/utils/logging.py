@@ -63,3 +63,17 @@ def format_time(seconds: float) -> str:
     h, rem = divmod(total, 3600)
     m, s = divmod(rem, 60)
     return f"{h:02d}:{m:02d}:{s:02d}"
+
+
+def print_cut_summary(duration: float, time_removed: float,
+                      saved_pct: float, stream_id: int = -1) -> None:
+    """The end-of-run cut summary block (reference pipeline.cpp:419-448)."""
+    prefix = f"[Stream {stream_id}] " if stream_id >= 0 else ""
+    print()
+    print(f"{prefix}=================== CUT SUMMARY ====================")
+    print(f"{prefix}{'Original:':<20} {format_time(duration):>15}")
+    print(f"{prefix}{'Output:':<20} {format_time(duration - time_removed):>15}")
+    print(f"{prefix}{'Removed:':<20} {format_time(time_removed):>15}")
+    print(f"{prefix}{'Saved:':<20} {int(saved_pct):>14}%")
+    print(f"{prefix}====================================================",
+          flush=True)

@@ -884,7 +884,6 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
   if (with_audio) {
     const AVCodec *acodec = avcodec_find_encoder(AV_CODEC_ID_AAC);
     if (acodec) {
-      ast = avformat_new_stream(out, nullptr);
       aenc = avcodec_alloc_context3(acodec);
       aenc->sample_rate = 44100;
       av_channel_layout_default(&aenc->ch_layout, 1);
@@ -894,11 +893,18 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
       if (out->oformat->flags & AVFMT_GLOBALHEADER)
         aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
       if (avcodec_open2(aenc, acodec, nullptr) < 0) {
+        // graceful video-only fallback: the stream must only be created
+        // AFTER a successful open, or a codec-less stream lingers in the
+        // container and write_header rejects the whole file
         avcodec_free_context(&aenc);
-        ast = nullptr;
       } else {
-        avcodec_parameters_from_context(ast->codecpar, aenc);
-        ast->time_base = aenc->time_base;
+        ast = avformat_new_stream(out, nullptr);
+        if (!ast) {
+          avcodec_free_context(&aenc);
+        } else {
+          avcodec_parameters_from_context(ast->codecpar, aenc);
+          ast->time_base = aenc->time_base;
+        }
       }
     }
   }
@@ -1008,7 +1014,8 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
     // keep the audio clock caught up with the video clock
     if (aenc && rc == 0) {
       const double next_t = (i + 1) / fps;
-      while (audio_pts < static_cast<int64_t>(next_t * aenc->sample_rate)) {
+      while (rc == 0 &&
+             audio_pts < static_cast<int64_t>(next_t * aenc->sample_rate)) {
         av_frame_make_writable(aframe);
         float *sm = reinterpret_cast<float *>(aframe->data[0]);
         for (int s = 0; s < aframe->nb_samples; s++) {

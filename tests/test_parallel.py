@@ -113,7 +113,9 @@ class TestMultiDeviceBatch:
 
 
 class TestDistributed:
-    def test_single_process_noop(self):
+    def test_single_process_noop(self, monkeypatch):
         from mvtrim_tpu.parallel import distributed
-        # no coordinator configured anywhere -> stays single-process
+        # no coordinator/pod env configured -> stays single-process
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
         assert distributed.initialize() is False
