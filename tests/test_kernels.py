@@ -137,3 +137,35 @@ class TestMVFusedKernels:
         assert mv_vote.threshold_bound(16.5) == 17
         assert mv_vote.threshold_bound(0.0) == 0
         assert mv_vote.threshold_bound(-3.0) == -3
+
+
+class TestMVChunkedPath:
+    def test_chunked_and_padded_capacity(self, rng):
+        """M > m_chunk exercises the fori_loop accumulation; a non-divisible
+        M exercises the padding path. Both must match the XLA op."""
+        b, m = 4, 3000  # pads to 4096 = 2 chunks of 2048
+        mv_list = [random_mvs(rng, int(rng.integers(m - 100, m)))
+                   for _ in range(b)]
+        dx_, dy_, sx_, sy_, counts, overflow = mv_vote.pad_mvs(mv_list, m)
+        assert not overflow.any()
+        op = mv_vote.make_mv_cluster_op_pallas(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=1, clusters_needed=1, interpret=True)
+        ref = mv_vote.make_mv_cluster_op_xla(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=1, clusters_needed=1)
+        n, _ = op(dx_, dy_, sx_, sy_, counts)
+        nr, _ = ref(dx_, dy_, sx_, sy_, counts)
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(nr))
+        # tail MVs (indices past the last full chunk boundary) must count:
+        # craft a frame whose ONLY motion lives in the tail
+        tail = np.zeros((1, m, 4), np.int64)
+        tail[0, 2900:2910] = random_mvs(rng, 10, spread=400)
+        dx2, dy2, sx2, sy2, c2, _ = mv_vote.pad_mvs([tail[0][2900:2910]], 8)
+        # rebuild at full m with the tail occupied
+        mvs_full = [np.concatenate([np.tile([[0, 0, 0, 0]], (2900, 1)),
+                                    tail[0][2900:2910]])]
+        dx3, dy3, sx3, sy3, c3, _ = mv_vote.pad_mvs(mvs_full, m)
+        n3, _ = op(dx3, dy3, sx3, sy3, c3)
+        nr3, _ = ref(dx3, dy3, sx3, sy3, c3)
+        assert int(n3[0]) == int(nr3[0])
