@@ -88,6 +88,8 @@ CONFIGS = [
                  id="zero-padding-tight-gap"),
     pytest.param({"TARGET_FPS": "7", "CHUNK_DURATION_SEC": "4.0"},
                  id="skip-phase-across-chunks"),
+    pytest.param({"BLOCK_SIZE": "8", "BLOCK_SHIFT": "3",
+                  "VECTORS_NEEDED": "1"}, id="8px-grid-cells"),
 ]
 
 
