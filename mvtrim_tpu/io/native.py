@@ -29,7 +29,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # Must match mvt_abi_version() in native/mvtrim_host.cpp.  Calling a stale
 # prebuilt .so with shifted ctypes signatures corrupts the stack silently,
 # so the loader rebuilds (dev checkouts) or refuses on mismatch.
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 
 def _rebuild() -> None:
@@ -93,6 +93,12 @@ def _load_library():
             ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.mvt_scan_grids_multi.restype = ctypes.c_long
+        lib.mvt_scan_grids_multi.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.mvt_scan_mvs.restype = ctypes.c_long
         lib.mvt_scan_mvs.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
@@ -203,6 +209,30 @@ class VideoReader:
             grids.ctypes.data, pts.ctypes.data, t.ctypes.data)
         if n < 0:
             raise RuntimeError(f"mvt_scan_grids failed on {self.path}")
+        if timing is not None:
+            timing.add_raw(t)
+        return grids[:n], pts[:n]
+
+    def scan_grids_multi(self, start: float, end: float, *,
+                         thresholds_sq, block_shift: int, gw: int, gh: int,
+                         y_min: int, y_max: int, frame_skip: int = 1,
+                         max_frames: int = 4096,
+                         timing: ScanTiming | None = None):
+        """One decode pass, K vote grids per frame (one per threshold).
+
+        Returns (grids uint8 [N, K, gh, gw], pts f64 [N]).
+        """
+        thr = np.ascontiguousarray(thresholds_sq, dtype=np.float64)
+        k = len(thr)
+        grids = np.empty((max_frames, k, gh, gw), dtype=np.uint8)
+        pts = np.empty((max_frames,), dtype=np.float64)
+        t = np.zeros((4,), dtype=np.int64)
+        n = self._lib.mvt_scan_grids_multi(
+            self._h, start, end, thr.ctypes.data, k, block_shift, gw, gh,
+            y_min, y_max, frame_skip, max_frames,
+            grids.ctypes.data, pts.ctypes.data, t.ctypes.data)
+        if n < 0:
+            raise RuntimeError(f"mvt_scan_grids_multi failed on {self.path}")
         if timing is not None:
             timing.add_raw(t)
         return grids[:n], pts[:n]

@@ -411,6 +411,50 @@ MVT_EXPORT long mvt_scan_grids(MvtHandle *h, double start, double end,
       });
 }
 
+// Multi-threshold vote scatter: one decode pass produces K vote grids per
+// frame, one per MV_THRESHOLD_SQ candidate (each byte-exact to the
+// reference phase-1 loop at that threshold).  The config-sweep tool rides
+// this: K thresholds cost one decode and K*gh*gw bytes per frame instead
+// of the raw-MV export's max_mv*8.
+MVT_EXPORT long mvt_scan_grids_multi(
+    MvtHandle *h, double start, double end, const double *thresholds_sq,
+    int n_thresholds, int block_shift, int gw, int gh, int y_min, int y_max,
+    int frame_skip, long max_frames, uint8_t *out_grids /* [mf,K,gh*gw] */,
+    double *out_pts, long long *timing_us) {
+  const size_t grid_cells = static_cast<size_t>(gw) * gh;
+  const size_t per_frame = grid_cells * static_cast<size_t>(n_thresholds);
+  return scan_loop(
+      h, start, end, frame_skip, max_frames, timing_us,
+      [&](AVFrame *f, double pts, long slot) {
+        uint8_t *grids = out_grids + static_cast<size_t>(slot) * per_frame;
+        std::memset(grids, 0, per_frame);
+        out_pts[slot] = pts;
+
+        AVFrameSideData *sd =
+            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+        if (!sd) return;
+        if (timing_us) timing_us[3]++;
+        const auto *mvs = reinterpret_cast<const AVMotionVector *>(sd->data);
+        const int count = static_cast<int>(sd->size / sizeof(AVMotionVector));
+        for (int i = 0; i < count; ++i) {
+          const AVMotionVector *mv = &mvs[i];
+          int dx = mv->dst_x - mv->src_x;
+          int dy = mv->dst_y - mv->src_y;
+          int mag_sq = dx * dx + dy * dy;
+          int gx = mv->dst_x >> block_shift;
+          int gy = mv->dst_y >> block_shift;
+          if (gx >= 0 && gx < gw && gy >= y_min && gy < y_max) {
+            const size_t idx = static_cast<size_t>(gy) * gw + gx;
+            for (int k = 0; k < n_thresholds; ++k) {
+              if (mag_sq < thresholds_sq[k]) continue;
+              uint8_t &cell = grids[static_cast<size_t>(k) * grid_cells + idx];
+              if (cell < 255) cell++;
+            }
+          }
+        }
+      });
+}
+
 // Raw MV export: int16 rows (dst_x, dst_y, src_x, src_y) padded to max_mv
 // per frame, plus per-frame counts.  Overflowing frames are truncated and
 // reported via a negative count (-real_count).
@@ -1065,4 +1109,4 @@ MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 4; }
+MVT_EXPORT int mvt_abi_version() { return 5; }

@@ -71,7 +71,7 @@ class TestTuneTool:
                           duration=8.0, codec="libx264",
                           motion_windows=((2.0, 4.0),))
         results = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2],
-                             cfg=Config(), max_mv=2048, batch_frames=64)
+                             cfg=Config(), batch_frames=64)
         assert len(results) == 8
         # looser configs find at least as many motion frames
         loosest = next(r for r in results if r["mv_threshold_sq"] == 4.0
