@@ -91,6 +91,7 @@ class Config:
     metrics_json: str = ""           # append per-video metrics JSON lines here
     archive_mode: bool = False       # single-file mode: shard scan over mesh
     checkpoint_path: str = ""        # archive-scan resume sidecar (JSONL)
+    heatmap_path: str = ""           # write a spatial activity JSON per video
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -122,6 +123,7 @@ class Config:
             metrics_json=_env_str("MVT_METRICS_JSON", ""),
             archive_mode=_env_bool("MVT_ARCHIVE", False),
             checkpoint_path=_env_str("MVT_CHECKPOINT", ""),
+            heatmap_path=_env_str("MVT_HEATMAP", ""),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

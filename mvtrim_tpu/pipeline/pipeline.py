@@ -368,6 +368,9 @@ class ProcessingPipeline:
         pending: list[tuple[np.ndarray, object]] = []
         frames_scanned = 0
         done_workers = 0
+        # optional spatial analytics riding the already-decoded grids
+        heat_acc = (np.zeros((geom.gh, geom.gw), np.int64)
+                    if (cfg.heatmap_path and kind == "mv") else None)
         while done_workers < n_threads:
             item = results.get()
             if item is None:
@@ -388,6 +391,9 @@ class ProcessingPipeline:
                 continue
             device_us += (time.perf_counter_ns() - t0) // 1000
             frames_scanned += len(pts)
+            if heat_acc is not None:
+                heat_acc += (data >= cfg.vectors_needed).sum(
+                    axis=0, dtype=np.int64)
             pending.append((pts, resolver))
 
         motion_ts: list[float] = []
@@ -431,9 +437,38 @@ class ProcessingPipeline:
             TimingCollector.record("  ├─device_scan", device_us)
             TimingCollector.record("  └─join", join_us)
 
+        if heat_acc is not None and frames_scanned and not errors:
+            self._write_heatmap(heat_acc, frames_scanned, geom)
+
         frames_with_mvs = sum(tm.frames_with_mvs for tm in timings)
         return ScanResult(motion_ts, frames_scanned, frames_with_mvs,
                           chunk_id)
+
+    def _write_heatmap(self, counts: np.ndarray, frames: int, geom) -> None:
+        """Per-video spatial activity JSON (MVT_HEATMAP names a directory
+        or a file; directories get <input-basename>.heatmap.json)."""
+        import json
+
+        path = self.cfg.heatmap_path
+        if os.path.isdir(path):
+            base = os.path.basename(self.input_path) + ".heatmap.json"
+            path = os.path.join(path, base)
+        activity = counts / frames
+        doc = {
+            "input": self.input_path,
+            "grid": [geom.gh, geom.gw],
+            "frames_analyzed": frames,
+            "mean_activity": round(float(activity.mean()), 6),
+            "max_activity": round(float(activity.max()), 4),
+            "activity": [[round(float(v), 4) for v in row]
+                         for row in activity],
+        }
+        try:
+            with open(path, "w") as f:
+                json.dump(doc, f)
+            log.info(f"Heatmap written to {path}", self.stream_id)
+        except OSError as e:
+            log.warn(f"heatmap export failed: {e}", self.stream_id)
 
     # --- cut summary (pipeline.cpp:419-448) ---
 

@@ -145,3 +145,20 @@ class TestCLI:
         d = tmp_path / "empty"
         d.mkdir()
         assert cli_main([str(d), str(tmp_path / "o")]) == 0
+
+
+class TestHeatmapIntegration:
+    def test_pipeline_writes_heatmap(self, motion_clip, tmp_path):
+        """MVT_HEATMAP rides the scan's own grids — no extra decode."""
+        import json
+        hdir = tmp_path / "heat"
+        hdir.mkdir()
+        cfg = Config(scan_backend="oracle", heatmap_path=str(hdir))
+        p = ProcessingPipeline(motion_clip, str(tmp_path / "o.mp4"), cfg=cfg)
+        assert p.run() == 0
+        out = hdir / (os.path.basename(motion_clip) + ".heatmap.json")
+        assert out.exists()
+        doc = json.loads(out.read_text())
+        assert doc["grid"] == [30, 40]
+        assert doc["frames_analyzed"] > 400
+        assert doc["max_activity"] > 0
