@@ -52,17 +52,19 @@ def main() -> int:
 
     binary, shim = harness.ensure_reference()
 
-    print("timing reference...", file=sys.stderr)
+    # Interleave reference/rebuild runs: this host's throughput swings by
+    # tens of percent over minutes, so back-to-back pairs are the only
+    # fair comparison; medians over the pairs absorb the residual noise.
     ref_walls, ref_concat = [], None
-    for _ in range(args.runs):
+    our_walls, our_marginals, our_concat = [], [], None
+    for i in range(args.runs):
+        print(f"run {i + 1}/{args.runs}: reference...", file=sys.stderr)
         wall, ref_concat = harness.run_reference(
             binary, shim, clip, "/tmp/bench_ref_out.mp4",
             "/tmp/bench_ref_concat.txt")
         ref_walls.append(wall)
 
-    print("timing rebuild...", file=sys.stderr)
-    our_walls, our_marginals, our_concat = [], [], None
-    for _ in range(args.runs):
+        print(f"run {i + 1}/{args.runs}: rebuild...", file=sys.stderr)
         wall, our_concat, stdout = harness.run_ours(
             clip, "/tmp/bench_our_out.mp4", "/tmp/bench_our_concat.txt",
             {"MVT_LOG": "0"})
@@ -73,19 +75,28 @@ def main() -> int:
         total_run = float(m.group(1)) if m else wall
         our_marginals.append(total_run - warmup)
 
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
     frames = args.duration * 25.0
+    ref_med, our_med = median(ref_walls), median(our_marginals)
     result = {
         "clip": {"resolution": f"{args.width}x{args.height}",
                  "duration_sec": args.duration, "frames": frames},
         "reference_cpp": {
-            "wall_sec": round(min(ref_walls), 2),
-            "frames_per_sec": round(frames / min(ref_walls)),
+            "wall_sec": round(ref_med, 2),
+            "wall_sec_runs": [round(w, 2) for w in ref_walls],
+            "frames_per_sec": round(frames / ref_med),
         },
         "rebuild_tpu": {
-            "wall_sec": round(min(our_walls), 2),
-            "marginal_per_video_sec": round(min(our_marginals), 2),
-            "marginal_frames_per_sec": round(frames / min(our_marginals)),
+            "wall_sec": round(median(our_walls), 2),
+            "marginal_per_video_sec": round(our_med, 2),
+            "marginal_per_video_runs": [round(w, 2) for w in our_marginals],
+            "marginal_frames_per_sec": round(frames / our_med),
         },
+        "rebuild_vs_reference": round(ref_med / our_med, 3),
         "concat_lists_identical": (our_concat is not None
                                    and our_concat == ref_concat),
     }

@@ -92,6 +92,8 @@ class Config:
     archive_mode: bool = False       # single-file mode: shard scan over mesh
     checkpoint_path: str = ""        # archive-scan resume sidecar (JSONL)
     heatmap_path: str = ""           # write a spatial activity JSON per video
+    scan_input: str = "bits"         # bits | grids | mv_raw (H2D payload)
+    mv_capacity: int = 8192          # raw-MV rows per frame (mv_raw path)
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -124,6 +126,8 @@ class Config:
             archive_mode=_env_bool("MVT_ARCHIVE", False),
             checkpoint_path=_env_str("MVT_CHECKPOINT", ""),
             heatmap_path=_env_str("MVT_HEATMAP", ""),
+            scan_input=_env_str("MVT_SCAN_INPUT", "bits"),
+            mv_capacity=_env_int("MVT_MV_CAPACITY", 8192),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

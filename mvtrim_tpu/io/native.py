@@ -29,7 +29,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # Must match mvt_abi_version() in native/mvtrim_host.cpp.  Calling a stale
 # prebuilt .so with shifted ctypes signatures corrupts the stack silently,
 # so the loader rebuilds (dev checkouts) or refuses on mismatch.
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 
 def _rebuild() -> None:
@@ -93,6 +93,12 @@ def _load_library():
             ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.mvt_scan_bits.restype = ctypes.c_long
+        lib.mvt_scan_bits.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.mvt_scan_grids_multi.restype = ctypes.c_long
         lib.mvt_scan_grids_multi.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
@@ -212,6 +218,33 @@ class VideoReader:
         if timing is not None:
             timing.add_raw(t)
         return grids[:n], pts[:n]
+
+    def scan_bits(self, start: float, end: float, *, threshold_sq: float,
+                  block_shift: int, gw: int, gh: int, y_min: int,
+                  y_max: int, vectors_needed: int, frame_skip: int = 1,
+                  max_frames: int = 4096,
+                  timing: ScanTiming | None = None):
+        """Decode [start, end) and return bit-packed activity masks.
+
+        Returns (bits uint8 [N, gh, ceil(gw/8)], pts f64 [N]).  Bit k of
+        byte j covers grid x = j*8+k (numpy ``bitorder='little'``); a set
+        bit means the cell's saturating vote count reached
+        ``vectors_needed`` — the only property the cluster decision reads
+        (motion_scanner.cpp:277-293).  8x smaller H2D than scan_grids.
+        """
+        gwb = (gw + 7) // 8
+        bits = np.empty((max_frames, gh, gwb), dtype=np.uint8)
+        pts = np.empty((max_frames,), dtype=np.float64)
+        t = np.zeros((4,), dtype=np.int64)
+        n = self._lib.mvt_scan_bits(
+            self._h, start, end, threshold_sq, block_shift, gw, gh,
+            y_min, y_max, vectors_needed, frame_skip, max_frames,
+            bits.ctypes.data, pts.ctypes.data, t.ctypes.data)
+        if n < 0:
+            raise RuntimeError(f"mvt_scan_bits failed on {self.path}")
+        if timing is not None:
+            timing.add_raw(t)
+        return bits[:n], pts[:n]
 
     def scan_grids_multi(self, start: float, end: float, *,
                          thresholds_sq, block_shift: int, gw: int, gh: int,

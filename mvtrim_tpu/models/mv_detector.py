@@ -53,6 +53,7 @@ class MVClusterDetector:
         self.device = device
         self._op = None
         self._mv_op = None
+        self._bits_op = None  # packed-mask variant (XLA only; see scan_bits)
 
     # --- forward over host-scattered vote grids (default path) ---
 
@@ -113,6 +114,61 @@ class MVClusterDetector:
         """Host entry: vote grids uint8 [N, gh, gw] -> motion bool [N]."""
         return self.scan_votes_async(grids)()
 
+    # --- forward over bit-packed activity masks (default product path) ---
+
+    def _build_bits_op(self):
+        if self._bits_op is None:
+            self._bits_op = cluster_ops._cached_bits_op(
+                self.geom, self.cfg.clusters_needed)
+        return self._bits_op
+
+    def scan_bits_async(self, bits: np.ndarray):
+        """Dispatch bit-packed activity masks uint8 [N, gh, ceil(gw/8)]
+        (native mvt_scan_bits layout); return a resolver for motion [N].
+
+        Same decision as scan_votes_async — the mask is the host-side
+        ``votes >= vectors_needed`` threshold, and the cluster rule only
+        reads votes through that comparison (motion_scanner.cpp:277-293) —
+        at 1/8th the H2D bytes.
+        """
+        n = bits.shape[0]
+        if n == 0:
+            return lambda: np.zeros((0,), bool)
+        gwb = (self.geom.gw + 7) // 8
+        if self.backend == "oracle":
+            active = np.unpackbits(
+                bits, axis=2, bitorder="little")[:, :, :self.geom.gw]
+            counts = oracle.count_clusters_batch(
+                active, vectors_needed=1,
+                y_min=self.geom.y_min, y_max=self.geom.y_max)
+            motion = counts >= oracle.effective_clusters_needed(
+                self.cfg.clusters_needed)
+            return lambda: motion
+
+        db = self.device_batch
+        op = self._build_bits_op()
+        futures = []
+        for lo in range(0, n, db):
+            hi = min(lo + db, n)
+            batch = np.zeros((db, self.geom.gh, gwb), np.uint8)
+            batch[:hi - lo] = bits[lo:hi]
+            if self.device is not None:
+                batch = jax.device_put(batch, self.device)
+            _, motion = op(jnp.asarray(batch))
+            futures.append((lo, hi, motion))
+
+        def resolve():
+            out = np.zeros((n,), bool)
+            for lo, hi, motion in futures:
+                out[lo:hi] = np.asarray(motion)[:hi - lo]
+            return out
+
+        return resolve
+
+    def scan_bits(self, bits: np.ndarray) -> np.ndarray:
+        """Host entry: packed masks uint8 [N, gh, gwb] -> motion bool [N]."""
+        return self.scan_bits_async(bits)()
+
     # --- forward over raw MV fields (on-device thresholding path) ---
 
     def _build_mv_op(self, m: int):
@@ -127,32 +183,56 @@ class MVClusterDetector:
                 clusters_needed=self.cfg.clusters_needed)
         return self._mv_op
 
-    def scan_raw_mvs(self, mvs: np.ndarray, counts: np.ndarray) -> np.ndarray:
-        """Raw MV path: mvs int16 [N, M, 4] + counts int32 [N] -> motion [N].
+    def scan_raw_mvs_async(self, mvs: np.ndarray, counts: np.ndarray):
+        """Raw MV path: mvs int16 [N, M, 4] + counts int32 [N] -> resolver
+        for motion bool [N].
 
-        Frames whose count overflowed the M capacity (negative counts from
-        the native scanner) are re-decided exactly by the NumPy oracle.
+        Exactness contract: a negative count means the native scanner
+        truncated that frame's MV list to the M capacity, so a decision
+        over it could differ from the reference — callers MUST re-scan the
+        range with a larger capacity first (the pipeline's mv_raw worker
+        does, doubling until clean).  We refuse to guess.
         """
         n = mvs.shape[0]
         if n == 0:
-            return np.zeros((0,), bool)
+            return lambda: np.zeros((0,), bool)
+        overflow = np.nonzero(counts < 0)[0]
+        if overflow.size:
+            need = int(-counts[overflow].min())
+            raise ValueError(
+                f"{overflow.size} frame(s) overflowed the MV capacity "
+                f"M={mvs.shape[1]} (max real count {need}); re-scan with "
+                f"a larger max_mv — a truncated list cannot be decided "
+                f"exactly")
         op = self._build_mv_op(mvs.shape[1])
-        dst_x = mvs[..., 0].astype(np.int32)
-        dst_y = mvs[..., 1].astype(np.int32)
-        src_x = mvs[..., 2].astype(np.int32)
-        src_y = mvs[..., 3].astype(np.int32)
-        dev_counts = np.where(counts < 0, 0, counts).astype(np.int32)
-        _, motion = op(dst_x, dst_y, src_x, src_y, dev_counts)
-        out = np.asarray(motion).copy()
-        for i in np.nonzero(counts < 0)[0]:
-            # overflow: the device saw a truncated list; fall back to the
-            # oracle over the truncated data we do have (best effort) —
-            # callers control M to make this unreachable in practice.
-            out[i] = oracle.check_frame(
-                mvs[i].astype(np.int64), self.geom.gw, self.geom.gh,
-                threshold_sq=self.cfg.mv_threshold_sq,
-                block_shift=self.cfg.block_shift,
-                y_min=self.geom.y_min, y_max=self.geom.y_max,
-                vectors_needed=self.cfg.vectors_needed,
-                clusters_needed=self.cfg.clusters_needed)
-        return out
+        # pad the batch to device_batch multiples so every dispatch reuses
+        # one compiled program (zero-count pad frames decide False and are
+        # sliced off in resolve)
+        db = self.device_batch
+        m = mvs.shape[1]
+        futures = []
+        for lo in range(0, n, db):
+            hi = min(lo + db, n)
+            batch = np.zeros((db, m, 4), mvs.dtype)
+            batch[:hi - lo] = mvs[lo:hi]
+            cnts = np.zeros((db,), np.int32)
+            cnts[:hi - lo] = counts[lo:hi]
+            if self.device is not None:
+                batch = jax.device_put(batch, self.device)
+            fields = jnp.asarray(batch).astype(jnp.int32)
+            _, motion = op(fields[..., 0], fields[..., 1],
+                           fields[..., 2], fields[..., 3],
+                           jnp.asarray(cnts))
+            futures.append((lo, hi, motion))
+
+        def resolve():
+            out = np.zeros((n,), bool)
+            for lo, hi, motion in futures:
+                out[lo:hi] = np.asarray(motion)[:hi - lo]
+            return out
+
+        return resolve
+
+    def scan_raw_mvs(self, mvs: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Host entry for the raw-MV path (see scan_raw_mvs_async)."""
+        return self.scan_raw_mvs_async(mvs, counts)()

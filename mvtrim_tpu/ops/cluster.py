@@ -159,6 +159,39 @@ def make_cluster_op_pallas(geom: GridGeometry, vectors_needed: int,
     return op
 
 
+def make_cluster_bits_op_xla(geom: GridGeometry, clusters_needed: int):
+    """Bit-packed input variant: bits uint8 [B, gh, ceil(gw/8)] ->
+    (counts i32, motion bool).
+
+    The host packs the *thresholded* activity mask (native mvt_scan_bits:
+    bit k of byte j = cell x=j*8+k had votes >= VECTORS_NEEDED), so the
+    device unpacks to a 0/1 grid and runs the cluster rule with an
+    effective vote threshold of 1 — the identical decision with 8x less
+    H2D traffic.  Unpack + pad fuse into the cluster pass under jit; HBM
+    still sees one read of the (now tiny) input per frame.
+    """
+    gh, gw = geom.gh, geom.gw
+    gwb = (gw + 7) // 8
+
+    @jax.jit
+    def op(bits):
+        b = bits.shape[0]
+        shifts = jnp.arange(8, dtype=jnp.uint8)          # little bitorder
+        unpacked = (bits[..., None] >> shifts) & jnp.uint8(1)
+        active = unpacked.reshape(b, gh, gwb * 8)[:, :, :gw].astype(jnp.int32)
+        active = jnp.pad(active, ((0, 0), (0, geom.padded_gh - gh),
+                                  (0, geom.padded_gw - gw)))
+        counts = _cluster_body(active, geom, 1)
+        return counts, counts >= jnp.int32(max(1, clusters_needed))
+
+    return op
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_bits_op(geom: GridGeometry, clusters_needed: int):
+    return make_cluster_bits_op_xla(geom, clusters_needed)
+
+
 @functools.lru_cache(maxsize=64)
 def _cached_op(geom: GridGeometry, vectors_needed: int, clusters_needed: int,
                backend: str, interpret: bool):

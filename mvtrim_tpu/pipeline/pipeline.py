@@ -247,6 +247,23 @@ class ProcessingPipeline:
         geom = detector.geom
         frame_skip = cfg.frame_skip(fps)
 
+        # H2D payload for the MV path (MVT_SCAN_INPUT):
+        #   bits   — host-thresholded activity masks, bit-packed (default;
+        #            8x less transfer than grids, identical decision)
+        #   grids  — uint8 vote grids (full counts; required by MVT_HEATMAP
+        #            only for historical reasons — bits carries it too)
+        #   mv_raw — raw MV fields, thresholding+scatter on device (for
+        #            hosts where the scatter CPU is the constraint)
+        scan_input = cfg.scan_input if kind == "mv" else "luma"
+        if kind == "mv" and scan_input not in ("bits", "grids", "mv_raw"):
+            log.warn(f"Unknown MVT_SCAN_INPUT={scan_input!r}; using bits",
+                     sid)
+            scan_input = "bits"
+        if scan_input == "mv_raw" and cfg.heatmap_path:
+            log.warn("MVT_HEATMAP is unavailable with MVT_SCAN_INPUT="
+                     "mv_raw (no per-cell grids on host); skipping heatmap",
+                     sid)
+
         num_chunks = max(1, math.ceil(self.duration /
                                       cfg.chunk_duration_sec))
         n_threads = self._scan_thread_count(num_chunks)
@@ -269,10 +286,17 @@ class ProcessingPipeline:
         # compilation are host-CPU-heavy and would otherwise contend with
         # the decoders (painful on small hosts / remote-compile setups).
         warm_t0 = time.perf_counter_ns()
-        if kind == "mv":
-            detector.scan_votes(np.zeros((1, geom.gh, geom.gw), np.uint8))
-        else:
+        if kind != "mv":
             detector.scan_luma(np.zeros((2, height, width), np.uint8))
+        elif scan_input == "bits":
+            detector.scan_bits(
+                np.zeros((1, geom.gh, (geom.gw + 7) // 8), np.uint8))
+        elif scan_input == "mv_raw":
+            detector.scan_raw_mvs(
+                np.zeros((1, cfg.mv_capacity, 4), np.int16),
+                np.zeros((1,), np.int32))
+        else:
+            detector.scan_votes(np.zeros((1, geom.gh, geom.gw), np.uint8))
         warmup_us = (time.perf_counter_ns() - warm_t0) // 1000
 
         setup_t0 = time.perf_counter_ns()
@@ -311,12 +335,25 @@ class ProcessingPipeline:
                     task = tasks.get()
                     if task is None:
                         break
-                    if kind == "mv":
-                        # resume when the frame cap saturates (VFR bursts
-                        # can exceed the probed-fps estimate; silently
-                        # dropping the chunk tail would lose motion)
-                        start = task.start
-                        while start < task.end:
+                    # resume when the frame cap saturates (VFR bursts can
+                    # exceed the probed-fps estimate; silently dropping the
+                    # chunk tail would lose motion); the luma path also
+                    # sub-chunks when its memory cap binds
+                    start = task.start
+                    while start < task.end:
+                        if scan_input == "bits":
+                            data, pts = reader.scan_bits(
+                                start, task.end,
+                                threshold_sq=cfg.mv_threshold_sq,
+                                block_shift=cfg.block_shift,
+                                gw=geom.gw, gh=geom.gh,
+                                y_min=geom.y_min, y_max=geom.y_max,
+                                vectors_needed=cfg.vectors_needed,
+                                frame_skip=frame_skip,
+                                max_frames=max_frames,
+                                timing=timings[widx])
+                            item = ("bits", data, pts)
+                        elif scan_input == "grids":
                             data, pts = reader.scan_grids(
                                 start, task.end,
                                 threshold_sq=cfg.mv_threshold_sq,
@@ -326,27 +363,42 @@ class ProcessingPipeline:
                                 frame_skip=frame_skip,
                                 max_frames=max_frames,
                                 timing=timings[widx])
-                            if len(pts) == 0:
-                                break
-                            results.put((data, pts))
-                            if len(pts) < max_frames:
-                                break
-                            start = float(pts[-1]) + 1e-6
-                    else:
-                        # sub-chunk if the luma cap is smaller than the
-                        # chunk's frame count
-                        start = task.start
-                        while start < task.end:
+                            item = ("grids", data, pts)
+                        elif scan_input == "mv_raw":
+                            mvs, counts, pts = reader.scan_mvs(
+                                start, task.end, frame_skip=frame_skip,
+                                max_frames=max_frames,
+                                max_mv=cfg.mv_capacity,
+                                timing=timings[widx])
+                            if len(pts) and (counts < 0).any():
+                                # capacity overflow: re-decode the range
+                                # with a capacity that fits every frame so
+                                # the decision is over the COMPLETE MV
+                                # list (the feeder decides these on the
+                                # host oracle — exact, and no device
+                                # recompile for a rare path)
+                                cap = 1 << int(np.ceil(np.log2(
+                                    -counts.min())))
+                                mvs, counts, pts = reader.scan_mvs(
+                                    start, task.end,
+                                    frame_skip=frame_skip,
+                                    max_frames=max_frames, max_mv=cap,
+                                    timing=timings[widx])
+                                item = ("mv_host", (mvs, counts), pts)
+                            else:
+                                item = ("mv", (mvs, counts), pts)
+                        else:
                             data, pts = reader.scan_luma(
                                 start, task.end, frame_skip=frame_skip,
                                 max_frames=max_frames,
                                 timing=timings[widx])
-                            if len(pts) == 0:
-                                break
-                            results.put((data, pts))
-                            if len(pts) < max_frames:
-                                break
-                            start = float(pts[-1]) + 1e-6
+                            item = ("luma", data, pts)
+                        if len(pts) == 0:
+                            break
+                        results.put(item)
+                        if len(pts) < max_frames:
+                            break
+                        start = float(pts[-1]) + 1e-6
                 reader.close()
             except Exception as e:  # noqa: BLE001 — surfaced after join
                 errors.append(e)
@@ -370,7 +422,8 @@ class ProcessingPipeline:
         done_workers = 0
         # optional spatial analytics riding the already-decoded grids
         heat_acc = (np.zeros((geom.gh, geom.gw), np.int64)
-                    if (cfg.heatmap_path and kind == "mv") else None)
+                    if (cfg.heatmap_path and kind == "mv"
+                        and scan_input != "mv_raw") else None)
         while done_workers < n_threads:
             item = results.get()
             if item is None:
@@ -378,11 +431,30 @@ class ProcessingPipeline:
                 continue
             if errors:
                 continue  # drain only; a failure is already recorded
-            data, pts = item
+            tag, data, pts = item
             t0 = time.perf_counter_ns()
             try:
-                if kind == "mv":
+                if tag == "bits":
+                    resolver = detector.scan_bits_async(data)
+                elif tag == "grids":
                     resolver = detector.scan_votes_async(data)
+                elif tag == "mv":
+                    resolver = detector.scan_raw_mvs_async(*data)
+                elif tag == "mv_host":
+                    # overflow re-scan: decide on the host oracle over the
+                    # complete (re-decoded) MV lists — bit-exact, rare
+                    mvs, counts = data
+                    motion = np.array([
+                        oracle.check_frame(
+                            mvs[i, :counts[i]].astype(np.int64),
+                            geom.gw, geom.gh,
+                            threshold_sq=cfg.mv_threshold_sq,
+                            block_shift=cfg.block_shift,
+                            y_min=geom.y_min, y_max=geom.y_max,
+                            vectors_needed=cfg.vectors_needed,
+                            clusters_needed=cfg.clusters_needed)
+                        for i in range(len(pts))], dtype=bool)
+                    resolver = (lambda m=motion: m)
                 else:
                     motion = detector.scan_luma(data)
                     resolver = (lambda m=motion: m)
@@ -392,8 +464,14 @@ class ProcessingPipeline:
             device_us += (time.perf_counter_ns() - t0) // 1000
             frames_scanned += len(pts)
             if heat_acc is not None:
-                heat_acc += (data >= cfg.vectors_needed).sum(
-                    axis=0, dtype=np.int64)
+                if tag == "bits":
+                    heat_acc += np.unpackbits(
+                        data, axis=2,
+                        bitorder="little")[:, :, :geom.gw].sum(
+                            axis=0, dtype=np.int64)
+                elif tag == "grids":
+                    heat_acc += (data >= cfg.vectors_needed).sum(
+                        axis=0, dtype=np.int64)
             pending.append((pts, resolver))
 
         motion_ts: list[float] = []

@@ -164,6 +164,7 @@ struct MvtHandle {
   int video_idx = -1;
   double time_base = 0.0;
   int mode = MVT_MODE_MV;
+  bool scanned = false;  // has any scan_loop consumed from this handle?
 
   ~MvtHandle() {
     if (dec) avcodec_free_context(&dec);
@@ -257,6 +258,9 @@ MVT_EXPORT MvtHandle *mvt_open(const char *path, int mode, char *err,
   }
   // MVT_MODE_MV_FULL: default decode, every frame (extract_mvs contract).
   h->dec->thread_count = 1;  // parallelism lives at the chunk level
+  // Slice threading keeps the (single-threaded) decoder on the cheap
+  // slice path instead of frame-threading setup (motion_scanner.cpp:161-162).
+  h->dec->thread_type = FF_THREAD_SLICE;
 
   AVDictionary *opts = nullptr;
   if (mode == MVT_MODE_MV || mode == MVT_MODE_MV_FULL) {
@@ -311,12 +315,17 @@ long scan_loop(MvtHandle *h, double start, double end, int frame_skip,
 
   // The reference only seeks when start > 0 (motion_scanner.cpp:321-325)
   // because each of its scanners is used once from byte 0.  Our handles are
-  // reusable across ranges, so we always rewind; a BACKWARD seek to ts 0
-  // lands on the first keyframe — the same frames a fresh decoder sees.
+  // reusable across ranges, so we rewind on reuse; a fresh handle asked for
+  // start=0 is already positioned at byte 0 and skips the seek+flush like
+  // the reference does (a BACKWARD seek to ts 0 would land on the same
+  // first keyframe, but the flush costs decoder re-priming time).
   auto t0 = Clock::now();
-  int64_t seek_ts = static_cast<int64_t>(start / h->time_base);
-  av_seek_frame(h->fmt, h->video_idx, seek_ts, AVSEEK_FLAG_BACKWARD);
-  avcodec_flush_buffers(h->dec);
+  if (h->scanned || start > 0) {
+    int64_t seek_ts = static_cast<int64_t>(start / h->time_base);
+    av_seek_frame(h->fmt, h->video_idx, seek_ts, AVSEEK_FLAG_BACKWARD);
+    avcodec_flush_buffers(h->dec);
+  }
+  h->scanned = true;
   seek_us = us_since(t0);
 
   int frame_count = 0;
@@ -411,6 +420,74 @@ MVT_EXPORT long mvt_scan_grids(MvtHandle *h, double start, double end,
       });
 }
 
+// Bit-packed activity-mask scatter: same decode + vote loop as
+// mvt_scan_grids, but the per-frame output is the *thresholded* activity
+// mask (cell >= vectors_needed) packed little-endian along x — bit k of
+// byte j covers grid x = j*8+k (numpy unpackbits bitorder='little').
+// Exactness: the reference's phase-2 cluster test (motion_scanner.cpp:
+// 277-293) reads votes only through `>= VECTORS_NEEDED` comparisons, so
+// the boolean mask carries the full decision.  Packing shrinks H2D to
+// gh*ceil(gw/8) bytes/frame — 8x less PCIe (or tunnel) traffic than the
+// uint8 grids, which is what feeds the 50k frames/s/chip target.
+MVT_EXPORT long mvt_scan_bits(MvtHandle *h, double start, double end,
+                              double threshold_sq, int block_shift, int gw,
+                              int gh, int y_min, int y_max,
+                              int vectors_needed, int frame_skip,
+                              long max_frames, uint8_t *out_bits,
+                              double *out_pts, long long *timing_us) {
+  const size_t grid_cells = static_cast<size_t>(gw) * gh;
+  const int gwb = (gw + 7) / 8;
+  const size_t bits_per_frame = static_cast<size_t>(gwb) * gh;
+  std::vector<uint8_t> grid(grid_cells);
+  return scan_loop(
+      h, start, end, frame_skip, max_frames, timing_us,
+      [&](AVFrame *f, double pts, long slot) {
+        uint8_t *bits = out_bits + static_cast<size_t>(slot) * bits_per_frame;
+        std::memset(bits, 0, bits_per_frame);
+        out_pts[slot] = pts;
+
+        AVFrameSideData *sd =
+            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+        if (sd) {
+          if (timing_us) timing_us[3]++;
+          std::memset(grid.data(), 0, grid_cells);
+          const auto *mvs =
+              reinterpret_cast<const AVMotionVector *>(sd->data);
+          const int count =
+              static_cast<int>(sd->size / sizeof(AVMotionVector));
+          for (int i = 0; i < count; ++i) {
+            const AVMotionVector *mv = &mvs[i];
+            int dx = mv->dst_x - mv->src_x;
+            int dy = mv->dst_y - mv->src_y;
+            int mag_sq = dx * dx + dy * dy;
+            if (mag_sq < threshold_sq) continue;
+            int gx = mv->dst_x >> block_shift;
+            int gy = mv->dst_y >> block_shift;
+            if (gx >= 0 && gx < gw && gy >= y_min && gy < y_max) {
+              uint8_t &cell = grid[static_cast<size_t>(gy) * gw + gx];
+              if (cell < 255) cell++;
+            }
+          }
+          for (int y = 0; y < gh; ++y) {
+            const uint8_t *row = grid.data() + static_cast<size_t>(y) * gw;
+            uint8_t *brow = bits + static_cast<size_t>(y) * gwb;
+            for (int x = 0; x < gw; ++x) {
+              if (row[x] >= vectors_needed)
+                brow[x >> 3] |= static_cast<uint8_t>(1u << (x & 7));
+            }
+          }
+        } else if (vectors_needed <= 0) {
+          // degenerate config: zero votes still satisfy >= 0
+          std::memset(bits, 0xFF, bits_per_frame);
+          if (gw & 7) {
+            const uint8_t tail =
+                static_cast<uint8_t>((1u << (gw & 7)) - 1u);
+            for (int y = 0; y < gh; ++y) bits[y * gwb + gwb - 1] = tail;
+          }
+        }
+      });
+}
+
 // Multi-threshold vote scatter: one decode pass produces K vote grids per
 // frame, one per MV_THRESHOLD_SQ candidate (each byte-exact to the
 // reference phase-1 loop at that threshold).  The config-sweep tool rides
@@ -473,6 +550,7 @@ MVT_EXPORT long mvt_scan_mvs(MvtHandle *h, double start, double end,
           out_counts[slot] = 0;
           return;
         }
+        if (timing_us) timing_us[3]++;  // frames that carried MV side data
         const auto *mvs = reinterpret_cast<const AVMotionVector *>(sd->data);
         const long count =
             static_cast<long>(sd->size / sizeof(AVMotionVector));
@@ -1109,4 +1187,4 @@ MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 5; }
+MVT_EXPORT int mvt_abi_version() { return 6; }

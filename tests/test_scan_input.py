@@ -1,0 +1,143 @@
+"""MVT_SCAN_INPUT path parity: bits (default), grids, mv_raw.
+
+The three H2D payloads must produce identical motion decisions — the
+packed-bits path because the cluster rule reads votes only through
+``>= VECTORS_NEEDED`` (reference motion_scanner.cpp:277-293), the raw-MV
+path because on-device thresholding reproduces the phase-1 vote loop
+(motion_scanner.cpp:242-268).  Also covers the MV-capacity overflow
+contract: truncated lists are never decided; the pipeline re-decodes at a
+fitting capacity and decides on the complete list.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.io import native
+from mvtrim_tpu.models.mv_detector import MVClusterDetector
+from mvtrim_tpu.pipeline.pipeline import ProcessingPipeline
+from mvtrim_tpu.utils.timing import TimingCollector
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    # 360px width -> gw=23 (not byte-aligned: exercises packed tail bits)
+    path = str(tmp_path_factory.mktemp("scaninput") / "motion.mp4")
+    native.synthesize(path, width=360, height=240, fps=25.0, duration=16.0,
+                      codec="libx264",
+                      motion_windows=((2.0, 4.0), (10.0, 12.0)))
+    return path
+
+
+@pytest.fixture(autouse=True)
+def clear_timing():
+    TimingCollector.clear()
+    yield
+    TimingCollector.clear()
+
+
+def _scan_both(clip, cfg, geom):
+    with native.VideoReader(clip) as r:
+        grids, pts_g = r.scan_grids(
+            0.0, r.duration + 1, threshold_sq=cfg.mv_threshold_sq,
+            block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+            y_min=geom.y_min, y_max=geom.y_max, max_frames=600)
+    with native.VideoReader(clip) as r:
+        bits, pts_b = r.scan_bits(
+            0.0, r.duration + 1, threshold_sq=cfg.mv_threshold_sq,
+            block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+            y_min=geom.y_min, y_max=geom.y_max,
+            vectors_needed=cfg.vectors_needed, max_frames=600)
+    return grids, pts_g, bits, pts_b
+
+
+class TestNativeScanBits:
+    def test_bits_match_thresholded_grids(self, clip):
+        cfg = Config()
+        with native.VideoReader(clip) as r:
+            geom = MVClusterDetector(r.width, r.height, cfg).geom
+        grids, pts_g, bits, pts_b = _scan_both(clip, cfg, geom)
+        assert len(pts_g) == len(pts_b)
+        np.testing.assert_array_equal(pts_g, pts_b)
+        expected = np.packbits(grids >= cfg.vectors_needed, axis=2,
+                               bitorder="little")
+        np.testing.assert_array_equal(bits, expected)
+
+    def test_bits_zero_threshold_all_active(self, clip):
+        """vectors_needed=0: every cell (incl. zero-vote) satisfies >= 0."""
+        cfg = Config(vectors_needed=0)
+        with native.VideoReader(clip) as r:
+            geom = MVClusterDetector(r.width, r.height, cfg).geom
+            bits, pts = r.scan_bits(
+                0.0, 1.0, threshold_sq=cfg.mv_threshold_sq,
+                block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                y_min=geom.y_min, y_max=geom.y_max,
+                vectors_needed=0, max_frames=30)
+        active = np.unpackbits(bits, axis=2,
+                               bitorder="little")[:, :, :geom.gw]
+        assert active.all()
+        # padding bits past gw stay zero
+        tail = np.unpackbits(bits, axis=2, bitorder="little")[:, :, geom.gw:]
+        assert not tail.any()
+
+
+class TestDetectorBits:
+    @pytest.mark.parametrize("backend", ["xla", "oracle"])
+    def test_bits_decision_equals_grids(self, backend):
+        rng = np.random.default_rng(7)
+        cfg = Config(scan_backend=backend, device_batch=32)
+        det = MVClusterDetector(360, 240, cfg)
+        grids = rng.integers(0, 5, size=(70, det.geom.gh, det.geom.gw),
+                             dtype=np.uint8)
+        packed = np.packbits(grids >= cfg.vectors_needed, axis=2,
+                             bitorder="little")
+        np.testing.assert_array_equal(det.scan_bits(packed),
+                                      det.scan_votes(grids))
+
+    def test_raw_mvs_overflow_raises(self):
+        cfg = Config()
+        det = MVClusterDetector(360, 240, cfg)
+        mvs = np.zeros((3, 16, 4), np.int16)
+        counts = np.array([4, -40, 2], np.int32)
+        with pytest.raises(ValueError, match="overflow"):
+            det.scan_raw_mvs(mvs, counts)
+
+
+class TestPipelineParity:
+    def _run(self, clip, out, **cfg_kw):
+        cfg = Config(device_batch=64, **cfg_kw)
+        p = ProcessingPipeline(clip, out, cfg=cfg)
+        assert p.run() == 0
+        return p.time_removed, p.saved_pct, os.path.getsize(out)
+
+    def test_all_inputs_identical_cuts(self, clip, tmp_path):
+        results = {}
+        for inp in ("bits", "grids", "mv_raw"):
+            out = str(tmp_path / f"out_{inp}.mp4")
+            results[inp] = self._run(clip, out, scan_input=inp)
+        assert results["bits"] == results["grids"] == results["mv_raw"]
+
+    def test_mv_raw_overflow_rescan_exact(self, clip, tmp_path):
+        """A capacity far below real MV counts forces the overflow
+        re-decode + host-oracle path; the cut must be unchanged."""
+        ref = self._run(clip, str(tmp_path / "ref.mp4"),
+                        scan_input="grids")
+        ovf = self._run(clip, str(tmp_path / "ovf.mp4"),
+                        scan_input="mv_raw", mv_capacity=8)
+        assert ovf == ref
+
+    def test_heatmap_identical_bits_vs_grids(self, clip, tmp_path):
+        heats = {}
+        for inp in ("bits", "grids"):
+            hp = str(tmp_path / f"heat_{inp}.json")
+            out = str(tmp_path / f"hout_{inp}.mp4")
+            cfg = Config(device_batch=64, scan_input=inp, heatmap_path=hp)
+            assert ProcessingPipeline(clip, out, cfg=cfg).run() == 0
+            TimingCollector.clear()
+            with open(hp) as f:
+                heats[inp] = json.load(f)
+            heats[inp].pop("input")
+        assert heats["bits"] == heats["grids"]
