@@ -120,6 +120,35 @@ def make_cluster_op_xla(geom: GridGeometry, vectors_needed: int,
     return op
 
 
+def cluster_map_kernel(v_i32, geom: GridGeometry, vectors_needed: int):
+    """In-kernel cluster map over int32 votes [..., GH, GW] (Mosaic body).
+
+    Uses native lane/sublane rotates (pltpu.roll) for the 4-neighbor max
+    when the geometry has padding margin: with gh < padded_gh and
+    gw < padded_gw, every wrapped-in row/column is either the zero
+    padding (same value _shift2d's zero fill produces) or lands outside
+    the center mask — bit-identical semantics, no padded int32 copies.
+    The neighbor-and-active test folds to one compare via
+    min(v, neighbor_max) >= t  <=>  v >= t AND neighbor_max >= t.
+    Falls back to the shift/pad formulation when the grid exactly fills
+    the padded tile (no margin to wrap through).
+    """
+    from jax.experimental.pallas import tpu as _pltpu
+
+    gh_p, gw_p = v_i32.shape[-2], v_i32.shape[-1]
+    thr = jnp.int32(vectors_needed)
+    mask = _center_mask(geom, gh_p, gw_p)
+    if geom.gh < gh_p and geom.gw < gw_p:
+        neighbor_max = jnp.maximum(
+            jnp.maximum(_pltpu.roll(v_i32, 1, v_i32.ndim - 1),
+                        _pltpu.roll(v_i32, gw_p - 1, v_i32.ndim - 1)),
+            jnp.maximum(_pltpu.roll(v_i32, 1, v_i32.ndim - 2),
+                        _pltpu.roll(v_i32, gh_p - 1, v_i32.ndim - 2)),
+        )
+        return (jnp.minimum(v_i32, neighbor_max) >= thr) & mask
+    return _cluster_map(v_i32, geom, vectors_needed)
+
+
 def make_cluster_op_pallas(geom: GridGeometry, vectors_needed: int,
                            clusters_needed: int, block_b: int = 64,
                            interpret: bool = False):
@@ -129,10 +158,11 @@ def make_cluster_op_pallas(geom: GridGeometry, vectors_needed: int,
     B a multiple of block_b.  Output is ([B] i32 counts, [B] bool motion).
     """
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
+    body = _cluster_map if interpret else cluster_map_kernel
 
     def kernel(votes_ref, counts_ref):
         v = votes_ref[:].astype(jnp.int32)          # [block_b, GH, GW]
-        cluster = _cluster_map(v, geom, vectors_needed).astype(jnp.int32)
+        cluster = body(v, geom, vectors_needed).astype(jnp.int32)
         # Mosaic requires >=2D shapes at every reduction step: reduce the
         # lane dim first, then the sublane dim with keepdims -> [block_b, 1].
         row_sums = jnp.sum(cluster, axis=2)                 # [block_b, GH]
