@@ -1,0 +1,120 @@
+"""Opt-in real-TPU smoke tests (`MVT_TPU_TESTS=1 python -m pytest -m tpu`).
+
+The regular suite runs on the CPU backend (conftest forces it) because the
+single-chip TPU in this environment serializes device grants and compiles
+take 20-140s.  That leaves Mosaic lowering and device layouts covered only
+by bench.py — these tests close the gap: they drive the full pipeline and
+the pallas cluster kernel (incl. the pltpu.roll neighbor path) on the
+actual device in a SUBPROCESS with a clean backend config (the parent test
+process has already pinned jax to CPU).
+
+Run exactly one TPU test process at a time (device-grant serialization):
+pytest runs them sequentially in one worker, which is fine.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from mvtrim_tpu.io import native
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(os.environ.get("MVT_TPU_TESTS") != "1",
+                       reason="real-TPU smoke tests are opt-in "
+                              "(set MVT_TPU_TESTS=1)"),
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tpu_env():
+    """Subprocess env with the CPU-forcing knobs stripped so the
+    environment's real backend (axon TPU) registers."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    flags = env.get("XLA_FLAGS", "")
+    flags = " ".join(f for f in flags.split()
+                     if "xla_force_host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = flags
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run_py(code: str, timeout: float = 560.0):
+    return subprocess.run([sys.executable, "-c", code], env=_tpu_env(),
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def tiny_clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tpu") / "tiny.mp4")
+    native.synthesize(path, width=640, height=480, fps=25.0, duration=8.0,
+                      codec="libx264", motion_windows=((1.0, 3.0),))
+    return path
+
+
+def test_pipeline_on_device(tiny_clip, tmp_path):
+    """Full single-file pipeline on the real chip (default bits path)."""
+    out = str(tmp_path / "out.mp4")
+    code = f"""
+import json, sys
+import jax
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected an accelerator, got {{dev}}"
+from mvtrim_tpu.pipeline.pipeline import ProcessingPipeline
+from mvtrim_tpu.core.config import Config
+p = ProcessingPipeline({tiny_clip!r}, {out!r}, cfg=Config())
+rc = p.run()
+print(json.dumps({{"rc": rc, "saved_pct": p.saved_pct,
+                   "device": str(dev)}}))
+"""
+    r = _run_py(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["rc"] == 0
+    assert 40.0 < rec["saved_pct"] < 90.0
+    assert os.path.exists(out)
+
+
+def test_pallas_cluster_kernel_on_device(tiny_clip, tmp_path):
+    """Pallas cluster op (roll/min-combine Mosaic path) vs the oracle on
+    the real chip — catches Mosaic layout/lowering regressions the CPU
+    interpreter cannot."""
+    code = """
+import json
+import numpy as np
+import jax
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected an accelerator, got {dev}"
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core import oracle
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.ops import cluster as cluster_ops
+
+cfg = Config()
+geom = GridGeometry.build(1920, 1080, cfg)
+rng = np.random.default_rng(3)
+grids = rng.integers(0, 6, size=(128, geom.gh, geom.gw), dtype=np.uint8)
+padded = np.zeros((128, geom.padded_gh, geom.padded_gw), np.uint8)
+padded[:, :geom.gh, :geom.gw] = grids
+
+op = cluster_ops.make_cluster_op_pallas(
+    geom, cfg.vectors_needed, cfg.clusters_needed, block_b=64)
+counts, motion = op(jax.device_put(padded))
+expected = oracle.count_clusters_batch(
+    grids, vectors_needed=cfg.vectors_needed,
+    y_min=geom.y_min, y_max=geom.y_max)
+ok_counts = bool((np.asarray(counts) == expected).all())
+need = oracle.effective_clusters_needed(cfg.clusters_needed)
+ok_motion = bool((np.asarray(motion) == (expected >= need)).all())
+print(json.dumps({"ok_counts": ok_counts, "ok_motion": ok_motion}))
+"""
+    r = _run_py(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec == {"ok_counts": True, "ok_motion": True}
