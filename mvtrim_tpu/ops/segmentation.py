@@ -6,7 +6,9 @@ for device-resident analytics over very long archives: given per-frame
 motion booleans and timestamps (already merged/sorted along the time
 axis), it computes segment boundaries inside jit via a ``lax.scan`` carry,
 so multi-chip sweeps can reduce segment statistics (kept seconds, segment
-counts, savings) without a host round trip per batch.
+counts, savings) without a host round trip per batch.  Product consumer:
+``tools/tune.py --device-stats`` vmaps this op over the whole config grid
+and fetches the entire stats table in one round trip.
 
 Semantics mirror the oracle: a new segment starts when the gap between
 consecutive motion timestamps exceeds max_gap (strict >); each segment is

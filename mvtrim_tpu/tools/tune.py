@@ -32,7 +32,22 @@ from ..ops.sweep import make_vote_sweep_op
 
 
 def sweep(input_path: str, thresholds, vectors, clusters, *,
-          cfg: Config | None = None, batch_frames: int = 512) -> list[dict]:
+          cfg: Config | None = None, batch_frames: int = 512,
+          device_stats: bool = False) -> list[dict]:
+    """Score every config combination over one decode.
+
+    ``device_stats=False`` (default): per-batch motion booleans come back
+    to the host and segmentation/savings run through the float64 oracle —
+    bit-exact with what a pipeline run at that config would decide.
+
+    ``device_stats=True``: motion stays device-resident for the whole
+    scan; at the end ONE vmapped dispatch of the streaming segmentation
+    op (ops/segmentation.py lax.scan carry) produces the entire
+    (threshold x config) stats table — segment counts, kept seconds,
+    savings — with a single host round trip.  Timestamps are f32 on
+    device, so savings can differ from the oracle in the last decimals;
+    use it for tuning sweeps, not for cut lists.
+    """
     import jax
 
     cfg = cfg or Config.from_env()
@@ -48,11 +63,14 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     op = make_vote_sweep_op(geom)
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
 
-    # motion_ts[(threshold index, vc index)] -> timestamps
+    # motion_ts[(threshold index, vc index)] -> timestamps (host path)
     motion_ts: dict[tuple[int, int], list[float]] = {
         (ti, vi): [] for ti in range(len(thresholds))
         for vi in range(len(vc_pairs))
     }
+    # device path: per-threshold lists of (motion device array, n_valid)
+    dev_motion: list[list] = [[] for _ in thresholds]
+    all_pts: list[np.ndarray] = []
 
     t = 0.0
     chunk = cfg.chunk_duration_sec
@@ -67,20 +85,69 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
         t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
         if len(pts) == 0:
             continue
+        if device_stats:
+            all_pts.append(pts)
         for lo in range(0, len(pts), batch_frames):
             hi = min(lo + batch_frames, len(pts))
-            pad = batch_frames - (hi - lo)
             for ti in range(len(thresholds)):
                 batch = np.zeros((batch_frames, gh_p, gw_p), np.uint8)
                 batch[:hi - lo, :geom.gh, :geom.gw] = grids[lo:hi, ti]
-                motion = np.asarray(op(batch, vec_needs, clust_needs))
-                for vi in range(len(vc_pairs)):
-                    sel = motion[:hi - lo, vi]
-                    motion_ts[(ti, vi)].extend(pts[lo:hi][sel].tolist())
-            del pad
+                motion = op(batch, vec_needs, clust_needs)
+                if device_stats:
+                    # async dispatch; resolution happens on-device at the
+                    # end via the segmentation op — no host round trip
+                    dev_motion[ti].append((motion, hi - lo))
+                else:
+                    motion = np.asarray(motion)
+                    for vi in range(len(vc_pairs)):
+                        sel = motion[:hi - lo, vi]
+                        motion_ts[(ti, vi)].extend(pts[lo:hi][sel].tolist())
     reader.close()
 
     results = []
+    if device_stats:
+        import jax.numpy as jnp
+        from ..ops.segmentation import make_segment_op
+
+        # segment capacity: the gap rule bounds how many segments can fit
+        max_segments = min(4096, int(duration /
+                                     max(1e-6, cfg.max_gap_sec)) + 2)
+        seg_op = make_segment_op(max_segments,
+                                 max_gap_sec=cfg.max_gap_sec,
+                                 padding_sec=cfg.padding_sec)
+        ts = jnp.asarray(np.concatenate(all_pts) if all_pts
+                         else np.zeros((1,)), jnp.float32)
+        dur = jnp.float32(duration)
+
+        def per_threshold(parts):
+            motion = jnp.concatenate(
+                [m[:n] for m, n in parts], axis=0)          # [N, K]
+            starts, ends, count, kept = jax.vmap(
+                lambda col: seg_op(ts, col, dur), in_axes=1)(motion)
+            return count, kept, motion.sum(axis=0)
+
+        for ti, thr in enumerate(thresholds):
+            if not dev_motion[ti]:
+                count = kept = frames = np.zeros((len(vc_pairs),))
+            else:
+                count, kept, frames = (np.asarray(x)
+                                       for x in per_threshold(
+                                           dev_motion[ti]))
+            for vi, (vec, clu) in enumerate(vc_pairs):
+                kept_s = float(kept[vi])
+                saved = 100.0 * max(0.0, duration - kept_s) / duration \
+                    if duration > 0 else 0.0
+                results.append({
+                    "mv_threshold_sq": thr,
+                    "vectors_needed": vec,
+                    "clusters_needed": clu,
+                    "motion_frames": int(frames[vi]),
+                    "segments": int(count[vi]),
+                    "saved_pct": round(saved, 2),
+                    "stats": "device_f32",
+                })
+        return results
+
     for ti, thr in enumerate(thresholds):
         for vi, (vec, clu) in enumerate(vc_pairs):
             merged = oracle.merge_timestamps(motion_ts[(ti, vi)])
@@ -105,12 +172,16 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--thresholds", default="4,16,64")
     parser.add_argument("--vectors", default="1,2,4")
     parser.add_argument("--clusters", default="1,2,4")
+    parser.add_argument("--device-stats", action="store_true",
+                        help="compute the stats table with the device "
+                             "segmentation op (one host round trip; f32)")
     args = parser.parse_args(argv)
 
     thresholds = [float(x) for x in args.thresholds.split(",")]
     vectors = [int(x) for x in args.vectors.split(",")]
     clusters = [int(x) for x in args.clusters.split(",")]
-    results = sweep(args.input, thresholds, vectors, clusters)
+    results = sweep(args.input, thresholds, vectors, clusters,
+                    device_stats=args.device_stats)
     print(json.dumps(results, indent=2))
     return 0
 

@@ -84,3 +84,22 @@ class TestTuneTool:
         # the default config's result matches a plain pipeline-style scan
         assert strictest["motion_frames"] > 0
         assert 0 <= strictest["saved_pct"] <= 100
+
+    def test_device_stats_matches_host_path(self, tmp_path):
+        """--device-stats (ops/segmentation.py consumer) agrees with the
+        float64 host path: identical motion/segment counts, savings
+        within f32 slack."""
+        clip = str(tmp_path / "d.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((1.0, 2.5), (5.0, 6.0)))
+        kw = dict(cfg=Config(max_gap_sec=1.0), batch_frames=64)
+        host = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2], **kw)
+        dev = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2],
+                         device_stats=True, **kw)
+        assert len(host) == len(dev) == 8
+        for h, d in zip(host, dev):
+            assert d["stats"] == "device_f32"
+            assert d["motion_frames"] == h["motion_frames"], (h, d)
+            assert d["segments"] == h["segments"], (h, d)
+            assert abs(d["saved_pct"] - h["saved_pct"]) < 0.05, (h, d)
