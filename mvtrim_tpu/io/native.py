@@ -388,3 +388,38 @@ def synthesize(path: str, *, width: int = 640, height: int = 480,
                        len(err))
     if rc != 0:
         raise RuntimeError(f"mvt_synth({path}): {err.value.decode()}")
+
+
+_hevc_mv_capable: bool | None = None
+
+
+def hevc_mv_export_capable() -> bool:
+    """Does the linked libavcodec export HEVC motion-vector side data?
+
+    FFmpeg < 7 exports AV_FRAME_DATA_MOTION_VECTORS only for the
+    mpegvideo/h264 decoder families; the reference deploys FFmpeg 8 built
+    from source (reference Dockerfile:46-65) and scans HEVC MVs natively.
+    This probe encodes a 1s HEVC clip and checks whether any decoded
+    frame carries MV side data — callers gate the HEVC MV path (vs the
+    SAD fallback) and the HEVC parity tests on it.  Cached per process;
+    returns False when no HEVC encoder is linked (probe impossible).
+    """
+    global _hevc_mv_capable
+    if _hevc_mv_capable is not None:
+        return _hevc_mv_capable
+    import tempfile
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            clip = os.path.join(td, "probe.mp4")
+            synthesize(clip, width=160, height=128, fps=25.0, duration=1.0,
+                       codec="libx265", motion_windows=((0.0, 1.0),))
+            with VideoReader(clip) as r:
+                tm = ScanTiming()
+                r.scan_grids(0.0, 2.0, threshold_sq=0.0, block_shift=4,
+                             gw=10, gh=8, y_min=0, y_max=8,
+                             max_frames=30, timing=tm)
+            _hevc_mv_capable = tm.frames_with_mvs > 0
+    except (RuntimeError, OSError):
+        _hevc_mv_capable = False
+    return _hevc_mv_capable

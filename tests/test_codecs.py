@@ -40,6 +40,27 @@ class TestHEVC:
         with native.VideoReader(out) as r:
             assert 2.0 < r.duration < 5.0
 
+    def test_mv_path_when_runtime_capable(self, hevc_clip, tmp_path):
+        """On FFmpeg >= 7 runtimes (deployment image) HEVC rides the MV
+        path natively — no SAD fallback.  Capability-gated: skips on
+        libav builds that export no HEVC MV side data."""
+        if not native.hevc_mv_export_capable():
+            pytest.skip("linked libavcodec exports no HEVC MV side data "
+                        "(FFmpeg < 7); deployment image builds FFmpeg 8")
+        cfg = Config()
+        with native.VideoReader(hevc_clip) as r:
+            from mvtrim_tpu.core.types import GridGeometry
+
+            geom = GridGeometry.build(r.width, r.height, cfg)
+            tm = native.ScanTiming()
+            grids, pts = r.scan_grids(
+                0.0, r.duration + 1, threshold_sq=cfg.mv_threshold_sq,
+                block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                y_min=geom.y_min, y_max=geom.y_max, max_frames=300,
+                timing=tm)
+        assert tm.frames_with_mvs > 0
+        assert grids.sum() > 0  # votes actually landed
+
     def test_min_savings_copy_decision(self, hevc_clip, tmp_path):
         out = str(tmp_path / "hevc_copy.mp4")
         p = ProcessingPipeline(hevc_clip, out,

@@ -118,6 +118,30 @@ class TestConcatListParity:
                                  {"VECTORS_NEEDED": "1"}, tmp_path)
         assert ref is not None and ours == ref
 
+    def test_hevc_clip(self, reference_bin, tmp_path):
+        """HEVC MV side-data path (BASELINE config 3).
+
+        The reference deploys FFmpeg 8, whose hevc decoder exports MV
+        side data; FFmpeg < 7 runtimes (this dev box) export none, so the
+        scenario is capability-gated: it SKIPS (never silently passes)
+        where the linked libavcodec cannot export HEVC MVs.  Both
+        implementations link the same libav here, so when the capability
+        is present this asserts byte-identical HEVC concat lists.
+        """
+        from mvtrim_tpu.io import native
+
+        if not native.hevc_mv_export_capable():
+            pytest.skip("linked libavcodec exports no HEVC MV side data "
+                        "(FFmpeg < 7); deployment image builds FFmpeg 8 "
+                        "— see Dockerfile")
+        clip = str(tmp_path / "hevc.mp4")
+        native.synthesize(clip, width=640, height=480, fps=25.0,
+                          duration=12.0, codec="libx265",
+                          motion_windows=((2.0, 5.0),))
+        ref, ours = both_concats(reference_bin, clip,
+                                 {"VECTORS_NEEDED": "1"}, tmp_path)
+        assert ref is not None and ours == ref
+
     def test_batch_mode(self, reference_bin, clips, tmp_path):
         """Directory batch (BASELINE config 4): per-file concat lists from
         the reference's parallel streams + cut queue match ours."""
