@@ -10,9 +10,13 @@ Known environment caveat: on HTTP-tunneled dev TPUs (axon), the PJRT
 client itself leaks ~the transferred bytes per dispatch (verified with
 bare kernel dispatches and explicit buffer .delete(); the
 MVT_SCAN_BACKEND=oracle daemon shows zero growth, proving framework code
-is leak-free).  Run the soak with MVT_SCAN_BACKEND=oracle on such
-environments, or interpret the growth accordingly; on real TPU VMs the
-device path is expected to plateau.
+is leak-free).  CONFIRMED round 2 from the other side: the same
+device-path soak against a local CPU PJRT client
+(MVT_JAX_PLATFORM=cpu MVT_SCAN_BACKEND=xla, 12 files) plateaus at
+360.7MB with zero growth over the last four files — the leak is the
+tunnel's, not the framework's or standard PJRT's.  For daemons on leaky
+transports, MVT_RSS_LIMIT_MB bounds the damage (drain + exit for a
+supervisor restart).
 
 Usage: python benchmarks/soak_watch.py [--files 10]
 """

@@ -164,11 +164,27 @@ class BatchProcessor:
 
     def _monitor_directory(self, input_dir: str, output_dir: str) -> None:
         poll_count = 0
+        rss_limit = self.cfg.rss_limit_mb
         while not self._stop_watch.is_set():
             try:
                 if poll_count % 15 == 0:
                     log.info(f"[Watch] Monitoring directory: {input_dir} "
                              "(Waiting for new files...)")
+                if rss_limit > 0:
+                    # RSS watchdog: long-lived daemons on leaky transports
+                    # (e.g. HTTP-tunneled PJRT clients — see
+                    # benchmarks/soak_watch.py) grow without a framework
+                    # bug; past the bound we drain and exit so the
+                    # supervisor (docker-compose restart policy, systemd)
+                    # relaunches a fresh process.
+                    rss = system.rss_mb()
+                    if rss > rss_limit:
+                        log.error(
+                            f"[Watch] RSS {rss:.0f}MB exceeds "
+                            f"MVT_RSS_LIMIT_MB={rss_limit:.0f}; stopping "
+                            "watch mode for supervisor restart")
+                        self.stop()
+                        break
                 poll_count += 1
                 for path in list_videos(input_dir):
                     if path in self._seen:

@@ -94,6 +94,7 @@ class Config:
     heatmap_path: str = ""           # write a spatial activity JSON per video
     scan_input: str = "bits"         # bits | grids | mv_raw (H2D payload)
     mv_capacity: int = 8192          # raw-MV rows per frame (mv_raw path)
+    rss_limit_mb: float = 0.0        # watch-mode RSS watchdog (0 = off)
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -128,6 +129,7 @@ class Config:
             heatmap_path=_env_str("MVT_HEATMAP", ""),
             scan_input=_env_str("MVT_SCAN_INPUT", "bits"),
             mv_capacity=_env_int("MVT_MV_CAPACITY", 8192),
+            rss_limit_mb=_env_float("MVT_RSS_LIMIT_MB", 0.0),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

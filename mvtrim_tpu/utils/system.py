@@ -107,3 +107,15 @@ def device_info() -> list[dict]:
         "kind": getattr(d, "device_kind", "?"),
         "process": d.process_index,
     } for d in jax.devices()]
+
+
+def rss_mb() -> float:
+    """This process's resident set size in MB (0.0 if unreadable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0.0

@@ -92,3 +92,25 @@ class TestWatchMode:
             bp.stop()
         t.join(timeout=30)
         assert not t.is_alive()
+
+    def test_rss_watchdog_stops_daemon(self, tmp_path):
+        """MVT_RSS_LIMIT_MB: a bound below the process's RSS makes the
+        watch monitor stop on its own (supervisor-restart mitigation for
+        leaky transports; see benchmarks/soak_watch.py)."""
+        in_dir = tmp_path / "in3"
+        out_dir = tmp_path / "out3"
+        in_dir.mkdir()
+        out_dir.mkdir()
+
+        cfg = Config(watch_mode=True, scan_backend="oracle",
+                     rss_limit_mb=1.0)  # any real process exceeds 1MB
+        bp = BatchProcessor(1, cfg)
+        result = {}
+        t = threading.Thread(
+            target=lambda: result.update(
+                rc=bp.process([], str(out_dir), str(in_dir))),
+            daemon=True)
+        t.start()
+        t.join(timeout=30)
+        assert not t.is_alive(), "watchdog did not stop the daemon"
+        assert result["rc"] == 0
