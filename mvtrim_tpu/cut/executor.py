@@ -78,17 +78,35 @@ def execute_cut(input_path: str, output_path: str, segments,
     return 0
 
 
+def _concat_list_fd(text: str):
+    """Concat list as an anonymous in-memory file.
+
+    The reference writes the list to a memfd and hands ffmpeg the
+    /proc/<pid>/fd/<fd> path (pipeline.cpp:476-498) — no disk write, no
+    cleanup, vanishes with the fd.  Same mechanism here; callers fall
+    back to a temp file where memfd_create is unavailable (non-Linux).
+
+    Returns (path, fd or None, unlink_needed).
+    """
+    if hasattr(os, "memfd_create"):
+        fd = os.memfd_create("mvt_concat")
+        os.write(fd, text.encode())
+        os.lseek(fd, 0, os.SEEK_SET)
+        return f"/proc/{os.getpid()}/fd/{fd}", fd, False
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        return f.name, None, True
+
+
 def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
                   segs) -> None:
-    """Reference-exact external command over a concat list file."""
+    """Reference-exact external command over a concat list memfd."""
     lines = []
     for start, end in segs:
         lines.append(f"file '{abs_input}'\n")
         lines.append(f"inpoint {start:.2f}\n")
         lines.append(f"outpoint {end:.2f}\n")
-    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
-        f.write("".join(lines))
-        list_path = f.name
+    list_path, fd, unlink = _concat_list_fd("".join(lines))
     try:
         cmd = [
             ffmpeg_bin, "-y", "-hide_banner", "-loglevel", "error",
@@ -105,7 +123,10 @@ def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
             raise RuntimeError(
                 f"ffmpeg exited {res.returncode}: {res.stderr.strip()[:500]}")
     finally:
-        os.unlink(list_path)
+        if fd is not None:
+            os.close(fd)
+        if unlink:
+            os.unlink(list_path)
 
 
 class CutQueue:

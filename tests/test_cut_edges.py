@@ -70,3 +70,26 @@ class TestNativeCutEdges:
         native.cut(clip, out, segs)
         with native.VideoReader(out) as r:
             assert r.duration > 1.0  # 8 x 0.2s + keyframe preroll
+
+
+class TestConcatMemfd:
+    def test_memfd_concat_delivery(self):
+        """The concat list rides an anonymous memfd exposed as
+        /proc/<pid>/fd/<fd> (reference pipeline.cpp:476-498) — readable
+        by a child process, no disk file."""
+        import os
+        import subprocess
+        from mvtrim_tpu.cut.executor import _concat_list_fd
+
+        text = "file 'x.mp4'\ninpoint 1.00\noutpoint 2.00\n"
+        path, fd, unlink = _concat_list_fd(text)
+        try:
+            assert path.startswith(f"/proc/{os.getpid()}/fd/")
+            assert fd is not None and unlink is False
+            # a child process can read it through the /proc path
+            out = subprocess.run(["cat", path], capture_output=True,
+                                 text=True)
+            assert out.returncode == 0 and out.stdout == text
+        finally:
+            if fd is not None:
+                os.close(fd)
