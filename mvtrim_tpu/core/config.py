@@ -81,7 +81,8 @@ class Config:
     watch_mode: bool = False
 
     # --- TPU-native additions (not in reference) ---
-    device_batch: int = 512          # frames per device dispatch
+    device_batch: int = 2048         # frames per device dispatch (fewer, larger
+                                     # dispatches amortize per-dispatch cost)
     scan_backend: str = "auto"       # auto | tpu | xla | oracle
     ffmpeg_bin: str = ""             # optional external ffmpeg for the cut
     sad_threshold: float = 12.0      # mean-abs-diff per-pixel threshold (SAD path)
@@ -116,7 +117,7 @@ class Config:
             parallel_streams=_env_int("PARALLEL_STREAMS", 0),
             threads_per_stream=_env_int("THREADS_PER_STREAM", 0),
             watch_mode=_env_bool("WATCH_MODE", False),
-            device_batch=_env_int("MVT_DEVICE_BATCH", 512),
+            device_batch=_env_int("MVT_DEVICE_BATCH", 2048),
             scan_backend=_env_str("MVT_SCAN_BACKEND", "auto"),
             ffmpeg_bin=_env_str("MVT_FFMPEG_BIN", ""),
             sad_threshold=_env_float("MVT_SAD_THRESHOLD", 12.0),
