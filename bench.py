@@ -147,6 +147,67 @@ def _sweep_bench(geom, cfg, stacked, iters, block_b=128):
     return dt / iters, total
 
 
+def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=512):
+    """Speed-of-light measurement of the packed-domain cluster kernel
+    (the MVT_SCAN_INPUT=bits product path): same single-launch resident-
+    accumulator harness as _sweep_bench, with the packed masks passed as
+    kernel inputs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from mvtrim_tpu.ops.cluster import (_packed_masks, packed_geometry,
+                                        packed_cluster_counts)
+
+    k, b, lanes = stacked_bits.shape
+    nb = b // block_b
+    clusters_needed = max(1, cfg.clusters_needed)
+    masks_np = tuple(m[None, :] for m in _packed_masks(geom))
+    gwb = packed_geometry(geom)[0]
+    del gwb
+
+    def kernel(bits_ref, center_ref, nf_ref, nl_ref, acc_ref):
+        it = pl.program_id(1)
+        a = bits_ref[0].astype(jnp.int32)            # [block_b, lanes]
+        masks = (center_ref[:], nf_ref[:], nl_ref[:])
+        counts = packed_cluster_counts(
+            a, geom, masks, lambda v, s: pltpu.roll(v, s, 1))
+        motion = (counts >= clusters_needed).astype(jnp.int32)
+
+        @pl.when(it == 0)
+        def _init():
+            acc_ref[:] = motion
+
+        @pl.when(it != 0)
+        def _acc():
+            acc_ref[:] = acc_ref[:] + motion
+
+    mask_spec = pl.BlockSpec((1, lanes), lambda jb, it: (0, 0),
+                             memory_space=pltpu.VMEM)
+    sweep = pl.pallas_call(
+        kernel,
+        grid=(nb, iters),
+        in_specs=[pl.BlockSpec((1, block_b, lanes),
+                               lambda jb, it: (it % k, jb, 0),
+                               memory_space=pltpu.VMEM),
+                  mask_spec, mask_spec, mask_spec],
+        out_specs=pl.BlockSpec((block_b, 1), lambda jb, it: (jb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+    )
+
+    @jax.jit
+    def run(stacked_bits):
+        masks = tuple(jnp.asarray(m) for m in masks_np)
+        return jnp.sum(sweep(stacked_bits, *masks))
+
+    int(run(stacked_bits))  # warmup: compile + one full pass
+    t0 = time.perf_counter()
+    total = int(run(stacked_bits))
+    dt = time.perf_counter() - t0
+    return dt / iters, total
+
+
 def _expected_total(motion_per_buf, k, iters):
     full, rem = divmod(iters, k)
     return int(sum(int(m) * (full + (1 if i < rem else 0))
@@ -215,26 +276,33 @@ def main() -> int:
                                          bytes_per_frame, roofline, ok)
         return fps, implied, pct, valid
 
-    # --- primary: cluster scan over 1080p uint8 vote grids ---
-    op_xla = cluster_ops.make_cluster_op_xla(
-        geom, cfg.vectors_needed, cfg.clusters_needed)
-    fps_xla, gbps_xla, pct_xla, ok_xla = run(
-        "cluster xla", op_xla, stacked, grid_bytes)
+    # --- primary: the packed-domain product path (MVT_SCAN_INPUT=bits) ---
+    gwb, used, lanes = cluster_ops.packed_geometry(geom)
+    packed = np.packbits(grids >= cfg.vectors_needed, axis=3,
+                         bitorder="little")
+    flat = np.zeros((K, B, lanes), np.uint8)
+    flat[:, :, :used] = packed.reshape(K, B, used)
+    stacked_bits = jax.device_put(flat)
 
     try:
-        dt, total = _sweep_bench(geom, cfg, stacked, ITERS)
-        fps_pl = B / dt
+        dt, total = _sweep_bench_packed(geom, cfg, stacked_bits, ITERS)
+        fps_pk = B / dt
         ok = total == _expected_total(motion_per_buf, K, ITERS)
-        ok_pl, gbps_pl, pct_pl = _audit("cluster pallas sweep", fps_pl,
-                                        grid_bytes, roofline, ok)
+        ok_pk, gbps_pk, pct_pk = _audit("packed pallas sweep", fps_pk,
+                                        lanes, roofline, ok)
     except Exception as e:  # pallas unavailable on some backends
-        print(f"pallas cluster bench skipped: {e}", file=sys.stderr)
-        fps_pl, gbps_pl, pct_pl, ok_pl = 0.0, 0.0, 0.0, False
+        print(f"packed pallas bench skipped: {e}", file=sys.stderr)
+        fps_pk, gbps_pk, pct_pk, ok_pk = 0.0, 0.0, 0.0, False
 
-    candidates = [(fps_xla, gbps_xla, pct_xla, "xla", ok_xla),
-                  (fps_pl, gbps_pl, pct_pl, "pallas", ok_pl)]
-    valid = [c for c in candidates if c[4]] or candidates[:1]
-    fps, gbps, pct, impl, _ = max(valid)
+    op_pkx = cluster_ops.make_cluster_bits_packed_op_xla(
+        geom, cfg.clusters_needed)
+    fps_px, gbps_px, pct_px, ok_px = run(
+        "packed xla", op_pkx, stacked_bits, lanes)
+
+    candidates = [(fps_pk, gbps_pk, pct_pk, lanes, "pallas-packed", ok_pk),
+                  (fps_px, gbps_px, pct_px, lanes, "xla-packed", ok_px)]
+    valid = [c for c in candidates if c[5]] or candidates[:1]
+    fps, gbps, pct, bpf, impl, _ = max(valid)
     print(json.dumps({
         "metric": "1080p_scan_frames_per_sec_per_chip",
         "value": round(fps),
@@ -244,25 +312,29 @@ def main() -> int:
         "implied_hbm_gbps": round(gbps, 1),
         "pct_of_roofline": round(pct, 1),
         "roofline_gbps": roofline,
-        "bytes_per_frame": grid_bytes,
-        "audit": "chained-accumulator, oracle checksum, roofline gate",
+        "bytes_per_frame": bpf,
+        "audit": "single-launch resident accumulator, oracle checksum, "
+                 "roofline gate",
     }), flush=True)
 
     # Secondaries run AFTER the headline JSON is flushed so a driver
     # timeout mid-compile cannot lose the metric.
 
-    # --- secondary: bit-packed product path (MVT_SCAN_INPUT=bits) ---
+    # --- secondary: uint8 vote-grid kernels (MVT_SCAN_INPUT=grids) ---
     try:
-        gwb = (geom.gw + 7) // 8
-        bits = np.packbits(grids >= cfg.vectors_needed, axis=3,
-                           bitorder="little")
-        stacked_bits = jax.device_put(bits)
-        op_bits = cluster_ops.make_cluster_bits_op_xla(
-            geom, cfg.clusters_needed)
-        fps_b, gbps_b, pct_b, ok_b = run(
-            "cluster bits", op_bits, stacked_bits, geom.gh * gwb)
+        dt, total = _sweep_bench(geom, cfg, stacked, ITERS)
+        fps_pl = B / dt
+        ok = total == _expected_total(motion_per_buf, K, ITERS)
+        _audit("grids pallas sweep", fps_pl, grid_bytes, roofline, ok)
     except Exception as e:
-        print(f"bits bench skipped: {e}", file=sys.stderr)
+        print(f"grids pallas bench skipped: {e}", file=sys.stderr)
+
+    try:
+        op_xla = cluster_ops.make_cluster_op_xla(
+            geom, cfg.vectors_needed, cfg.clusters_needed)
+        run("grids xla", op_xla, stacked, grid_bytes, iters=ITERS // 4)
+    except Exception as e:
+        print(f"grids xla bench skipped: {e}", file=sys.stderr)
 
     # --- secondary: fused raw-MV path (on-device thresholding) ---
     try:

@@ -217,9 +217,148 @@ def make_cluster_bits_op_xla(geom: GridGeometry, clusters_needed: int):
     return op
 
 
+def packed_geometry(geom: GridGeometry) -> tuple[int, int, int]:
+    """(gwb, used, L): bytes per row, used bytes per frame, lane-padded
+    flat length for the packed-domain kernel."""
+    gwb = (geom.gw + 7) // 8
+    used = geom.gh * gwb
+    lanes = ((used + 127) // 128) * 128
+    return gwb, used, lanes
+
+
+def _packed_masks(geom: GridGeometry):
+    """Per-byte constants for the packed-domain cluster math.
+
+    center[j]: bit k set iff cell (y=j//gwb, x=8*(j%gwb)+k) is a valid
+    cluster center (x in [1, gw-2], y in [y_min, y_max)) — the same mask
+    _center_mask applies in the unpacked domain.
+    not_first_row / not_last_row: zero the row-neighbor bytes that a
+    cyclic lane roll would wrap across frame/row boundaries, reproducing
+    the zero-fill shift semantics exactly.
+    """
+    import numpy as np
+
+    gwb, used, lanes = packed_geometry(geom)
+    center = np.zeros((lanes,), np.int32)
+    not_first = np.zeros((lanes,), np.int32)
+    not_last = np.zeros((lanes,), np.int32)
+    for j in range(used):
+        y, c = divmod(j, gwb)
+        if y >= 1:
+            not_first[j] = 0xFF
+        if y < geom.gh - 1:
+            not_last[j] = 0xFF
+        if not (geom.y_min <= y < geom.y_max):
+            continue
+        bits = 0
+        for k in range(8):
+            x = 8 * c + k
+            if 1 <= x <= geom.gw - 2:
+                bits |= 1 << k
+        center[j] = bits
+    return center, not_first, not_last
+
+
+def packed_cluster_counts(a_i32, geom: GridGeometry, masks, roll):
+    """Packed-domain cluster counts: int32 byte values [B, L] -> [B, 1].
+
+    Each lane holds one packed byte (8 cells along x, little bit order —
+    the native mvt_scan_bits layout flattened row-major).  The
+    active/4-neighbor/mask rule runs entirely in the packed domain:
+    x-neighbors are in-byte shifts with cross-byte carries via lane
+    rolls, y-neighbors are lane rolls by the row stride, and the cluster
+    count is a SWAR popcount.  ~9x fewer vector elements than the
+    unpacked kernel touching the same cells.
+
+    ``roll(v, shift)`` must cyclically shift lanes (axis -1) by a
+    non-negative amount; wrapped-in garbage is annihilated by the row
+    masks / center mask (see _packed_masks).
+    """
+    center, not_first, not_last = masks
+    lanes = a_i32.shape[-1]
+    gwb = packed_geometry(geom)[0]
+
+    left = ((a_i32 << 1) & 0xFF) | (roll(a_i32, 1) >> 7)
+    right = (a_i32 >> 1) | ((roll(a_i32, lanes - 1) & 1) << 7)
+    up = roll(a_i32, gwb) & not_first
+    down = roll(a_i32, lanes - gwb) & not_last
+    cl = a_i32 & (left | right | up | down) & center
+
+    # SWAR popcount of each byte value (<= 0xFF)
+    v = cl - ((cl >> 1) & 0x55)
+    v = (v & 0x33) + ((v >> 2) & 0x33)
+    v = (v + (v >> 4)) & 0x0F
+    return jnp.sum(v, axis=-1, keepdims=True)
+
+
+def make_cluster_bits_packed_op_xla(geom: GridGeometry,
+                                    clusters_needed: int):
+    """XLA build of the packed-domain math (see packed_cluster_counts):
+    bits uint8 [B, L] -> (counts i32 [B], motion bool [B])."""
+    masks_np = _packed_masks(geom)
+
+    @jax.jit
+    def op(bits):
+        masks = tuple(jnp.asarray(m)[None, :] for m in masks_np)
+        counts = packed_cluster_counts(
+            bits.astype(jnp.int32), geom, masks,
+            lambda v, s: jnp.roll(v, s, axis=-1))[:, 0]
+        return counts, counts >= jnp.int32(max(1, clusters_needed))
+
+    return op
+
+
+def make_cluster_bits_op_pallas(geom: GridGeometry, clusters_needed: int,
+                                block_b: int = 256):
+    """Packed-domain Pallas kernel: bits uint8 [B, L] (flattened
+    mvt_scan_bits frames, zero-padded to L lanes — see packed_geometry)
+    -> (counts i32 [B], motion bool [B]).  B must be a multiple of
+    block_b."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    gwb, used, lanes = packed_geometry(geom)
+    masks_np = tuple(m[None, :] for m in _packed_masks(geom))
+
+    def kernel(bits_ref, center_ref, nf_ref, nl_ref, counts_ref):
+        a = bits_ref[:].astype(jnp.int32)            # [block_b, L]
+        masks = (center_ref[:], nf_ref[:], nl_ref[:])
+        counts_ref[:] = packed_cluster_counts(
+            a, geom, masks, lambda v, s: _pltpu.roll(v, s, 1))
+
+    mask_spec = pl.BlockSpec((1, lanes), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def op(bits):
+        b = bits.shape[0]
+        assert b % block_b == 0, (b, block_b)
+        assert bits.shape[1] == lanes, (bits.shape, lanes)
+        counts = pl.pallas_call(
+            kernel,
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, lanes), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      mask_spec, mask_spec, mask_spec],
+            out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        )(bits, *(jnp.asarray(m) for m in masks_np))
+        counts = counts[:, 0]
+        return counts, counts >= jnp.int32(max(1, clusters_needed))
+
+    return op
+
+
 @functools.lru_cache(maxsize=64)
-def _cached_bits_op(geom: GridGeometry, clusters_needed: int):
-    return make_cluster_bits_op_xla(geom, clusters_needed)
+def _cached_bits_op(geom: GridGeometry, clusters_needed: int,
+                    backend: str = "xla", block_b: int = 256):
+    """Packed-domain op cache.  Both backends take the flattened
+    [B, lanes] layout (packed_geometry); 'pallas' is the fastest kernel
+    on real TPUs, 'xla' runs everywhere (incl. the CPU test backend)."""
+    if backend == "pallas":
+        return make_cluster_bits_op_pallas(geom, clusters_needed,
+                                           block_b=block_b)
+    return make_cluster_bits_packed_op_xla(geom, clusters_needed)
 
 
 @functools.lru_cache(maxsize=64)

@@ -6,6 +6,7 @@ counts and motion decisions exactly.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from mvtrim_tpu.core import oracle
@@ -169,3 +170,57 @@ class TestMVChunkedPath:
         n3, _ = op(dx3, dy3, sx3, sy3, c3)
         nr3, _ = ref(dx3, dy3, sx3, sy3, c3)
         assert int(n3[0]) == int(nr3[0])
+
+
+class TestPackedClusterOps:
+    """Packed-domain cluster math (bitwise neighbors + SWAR popcount on
+    the mvt_scan_bits layout) vs the oracle and the unpack op."""
+
+    @pytest.mark.parametrize("dims", [(1920, 1080), (360, 240), (256, 192)])
+    def test_packed_xla_matches_oracle(self, rng, dims):
+        from mvtrim_tpu.core.config import Config
+        from mvtrim_tpu.core import oracle as orc
+
+        cfg = Config()
+        geom = GridGeometry.build(dims[0], dims[1], cfg)
+        grids = rng.integers(0, 5, size=(48, geom.gh, geom.gw),
+                             dtype=np.uint8)
+        active = (grids >= cfg.vectors_needed)
+        packed = np.packbits(active, axis=2, bitorder="little")
+        gwb, used, lanes = cluster_ops.packed_geometry(geom)
+        flat = np.zeros((48, lanes), np.uint8)
+        flat[:, :used] = packed.reshape(48, used)
+
+        op = cluster_ops.make_cluster_bits_packed_op_xla(
+            geom, cfg.clusters_needed)
+        counts, motion = op(jnp.asarray(flat))
+        expect = orc.count_clusters_batch(
+            active.astype(np.uint8), vectors_needed=1,
+            y_min=geom.y_min, y_max=geom.y_max)
+        np.testing.assert_array_equal(np.asarray(counts), expect)
+        need = orc.effective_clusters_needed(cfg.clusters_needed)
+        np.testing.assert_array_equal(np.asarray(motion), expect >= need)
+
+    def test_packed_matches_unpack_op_margin0(self, rng):
+        """vertical_mask=0 (margin-0): the zero-fill row-neighbor
+        semantics must match the unpacked op's definition exactly."""
+        from mvtrim_tpu.core.config import Config
+
+        cfg = Config(vertical_mask=0.0)
+        geom = GridGeometry.build(360, 240, cfg)
+        grids = rng.integers(0, 4, size=(32, geom.gh, geom.gw),
+                             dtype=np.uint8)
+        active = grids >= cfg.vectors_needed
+        packed = np.packbits(active, axis=2, bitorder="little")
+        gwb, used, lanes = cluster_ops.packed_geometry(geom)
+        flat = np.zeros((32, lanes), np.uint8)
+        flat[:, :used] = packed.reshape(32, used)
+
+        unpack_op = cluster_ops.make_cluster_bits_op_xla(
+            geom, cfg.clusters_needed)
+        packed_op = cluster_ops.make_cluster_bits_packed_op_xla(
+            geom, cfg.clusters_needed)
+        c1, m1 = unpack_op(jnp.asarray(packed))
+        c2, m2 = packed_op(jnp.asarray(flat))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
