@@ -49,8 +49,16 @@ class SADDetector:
         self.width = width
         self.height = height
         backend = self.cfg.scan_backend
-        self.backend = "xla" if backend in ("auto", "tpu", "oracle") \
-            else backend
+        if backend in ("auto", "tpu"):
+            # the pallas SAD kernel (per-frame VMEM diff + MXU block
+            # reduction) measures ~6x the XLA reduce_window build on v5e;
+            # the CPU test backend can only run the XLA build
+            import jax
+
+            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        elif backend == "oracle":
+            backend = "xla"
+        self.backend = backend
         self._op = None
         # device batch for luma is small: 1080p luma is ~2MB/frame
         self.device_batch = min(64, max(8, self.cfg.device_batch // 8))

@@ -81,6 +81,39 @@ print(json.dumps({{"rc": rc, "saved_pct": p.saved_pct,
     assert os.path.exists(out)
 
 
+def test_pallas_sad_kernel_on_device(tmp_path):
+    """Pallas block-SAD kernel (MXU block sums) vs the NumPy SAD oracle
+    on the real chip."""
+    code = """
+import json
+import numpy as np
+import jax
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected an accelerator, got {dev}"
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.models.sad_detector import SADDetector, sad_oracle_counts
+from mvtrim_tpu.core import oracle
+
+cfg = Config()
+det = SADDetector(640, 480, cfg)
+assert det.backend == "pallas", det.backend
+rng = np.random.default_rng(5)
+luma = rng.integers(0, 256, size=(17, 480, 640), dtype=np.uint8)
+motion = det.scan_luma(luma)
+counts = sad_oracle_counts(luma, det.geom,
+                           sad_threshold=cfg.sad_threshold,
+                           block_size=cfg.block_size)
+need = oracle.effective_clusters_needed(cfg.clusters_needed)
+expect = np.zeros((17,), bool)
+expect[1:] = counts >= need
+print(json.dumps({"ok": bool((motion == expect).all())}))
+"""
+    r = _run_py(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1]) == {"ok": True}
+
+
 def test_pallas_cluster_kernel_on_device(tiny_clip, tmp_path):
     """Pallas cluster op (roll/min-combine Mosaic path) vs the oracle on
     the real chip — catches Mosaic layout/lowering regressions the CPU
