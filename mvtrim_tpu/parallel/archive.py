@@ -27,7 +27,7 @@ from ..core.config import Config
 from ..core.types import GridGeometry, ScanTask
 from ..io import native
 from ..utils import logging as log
-from .mesh import build_mesh, sharded_scan_step
+from .mesh import build_mesh, sharded_bits_scan_step
 
 
 class ScanCheckpoint:
@@ -73,6 +73,8 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     are identical to the single-chip pipeline's.  With ``checkpoint``, a
     sidecar file records per-chunk results so interrupted scans resume.
     """
+    from ..ops.cluster import packed_geometry
+
     cfg = cfg or Config.from_env()
     mesh = mesh or build_mesh()
     data_size = mesh.shape["data"]
@@ -85,12 +87,10 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     reader.close()
     geom = GridGeometry.build(width, height, cfg)
     frame_skip = cfg.frame_skip(fps)
+    gwb, used, lanes = packed_geometry(geom)
 
-    step = sharded_scan_step(geom, cfg, mesh)
-    vec_needs = jax.device_put(
-        np.full((mesh.shape["sweep"],), cfg.vectors_needed, np.int32),
-        NamedSharding(mesh, P("sweep")))
-    votes_sharding = NamedSharding(mesh, P("data", None, None))
+    step = sharded_bits_scan_step(geom, cfg, mesh)
+    bits_sharding = NamedSharding(mesh, P("data", None))
 
     # --- host decode workers over the chunked timeline ---
     n_workers = decode_workers or max(2, min(8, (len(jax.devices()) or 1)))
@@ -129,15 +129,16 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
                 parts_g, parts_p = [], []
                 start = task.start
                 while start < task.end:
-                    grids, pts = r.scan_grids(
+                    bits, pts = r.scan_bits(
                         start, task.end,
                         threshold_sq=cfg.mv_threshold_sq,
                         block_shift=cfg.block_shift, gw=geom.gw,
                         gh=geom.gh, y_min=geom.y_min, y_max=geom.y_max,
+                        vectors_needed=cfg.vectors_needed,
                         frame_skip=frame_skip, max_frames=max_frames)
                     if len(pts) == 0:
                         break
-                    parts_g.append(grids)
+                    parts_g.append(bits)
                     parts_p.append(pts)
                     if len(pts) < max_frames:
                         break
@@ -148,7 +149,7 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
                                  np.concatenate(parts_p)))
                 else:
                     results.put((task.chunk_id,
-                                 np.zeros((0, geom.gh, geom.gw), np.uint8),
+                                 np.zeros((0, geom.gh, gwb), np.uint8),
                                  np.zeros((0,), np.float64)))
             r.close()
         except Exception as e:  # noqa: BLE001
@@ -162,8 +163,7 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         th.start()
 
     # --- feeder: pack frames into sharded global batches ---
-    gh_p, gw_p = geom.padded_gh, geom.padded_gw
-    buf = np.zeros((global_batch, gh_p, gw_p), np.uint8)
+    buf = np.zeros((global_batch, lanes), np.uint8)
     buf_pts = np.zeros((global_batch,), np.float64)
     fill = 0
     motion_ts: list[float] = list(resumed_ts)
@@ -184,9 +184,9 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
             return
         dispatches += 1
         try:
-            votes = jax.device_put(buf, votes_sharding)
-            motion, _ = step(votes, vec_needs)
-            m = np.asarray(motion)[:n_valid, 0]
+            bits = jax.device_put(buf, bits_sharding)
+            motion, _ = step(bits)
+            m = np.asarray(motion)[:n_valid]
             motion_ts.extend(buf_pts[:n_valid][m].tolist())
             for cid, lo, n in spans:
                 sel = m[lo:lo + n]
@@ -217,7 +217,8 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         off = 0
         while off < len(pts):
             take = min(global_batch - fill, len(pts) - off)
-            buf[fill:fill + take, :geom.gh, :geom.gw] = grids[off:off + take]
+            buf[fill:fill + take, :used] = \
+                grids[off:off + take].reshape(take, used)
             buf_pts[fill:fill + take] = pts[off:off + take]
             spans.append((cid, fill, take))
             fill += take

@@ -89,6 +89,52 @@ def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
     return jax.jit(step)
 
 
+def sharded_bits_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
+    """Packed-payload multi-chip scan step (the archive product path).
+
+    Returns ``step(bits) -> (motion, global_motion_frames)``:
+
+      bits   uint8 [B, lanes] — mvt_scan_bits frames flattened/zero-padded
+             (ops.cluster.packed_geometry), sharded over 'data'.  The
+             activity threshold is baked in host-side, so there is no
+             'sweep' dimension; any sweep axis in the mesh carries
+             replicated work.
+      motion bool [B], sharded over 'data'
+      global_motion_frames int32 — psum over 'data' (ICI), replicated
+
+    9x less H2D/ICI traffic than the uint8-grid step for the same
+    decisions (packed_cluster_counts does the math in the packed domain).
+    """
+    from ..ops.cluster import (_packed_masks, packed_cluster_counts,
+                               packed_geometry)
+
+    masks_np = tuple(m[None, :] for m in _packed_masks(geom))
+    lanes = packed_geometry(geom)[2]
+    clusters_eff = max(1, cfg.clusters_needed)
+
+    def local_step(bits):
+        assert bits.shape[-1] == lanes, (bits.shape, lanes)
+        masks = tuple(jnp.asarray(m) for m in masks_np)
+        counts = packed_cluster_counts(
+            bits.astype(jnp.int32), geom, masks,
+            lambda v, s: jnp.roll(v, s, axis=-1))[:, 0]
+        motion = counts >= jnp.int32(clusters_eff)
+        global_count = jax.lax.psum(
+            jnp.sum(motion.astype(jnp.int32)), axis_name="data")
+        return motion, global_count
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data", None),),
+        out_specs=(P("data"), P()),
+    )
+    return jax.jit(step)
+
+
 def shard_votes(votes: np.ndarray, mesh: Mesh):
     """Place a [B, GH, GW] batch sharded over the 'data' axis."""
     return jax.device_put(
