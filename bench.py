@@ -163,8 +163,7 @@ def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=512):
     nb = b // block_b
     clusters_needed = max(1, cfg.clusters_needed)
     masks_np = tuple(m[None, :] for m in _packed_masks(geom))
-    gwb = packed_geometry(geom)[0]
-    del gwb
+    assert lanes == packed_geometry(geom)[2], (lanes, geom)
 
     def kernel(bits_ref, center_ref, nf_ref, nl_ref, acc_ref):
         it = pl.program_id(1)
