@@ -147,7 +147,7 @@ def _sweep_bench(geom, cfg, stacked, iters, block_b=128):
     return dt / iters, total
 
 
-def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=512):
+def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=None):
     """Speed-of-light measurement of the packed-domain cluster kernel
     (the MVT_SCAN_INPUT=bits product path): same single-launch resident-
     accumulator harness as _sweep_bench, with the packed masks passed as
@@ -160,6 +160,9 @@ def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=512):
                                         packed_cluster_counts)
 
     k, b, lanes = stacked_bits.shape
+    if block_b is None:
+        # keep the int32 working set ~2MB so intermediates fit VMEM
+        block_b = max(8, min(512, (2 << 20) // (lanes * 4) & ~7))
     nb = b // block_b
     clusters_needed = max(1, cfg.clusters_needed)
     masks_np = tuple(m[None, :] for m in _packed_masks(geom))
@@ -318,6 +321,32 @@ def main() -> int:
 
     # Secondaries run AFTER the headline JSON is flushed so a driver
     # timeout mid-compile cannot lose the metric.
+
+    # --- secondary: 4K geometry through the packed kernel (BASELINE
+    # config 3's UHD grid: 240x135 -> 4096 packed lanes/frame) ---
+    try:
+        geom4k = GridGeometry.build(3840, 2160, cfg)
+        _, used4k, lanes4k = cluster_ops.packed_geometry(geom4k)
+        B4 = B // 4
+        grids4k = rng.integers(0, 6, size=(K, B4, geom4k.gh, geom4k.gw),
+                               dtype=np.uint8)
+        packed4k = np.packbits(grids4k >= cfg.vectors_needed, axis=3,
+                               bitorder="little")
+        flat4k = np.zeros((K, B4, lanes4k), np.uint8)
+        flat4k[:, :, :used4k] = packed4k.reshape(K, B4, used4k)
+        need4k = oracle.effective_clusters_needed(cfg.clusters_needed)
+        motion4k = [
+            int((oracle.count_clusters_batch(
+                g, vectors_needed=cfg.vectors_needed,
+                y_min=geom4k.y_min, y_max=geom4k.y_max) >= need4k).sum())
+            for g in grids4k]
+        dt, total = _sweep_bench_packed(
+            geom4k, cfg, jax.device_put(flat4k), ITERS)
+        fps4k = B4 / dt
+        ok = total == _expected_total(motion4k, K, ITERS)
+        _audit("packed pallas 4K", fps4k, lanes4k, roofline, ok)
+    except Exception as e:
+        print(f"4K packed bench skipped: {e}", file=sys.stderr)
 
     # --- secondary: uint8 vote-grid kernels (MVT_SCAN_INPUT=grids) ---
     try:
