@@ -129,6 +129,34 @@ class TestPipelineParity:
                         scan_input="mv_raw", mv_capacity=8)
         assert ovf == ref
 
+    @pytest.mark.parametrize("knobs", [
+        dict(width=328, height=200, vectors_needed=1, vertical_mask=0.0),
+        dict(width=304, height=176, vectors_needed=4, clusters_needed=1),
+        dict(width=640, height=352, mv_threshold_sq=4.0,
+             vertical_mask=0.2, clusters_needed=3),
+        dict(width=200, height=144, vectors_needed=0),
+    ])
+    def test_cross_input_parity_fuzz(self, tmp_path, knobs):
+        """Randomized-ish geometries and knob corners (odd widths -> tail
+        bits, margin 0, vec_need 0/4, clusters 1/3): all three scan
+        inputs must produce the identical cut."""
+        width = knobs.pop("width")
+        height = knobs.pop("height")
+        clip = str(tmp_path / f"f{width}x{height}.mp4")
+        native.synthesize(clip, width=width, height=height, fps=25.0,
+                          duration=10.0, codec="libx264",
+                          motion_windows=((1.0, 3.0), (6.0, 7.0)),
+                          noise=2)
+        results = {}
+        for inp in ("bits", "grids", "mv_raw"):
+            out = str(tmp_path / f"f_{inp}.mp4")
+            cfg = Config(device_batch=64, scan_input=inp, **knobs)
+            p = ProcessingPipeline(clip, out, cfg=cfg)
+            assert p.run() == 0
+            TimingCollector.clear()
+            results[inp] = (p.time_removed, p.saved_pct)
+        assert results["bits"] == results["grids"] == results["mv_raw"]
+
     def test_heatmap_identical_bits_vs_grids(self, clip, tmp_path):
         heats = {}
         for inp in ("bits", "grids"):
