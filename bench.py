@@ -147,32 +147,46 @@ def _sweep_bench(geom, cfg, stacked, iters, block_b=128):
     return dt / iters, total
 
 
-def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=None):
-    """Speed-of-light measurement of the packed-domain cluster kernel
+def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=None,
+                        domain="words"):
+    """Speed-of-light measurement of the packed-domain cluster kernels
     (the MVT_SCAN_INPUT=bits product path): same single-launch resident-
     accumulator harness as _sweep_bench, with the packed masks passed as
-    kernel inputs."""
+    kernel inputs.  domain='words' = int32 lanes of 32 cells (the
+    detector's kernel); 'bytes' = uint8 lanes of 8 cells (the
+    transfer-optimal archive variant)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from mvtrim_tpu.ops.cluster import (_packed_masks, packed_geometry,
-                                        packed_cluster_counts)
+    from mvtrim_tpu.ops.cluster import (_packed_masks, _word_masks,
+                                        packed_cluster_counts,
+                                        packed_geometry, word_geometry,
+                                        word_cluster_counts)
 
     k, b, lanes = stacked_bits.shape
     if block_b is None:
         # keep the int32 working set ~2MB so intermediates fit VMEM
-        block_b = max(8, min(512, (2 << 20) // (lanes * 4) & ~7))
+        block_b = max(8, min(1024, (2 << 20) // (lanes * 4) & ~7))
     nb = b // block_b
     clusters_needed = max(1, cfg.clusters_needed)
-    masks_np = tuple(m[None, :] for m in _packed_masks(geom))
-    assert lanes == packed_geometry(geom)[2], (lanes, geom)
+    if domain == "words":
+        masks_np = tuple(m[None, :] for m in _word_masks(geom))
+        counts_fn = word_cluster_counts
+        assert lanes == word_geometry(geom)[2], (lanes, geom)
+        assert stacked_bits.dtype == jnp.int32
+    else:
+        masks_np = tuple(m[None, :] for m in _packed_masks(geom))
+        counts_fn = packed_cluster_counts
+        assert lanes == packed_geometry(geom)[2], (lanes, geom)
 
     def kernel(bits_ref, center_ref, nf_ref, nl_ref, acc_ref):
         it = pl.program_id(1)
-        a = bits_ref[0].astype(jnp.int32)            # [block_b, lanes]
+        a = bits_ref[0]
+        if a.dtype != jnp.int32:
+            a = a.astype(jnp.int32)                  # [block_b, lanes]
         masks = (center_ref[:], nf_ref[:], nl_ref[:])
-        counts = packed_cluster_counts(
+        counts = counts_fn(
             a, geom, masks, lambda v, s: pltpu.roll(v, s, 1))
         motion = (counts >= clusters_needed).astype(jnp.int32)
 
@@ -278,31 +292,35 @@ def main() -> int:
                                          bytes_per_frame, roofline, ok)
         return fps, implied, pct, valid
 
-    # --- primary: the packed-domain product path (MVT_SCAN_INPUT=bits) ---
-    gwb, used, lanes = cluster_ops.packed_geometry(geom)
+    # --- primary: the word-domain product path (MVT_SCAN_INPUT=bits) ---
     packed = np.packbits(grids >= cfg.vectors_needed, axis=3,
                          bitorder="little")
-    flat = np.zeros((K, B, lanes), np.uint8)
-    flat[:, :, :used] = packed.reshape(K, B, used)
-    stacked_bits = jax.device_put(flat)
+    gww, usedw, lanesw = cluster_ops.word_geometry(geom)
+    flatw = np.zeros((K, B, lanesw), np.int32)
+    flatw[:, :, :usedw] = cluster_ops.repack_bits_words(
+        packed.reshape(K * B, geom.gh, -1), geom).reshape(K, B, usedw)
+    stacked_words = jax.device_put(flatw)
+    word_bytes = lanesw * 4
 
     try:
-        dt, total = _sweep_bench_packed(geom, cfg, stacked_bits, ITERS)
+        dt, total = _sweep_bench_packed(geom, cfg, stacked_words, ITERS,
+                                        domain="words")
         fps_pk = B / dt
         ok = total == _expected_total(motion_per_buf, K, ITERS)
-        ok_pk, gbps_pk, pct_pk = _audit("packed pallas sweep", fps_pk,
-                                        lanes, roofline, ok)
+        ok_pk, gbps_pk, pct_pk = _audit("words pallas sweep", fps_pk,
+                                        word_bytes, roofline, ok)
     except Exception as e:  # pallas unavailable on some backends
-        print(f"packed pallas bench skipped: {e}", file=sys.stderr)
+        print(f"words pallas bench skipped: {e}", file=sys.stderr)
         fps_pk, gbps_pk, pct_pk, ok_pk = 0.0, 0.0, 0.0, False
 
-    op_pkx = cluster_ops.make_cluster_bits_packed_op_xla(
+    op_pkx = cluster_ops.make_cluster_words_op_xla(
         geom, cfg.clusters_needed)
     fps_px, gbps_px, pct_px, ok_px = run(
-        "packed xla", op_pkx, stacked_bits, lanes)
+        "words xla", op_pkx, stacked_words, word_bytes)
 
-    candidates = [(fps_pk, gbps_pk, pct_pk, lanes, "pallas-packed", ok_pk),
-                  (fps_px, gbps_px, pct_px, lanes, "xla-packed", ok_px)]
+    candidates = [
+        (fps_pk, gbps_pk, pct_pk, word_bytes, "pallas-words", ok_pk),
+        (fps_px, gbps_px, pct_px, word_bytes, "xla-words", ok_px)]
     valid = [c for c in candidates if c[5]] or candidates[:1]
     fps, gbps, pct, bpf, impl, _ = max(valid)
     print(json.dumps({
@@ -322,18 +340,34 @@ def main() -> int:
     # Secondaries run AFTER the headline JSON is flushed so a driver
     # timeout mid-compile cannot lose the metric.
 
-    # --- secondary: 4K geometry through the packed kernel (BASELINE
-    # config 3's UHD grid: 240x135 -> 4096 packed lanes/frame) ---
+    # --- secondary: byte-domain kernel (the transfer-optimal archive
+    # variant: uint8 lanes, 1020 B/frame on the wire) ---
+    try:
+        _, usedb, lanesb = cluster_ops.packed_geometry(geom)
+        flatb = np.zeros((K, B, lanesb), np.uint8)
+        flatb[:, :, :usedb] = packed.reshape(K, B, usedb)
+        dt, total = _sweep_bench_packed(
+            geom, cfg, jax.device_put(flatb), ITERS, domain="bytes")
+        fps_b = B / dt
+        ok = total == _expected_total(motion_per_buf, K, ITERS)
+        _audit("bytes pallas sweep", fps_b, lanesb, roofline, ok)
+    except Exception as e:
+        print(f"bytes pallas bench skipped: {e}", file=sys.stderr)
+
+    # --- secondary: 4K geometry through the word kernel (BASELINE
+    # config 3's UHD grid: 240x135 -> 1152 word lanes/frame) ---
     try:
         geom4k = GridGeometry.build(3840, 2160, cfg)
-        _, used4k, lanes4k = cluster_ops.packed_geometry(geom4k)
+        _, used4k, lanes4k = cluster_ops.word_geometry(geom4k)
         B4 = B // 4
         grids4k = rng.integers(0, 6, size=(K, B4, geom4k.gh, geom4k.gw),
                                dtype=np.uint8)
         packed4k = np.packbits(grids4k >= cfg.vectors_needed, axis=3,
                                bitorder="little")
-        flat4k = np.zeros((K, B4, lanes4k), np.uint8)
-        flat4k[:, :, :used4k] = packed4k.reshape(K, B4, used4k)
+        flat4k = np.zeros((K, B4, lanes4k), np.int32)
+        flat4k[:, :, :used4k] = cluster_ops.repack_bits_words(
+            packed4k.reshape(K * B4, geom4k.gh, -1),
+            geom4k).reshape(K, B4, used4k)
         need4k = oracle.effective_clusters_needed(cfg.clusters_needed)
         motion4k = [
             int((oracle.count_clusters_batch(
@@ -341,12 +375,12 @@ def main() -> int:
                 y_min=geom4k.y_min, y_max=geom4k.y_max) >= need4k).sum())
             for g in grids4k]
         dt, total = _sweep_bench_packed(
-            geom4k, cfg, jax.device_put(flat4k), ITERS)
+            geom4k, cfg, jax.device_put(flat4k), ITERS, domain="words")
         fps4k = B4 / dt
         ok = total == _expected_total(motion4k, K, ITERS)
-        _audit("packed pallas 4K", fps4k, lanes4k, roofline, ok)
+        _audit("words pallas 4K", fps4k, lanes4k * 4, roofline, ok)
     except Exception as e:
-        print(f"4K packed bench skipped: {e}", file=sys.stderr)
+        print(f"4K words bench skipped: {e}", file=sys.stderr)
 
     # --- secondary: uint8 vote-grid kernels (MVT_SCAN_INPUT=grids) ---
     try:

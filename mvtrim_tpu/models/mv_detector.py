@@ -117,10 +117,11 @@ class MVClusterDetector:
     # --- forward over bit-packed activity masks (default product path) ---
 
     def _bits_backend(self) -> str:
-        """Packed-domain kernel choice: the Pallas kernel (bitwise
-        neighbors + SWAR popcount, ~6x the XLA build on v5e) wherever a
-        real accelerator backs jax; the XLA build on the CPU backend
-        (Pallas TPU kernels don't run there outside interpret mode)."""
+        """Word-domain kernel choice: the Pallas kernel (bitwise
+        neighbors + SWAR popcount on 32-cell int32 lanes, ~6x the XLA
+        build on v5e) wherever a real accelerator backs jax; the XLA
+        build on the CPU backend (Pallas TPU kernels don't run there
+        outside interpret mode)."""
         if self.backend == "pallas":
             return "pallas"
         if self.cfg.scan_backend in ("auto", "tpu"):
@@ -132,7 +133,7 @@ class MVClusterDetector:
         if self._bits_op is None:
             backend = self._bits_backend()
             db = self.device_batch
-            block_b = min(256, db)
+            block_b = min(512, db)
             while db % block_b:
                 block_b -= 8  # sublane-aligned divisor of the batch
             self._bits_op = cluster_ops._cached_bits_op(
@@ -165,13 +166,14 @@ class MVClusterDetector:
             return lambda: motion
 
         db = self.device_batch
-        _, used, lanes = cluster_ops.packed_geometry(self.geom)
+        _, used, lanes = cluster_ops.word_geometry(self.geom)
         op = self._build_bits_op()
         futures = []
         for lo in range(0, n, db):
             hi = min(lo + db, n)
-            batch = np.zeros((db, lanes), np.uint8)
-            batch[:hi - lo, :used] = bits[lo:hi].reshape(hi - lo, used)
+            batch = np.zeros((db, lanes), np.int32)
+            batch[:hi - lo, :used] = cluster_ops.repack_bits_words(
+                bits[lo:hi], self.geom)
             if self.device is not None:
                 batch = jax.device_put(batch, self.device)
             _, motion = op(jnp.asarray(batch))

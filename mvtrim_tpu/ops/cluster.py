@@ -291,6 +291,137 @@ def packed_cluster_counts(a_i32, geom: GridGeometry, masks, roll):
     return jnp.sum(v, axis=-1, keepdims=True)
 
 
+def word_geometry(geom: GridGeometry) -> tuple[int, int, int]:
+    """(gww, used, L): int32 words per row, used words per frame, and
+    lane-padded flat length for the word-domain kernel (rows re-packed to
+    4-byte multiples so every word covers 32 consecutive x cells)."""
+    gww = (geom.gw + 31) // 32
+    used = geom.gh * gww
+    lanes = ((used + 127) // 128) * 128
+    return gww, used, lanes
+
+
+def repack_bits_words(bits: "np.ndarray", geom: GridGeometry):
+    """Host repack: mvt_scan_bits [N, gh, gwb] -> int32 words [N, used].
+
+    Rows are padded to 4-byte multiples and viewed little-endian, so word
+    w of a row holds cells x = 32w..32w+31 in bit order — the byte layout
+    generalized to 32-cell lanes.
+    """
+    import numpy as np
+
+    n, gh, gwb = bits.shape
+    gww, used, _ = word_geometry(geom)
+    rows = np.zeros((n, gh, gww * 4), np.uint8)
+    rows[:, :, :gwb] = bits
+    return rows.reshape(n, gh * gww * 4).view("<i4")
+
+
+def _word_masks(geom: GridGeometry):
+    """Per-word constants for the word-domain cluster math (the 32-cell
+    generalization of _packed_masks)."""
+    import numpy as np
+
+    gww, used, lanes = word_geometry(geom)
+    center = np.zeros((lanes,), np.int32)
+    not_first = np.zeros((lanes,), np.int32)
+    not_last = np.zeros((lanes,), np.int32)
+    for j in range(used):
+        y, c = divmod(j, gww)
+        if y >= 1:
+            not_first[j] = -1
+        if y < geom.gh - 1:
+            not_last[j] = -1
+        if not (geom.y_min <= y < geom.y_max):
+            continue
+        bits = 0
+        for k in range(32):
+            x = 32 * c + k
+            if 1 <= x <= geom.gw - 2:
+                bits |= 1 << k
+        center[j] = np.int32(np.uint32(bits))
+    return center, not_first, not_last
+
+
+def word_cluster_counts(w, geom: GridGeometry, masks, roll):
+    """Word-domain cluster counts: int32 packed words [B, L] -> [B, 1].
+
+    Same rule as packed_cluster_counts at 32 cells per lane.  int32
+    right shifts are ARITHMETIC on TPU, so every >> is masked to its
+    logical value before use.
+    """
+    center, not_first, not_last = masks
+    lanes = w.shape[-1]
+    gww = word_geometry(geom)[0]
+
+    left = (w << 1) | ((roll(w, 1) >> 31) & 1)
+    right = ((w >> 1) & 0x7FFFFFFF) | ((roll(w, lanes - 1) & 1) << 31)
+    up = roll(w, gww) & not_first
+    down = roll(w, lanes - gww) & not_last
+    cl = w & (left | right | up | down) & center
+
+    # SWAR popcount per 32-bit word (shifts masked: arithmetic >>)
+    v = cl - ((cl >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
+    v = ((v * 0x01010101) >> 24) & 0xFF
+    return jnp.sum(v, axis=-1, keepdims=True)
+
+
+def make_cluster_words_op_xla(geom: GridGeometry, clusters_needed: int):
+    """XLA build of the word-domain math: words int32 [B, L] ->
+    (counts i32 [B], motion bool [B])."""
+    masks_np = tuple(m[None, :] for m in _word_masks(geom))
+
+    @jax.jit
+    def op(words):
+        masks = tuple(jnp.asarray(m) for m in masks_np)
+        counts = word_cluster_counts(
+            words, geom, masks, lambda v, s: jnp.roll(v, s, axis=-1))[:, 0]
+        return counts, counts >= jnp.int32(max(1, clusters_needed))
+
+    return op
+
+
+def make_cluster_words_op_pallas(geom: GridGeometry, clusters_needed: int,
+                                 block_b: int = 512):
+    """Word-domain Pallas kernel: words int32 [B, L] (repack_bits_words
+    output zero-padded to L lanes) -> (counts i32 [B], motion bool [B]).
+    B must be a multiple of block_b."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    gww, used, lanes = word_geometry(geom)
+    masks_np = tuple(m[None, :] for m in _word_masks(geom))
+
+    def kernel(words_ref, center_ref, nf_ref, nl_ref, counts_ref):
+        masks = (center_ref[:], nf_ref[:], nl_ref[:])
+        counts_ref[:] = word_cluster_counts(
+            words_ref[:], geom, masks, lambda v, s: _pltpu.roll(v, s, 1))
+
+    mask_spec = pl.BlockSpec((1, lanes), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def op(words):
+        b = words.shape[0]
+        assert b % block_b == 0, (b, block_b)
+        assert words.shape[1] == lanes, (words.shape, lanes)
+        counts = pl.pallas_call(
+            kernel,
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, lanes), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      mask_spec, mask_spec, mask_spec],
+            out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        )(words, *(jnp.asarray(m) for m in masks_np))
+        counts = counts[:, 0]
+        return counts, counts >= jnp.int32(max(1, clusters_needed))
+
+    return op
+
+
 def make_cluster_bits_packed_op_xla(geom: GridGeometry,
                                     clusters_needed: int):
     """XLA build of the packed-domain math (see packed_cluster_counts):
@@ -351,14 +482,17 @@ def make_cluster_bits_op_pallas(geom: GridGeometry, clusters_needed: int,
 
 @functools.lru_cache(maxsize=64)
 def _cached_bits_op(geom: GridGeometry, clusters_needed: int,
-                    backend: str = "xla", block_b: int = 256):
-    """Packed-domain op cache.  Both backends take the flattened
-    [B, lanes] layout (packed_geometry); 'pallas' is the fastest kernel
-    on real TPUs, 'xla' runs everywhere (incl. the CPU test backend)."""
+                    backend: str = "xla", block_b: int = 512):
+    """Word-domain op cache (the detector's bits path).  Both backends
+    take the flattened int32 [B, lanes] layout (word_geometry /
+    repack_bits_words); 'pallas' is the fastest kernel on real TPUs,
+    'xla' runs everywhere (incl. the CPU test backend).  The byte-domain
+    ops (packed_geometry layout) remain the transfer-optimal variant
+    used by the mesh-sharded archive step."""
     if backend == "pallas":
-        return make_cluster_bits_op_pallas(geom, clusters_needed,
-                                           block_b=block_b)
-    return make_cluster_bits_packed_op_xla(geom, clusters_needed)
+        return make_cluster_words_op_pallas(geom, clusters_needed,
+                                            block_b=block_b)
+    return make_cluster_words_op_xla(geom, clusters_needed)
 
 
 @functools.lru_cache(maxsize=64)

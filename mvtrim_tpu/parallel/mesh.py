@@ -104,6 +104,11 @@ def sharded_bits_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
 
     9x less H2D/ICI traffic than the uint8-grid step for the same
     decisions (packed_cluster_counts does the math in the packed domain).
+    The archive path deliberately keeps the byte layout rather than the
+    detector's int32 word layout: sharded scans are transfer-bound
+    (H2D + ICI), and bytes are 1.5x smaller on the wire; the word
+    kernel's compute edge only matters when the device is the
+    bottleneck (single-host pipeline).
     """
     from ..ops.cluster import (_packed_masks, packed_cluster_counts,
                                packed_geometry)

@@ -224,3 +224,60 @@ class TestPackedClusterOps:
         c2, m2 = packed_op(jnp.asarray(flat))
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+class TestWordClusterOps:
+    """Word-domain cluster math (32 cells per int32 lane; the flagship
+    kernel) vs the oracle, incl. margin-0 and non-32-aligned widths."""
+
+    @pytest.mark.parametrize("dims,vm", [
+        ((1920, 1080), 0.05),   # gw=120: not a multiple of 32
+        ((3840, 2160), 0.05),   # 4K
+        ((360, 240), 0.0),      # margin-0 zero-fill rows
+        ((200, 144), 0.05),     # tiny, gw=13 < one word
+    ])
+    def test_words_xla_matches_oracle(self, rng, dims, vm):
+        from mvtrim_tpu.core import oracle as orc
+
+        cfg = Config(vertical_mask=vm)
+        geom = GridGeometry.build(dims[0], dims[1], cfg)
+        grids = rng.integers(0, 5, size=(40, geom.gh, geom.gw),
+                             dtype=np.uint8)
+        active = grids >= cfg.vectors_needed
+        bits = np.packbits(active, axis=2, bitorder="little")
+        gww, used, lanes = cluster_ops.word_geometry(geom)
+        words = np.zeros((40, lanes), np.int32)
+        words[:, :used] = cluster_ops.repack_bits_words(bits, geom)
+
+        op = cluster_ops.make_cluster_words_op_xla(
+            geom, cfg.clusters_needed)
+        counts, motion = op(jnp.asarray(words))
+        expect = orc.count_clusters_batch(
+            active.astype(np.uint8), vectors_needed=1,
+            y_min=geom.y_min, y_max=geom.y_max)
+        np.testing.assert_array_equal(np.asarray(counts), expect)
+        need = orc.effective_clusters_needed(cfg.clusters_needed)
+        np.testing.assert_array_equal(np.asarray(motion), expect >= need)
+
+    def test_words_match_byte_domain(self, rng):
+        """Word and byte packed domains agree bit-for-bit (same frames,
+        both layouts)."""
+        cfg = Config()
+        geom = GridGeometry.build(360, 240, cfg)
+        grids = rng.integers(0, 4, size=(24, geom.gh, geom.gw),
+                             dtype=np.uint8)
+        bits = np.packbits(grids >= cfg.vectors_needed, axis=2,
+                           bitorder="little")
+        _, usedb, lanesb = cluster_ops.packed_geometry(geom)
+        flatb = np.zeros((24, lanesb), np.uint8)
+        flatb[:, :usedb] = bits.reshape(24, usedb)
+        _, usedw, lanesw = cluster_ops.word_geometry(geom)
+        flatw = np.zeros((24, lanesw), np.int32)
+        flatw[:, :usedw] = cluster_ops.repack_bits_words(bits, geom)
+
+        cb, mb = cluster_ops.make_cluster_bits_packed_op_xla(
+            geom, cfg.clusters_needed)(jnp.asarray(flatb))
+        cw, mw = cluster_ops.make_cluster_words_op_xla(
+            geom, cfg.clusters_needed)(jnp.asarray(flatw))
+        np.testing.assert_array_equal(np.asarray(cb), np.asarray(cw))
+        np.testing.assert_array_equal(np.asarray(mb), np.asarray(mw))
