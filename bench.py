@@ -166,9 +166,15 @@ def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=None,
 
     k, b, lanes = stacked_bits.shape
     if block_b is None:
-        # keep the int32 working set ~2MB so intermediates fit VMEM
-        block_b = max(8, min(1024, (2 << 20) // (lanes * 4) & ~7))
+        # largest multiple-of-8 divisor of b whose int32 working set
+        # (~2MB) fits VMEM — a non-divisor block would leave grid blocks
+        # unvisited and garbage in the output (the checksum catches it,
+        # but the bench must be valid by construction)
+        assert b % 8 == 0, b  # guarantees the divisor search terminates
+        cap = max(8, min(1024, (2 << 20) // (lanes * 4) & ~7, b))
+        block_b = next(d for d in range(cap, 7, -8) if b % d == 0)
     nb = b // block_b
+    assert nb * block_b == b, (b, block_b)
     clusters_needed = max(1, cfg.clusters_needed)
     if domain == "words":
         masks_np = tuple(m[None, :] for m in _word_masks(geom))
@@ -321,9 +327,10 @@ def main() -> int:
     candidates = [
         (fps_pk, gbps_pk, pct_pk, word_bytes, "pallas-words", ok_pk),
         (fps_px, gbps_px, pct_px, word_bytes, "xla-words", ok_px)]
-    valid = [c for c in candidates if c[5]] or candidates[:1]
-    fps, gbps, pct, bpf, impl, _ = max(valid)
-    print(json.dumps({
+    valid = [c for c in candidates if c[5]]
+    audit_ok = bool(valid)
+    fps, gbps, pct, bpf, impl, _ = max(valid or candidates)
+    rec = {
         "metric": "1080p_scan_frames_per_sec_per_chip",
         "value": round(fps),
         "unit": "frames/s",
@@ -335,7 +342,14 @@ def main() -> int:
         "bytes_per_frame": bpf,
         "audit": "single-launch resident accumulator, oracle checksum, "
                  "roofline gate",
-    }), flush=True)
+    }
+    if not audit_ok:
+        # never pass off an unaudited number as the metric of record
+        rec["value"] = 0
+        rec["vs_baseline"] = 0.0
+        rec["audit_failed"] = True
+        rec["unaudited_fps"] = round(fps)
+    print(json.dumps(rec), flush=True)
 
     # Secondaries run AFTER the headline JSON is flushed so a driver
     # timeout mid-compile cannot lose the metric.

@@ -75,10 +75,7 @@ def main() -> int:
         total_run = float(m.group(1)) if m else wall
         our_marginals.append(total_run - warmup)
 
-    def median(xs):
-        s = sorted(xs)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    from statistics import median
 
     frames = args.duration * 25.0
     ref_med, our_med = median(ref_walls), median(our_marginals)

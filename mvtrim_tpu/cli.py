@@ -22,15 +22,10 @@ def main(argv: list[str] | None = None) -> int:
         log.warn("Usage: motion_trim <input> <output>")
         return 1
 
-    # Some environments register accelerator platforms from sitecustomize
-    # and prepend them to jax_platforms, overriding JAX_PLATFORMS; this
-    # knob forces the backend after import (e.g. MVT_JAX_PLATFORM=cpu for
-    # a device-free daemon or leak triage).
-    plat = os.environ.get("MVT_JAX_PLATFORM")
-    if plat:
-        import jax
+    # MVT_JAX_PLATFORM=cpu -> device-free daemon / leak triage
+    from .utils.system import apply_platform_override
 
-        jax.config.update("jax_platforms", plat)
+    apply_platform_override()
 
     input_arg, output_arg = argv[0], argv[1]
     cfg = Config.from_env()

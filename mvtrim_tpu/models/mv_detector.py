@@ -44,7 +44,9 @@ class MVClusterDetector:
         self.cfg = cfg or Config.from_env()
         self.geom = GridGeometry.build(width, height, self.cfg)
         self.backend = resolve_backend(self.cfg.scan_backend)
-        self.device_batch = max(8, self.cfg.device_batch)
+        # multiple of 8 so every kernel's sublane-aligned block search
+        # terminates (pad frames are zero grids = no motion, sliced off)
+        self.device_batch = ((max(8, self.cfg.device_batch) + 7) // 8) * 8
         if self.backend == "pallas":
             # the cached pallas program tiles the batch in blocks of 128
             self.device_batch = ((self.device_batch + 127) // 128) * 128
@@ -53,7 +55,7 @@ class MVClusterDetector:
         self.device = device
         self._op = None
         self._mv_op = None
-        self._bits_op = None  # packed-mask variant (XLA only; see scan_bits)
+        self._bits_op = None  # word-domain packed op (see scan_bits_async)
 
     # --- forward over host-scattered vote grids (default path) ---
 
@@ -147,10 +149,11 @@ class MVClusterDetector:
 
         Same decision as scan_votes_async — the mask is the host-side
         ``votes >= vectors_needed`` threshold, and the cluster rule only
-        reads votes through that comparison (motion_scanner.cpp:277-293) —
-        at 1/8th the H2D bytes.  Device ops run in the packed domain
-        (ops/cluster.packed_cluster_counts) on frames flattened to
-        [db, lanes].
+        reads votes through that comparison (motion_scanner.cpp:277-293).
+        Device ops run in the WORD domain: frames are re-packed to
+        32-cell int32 lanes (ops/cluster.repack_bits_words) and computed
+        by word_cluster_counts — see ops/cluster for the byte-domain
+        variant the transfer-bound archive path uses instead.
         """
         n = bits.shape[0]
         if n == 0:
@@ -227,17 +230,20 @@ class MVClusterDetector:
                 f"a larger max_mv — a truncated list cannot be decided "
                 f"exactly")
         op = self._build_mv_op(mvs.shape[1])
-        # pad the batch to device_batch multiples so every dispatch reuses
-        # one compiled program (zero-count pad frames decide False and are
-        # sliced off in resolve)
+        # pad each dispatch to a power-of-two bucket in [256, device_batch]
+        # (zero-count pad frames decide False and are sliced off in
+        # resolve): a handful of compiled shapes instead of one, but raw
+        # MV fields are heavy (M*8 bytes/frame) and always padding to
+        # device_batch would ship mostly zeros for typical chunk sizes
         db = self.device_batch
         m = mvs.shape[1]
         futures = []
         for lo in range(0, n, db):
             hi = min(lo + db, n)
-            batch = np.zeros((db, m, 4), mvs.dtype)
+            bucket = min(db, max(256, 1 << (hi - lo - 1).bit_length()))
+            batch = np.zeros((bucket, m, 4), mvs.dtype)
             batch[:hi - lo] = mvs[lo:hi]
-            cnts = np.zeros((db,), np.int32)
+            cnts = np.zeros((bucket,), np.int32)
             cnts[:hi - lo] = counts[lo:hi]
             if self.device is not None:
                 batch = jax.device_put(batch, self.device)

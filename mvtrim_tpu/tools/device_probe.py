@@ -49,6 +49,8 @@ def probe() -> dict:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from ..utils.system import apply_platform_override
+    apply_platform_override()  # MVT_JAX_PLATFORM
     print(json.dumps(probe(), indent=2))
     return 0
 

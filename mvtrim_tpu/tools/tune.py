@@ -137,7 +137,7 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
                 kept_s = float(kept[vi])
                 saved = 100.0 * max(0.0, duration - kept_s) / duration \
                     if duration > 0 else 0.0
-                results.append({
+                row = {
                     "mv_threshold_sq": thr,
                     "vectors_needed": vec,
                     "clusters_needed": clu,
@@ -145,7 +145,17 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
                     "segments": int(count[vi]),
                     "saved_pct": round(saved, 2),
                     "stats": "device_f32",
-                })
+                }
+                if int(count[vi]) >= max_segments:
+                    # capacity saturated: later segments were dropped, so
+                    # segments/saved_pct understate reality — mark the
+                    # row and tell the operator (host path has no cap)
+                    row["segments_saturated"] = True
+                    print(f"tune: segment capacity {max_segments} "
+                          f"saturated for threshold={thr} vec={vec} "
+                          f"clu={clu}; re-run without --device-stats "
+                          "for exact stats", file=sys.stderr)
+                results.append(row)
         return results
 
     for ti, thr in enumerate(thresholds):
@@ -167,6 +177,8 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
 
 
 def main(argv: list[str] | None = None) -> int:
+    from ..utils.system import apply_platform_override
+    apply_platform_override()  # MVT_JAX_PLATFORM
     parser = argparse.ArgumentParser(prog="tune")
     parser.add_argument("input")
     parser.add_argument("--thresholds", default="4,16,64")

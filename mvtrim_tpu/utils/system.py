@@ -109,6 +109,21 @@ def device_info() -> list[dict]:
     } for d in jax.devices()]
 
 
+def apply_platform_override() -> None:
+    """Honor MVT_JAX_PLATFORM (e.g. 'cpu') for any entry point.
+
+    Some environments register accelerator platforms from sitecustomize
+    and prepend them to jax_platforms, overriding the JAX_PLATFORMS env
+    var — this forces the backend after import instead.  Call before the
+    first jax computation; no-op when the knob is unset.
+    """
+    plat = os.environ.get("MVT_JAX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def rss_mb() -> float:
     """This process's resident set size in MB (0.0 if unreadable)."""
     try:
