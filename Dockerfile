@@ -45,10 +45,13 @@ RUN PKG_CONFIG_PATH=/usr/local/lib/pkgconfig make -C native
 
 FROM python:3.12-slim-bookworm
 
-# runtime deps of the self-built libav* (x264/x265 shared libs)
+# runtime deps of the self-built libav* (x264/x265 shared libs) +
+# jemalloc, preloaded like the reference image (reference
+# Dockerfile:70-77) — long-lived daemons benefit from its arena behavior
 RUN apt-get update && apt-get install -y --no-install-recommends \
-        libx264-164 libx265-199 \
+        libx264-164 libx265-199 libjemalloc2 \
     && rm -rf /var/lib/apt/lists/*
+ENV LD_PRELOAD=/usr/lib/x86_64-linux-gnu/libjemalloc.so.2
 
 # the FFmpeg 8.0 libraries built above (HEVC MV export capable)
 COPY --from=build /usr/local/lib/libav*.so* /usr/local/lib/
