@@ -292,9 +292,20 @@ class ProcessingPipeline:
             detector.scan_bits(
                 np.zeros((1, geom.gh, (geom.gw + 7) // 8), np.uint8))
         elif scan_input == "mv_raw":
+            # warm both dispatch buckets frames will land in: the small
+            # one (tail chunks) and the one a typical chunk pads to —
+            # raw-MV dispatches bucket to powers of two (scan_raw_mvs),
+            # and compiling mid-decode would stall the feeder
             detector.scan_raw_mvs(
                 np.zeros((1, cfg.mv_capacity, 4), np.int16),
                 np.zeros((1,), np.int32))
+            expect = int(math.ceil(cfg.chunk_duration_sec *
+                                   max(fps, 1.0))) + 64
+            n_warm = min(detector.device_batch, max(256, expect))
+            if n_warm > 256:
+                detector.scan_raw_mvs(
+                    np.zeros((n_warm, cfg.mv_capacity, 4), np.int16),
+                    np.zeros((n_warm,), np.int32))
         else:
             detector.scan_votes(np.zeros((1, geom.gh, geom.gw), np.uint8))
         warmup_us = (time.perf_counter_ns() - warm_t0) // 1000
