@@ -190,15 +190,17 @@ def make_cluster_op_pallas(geom: GridGeometry, vectors_needed: int,
 
 
 def make_cluster_bits_op_xla(geom: GridGeometry, clusters_needed: int):
-    """Bit-packed input variant: bits uint8 [B, gh, ceil(gw/8)] ->
-    (counts i32, motion bool).
+    """Unpack-based reference formulation: bits uint8 [B, gh, ceil(gw/8)]
+    -> (counts i32, motion bool).
 
     The host packs the *thresholded* activity mask (native mvt_scan_bits:
-    bit k of byte j = cell x=j*8+k had votes >= VECTORS_NEEDED), so the
-    device unpacks to a 0/1 grid and runs the cluster rule with an
-    effective vote threshold of 1 — the identical decision with 8x less
-    H2D traffic.  Unpack + pad fuse into the cluster pass under jit; HBM
-    still sees one read of the (now tiny) input per frame.
+    bit k of byte j = cell x=j*8+k had votes >= VECTORS_NEEDED); this op
+    unpacks to a 0/1 grid and runs the unpacked cluster rule with an
+    effective vote threshold of 1.  Scope: differential-testing oracle
+    for the packed-domain kernels (test_kernels.py cross-checks the
+    byte/word SWAR math against this independent formulation) — product
+    paths use word_cluster_counts (detector) / packed_cluster_counts
+    (archive), which are faster.
     """
     gh, gw = geom.gh, geom.gw
     gwb = (gw + 7) // 8
@@ -434,47 +436,6 @@ def make_cluster_bits_packed_op_xla(geom: GridGeometry,
         counts = packed_cluster_counts(
             bits.astype(jnp.int32), geom, masks,
             lambda v, s: jnp.roll(v, s, axis=-1))[:, 0]
-        return counts, counts >= jnp.int32(max(1, clusters_needed))
-
-    return op
-
-
-def make_cluster_bits_op_pallas(geom: GridGeometry, clusters_needed: int,
-                                block_b: int = 256):
-    """Packed-domain Pallas kernel: bits uint8 [B, L] (flattened
-    mvt_scan_bits frames, zero-padded to L lanes — see packed_geometry)
-    -> (counts i32 [B], motion bool [B]).  B must be a multiple of
-    block_b."""
-    from jax.experimental.pallas import tpu as _pltpu
-
-    gwb, used, lanes = packed_geometry(geom)
-    masks_np = tuple(m[None, :] for m in _packed_masks(geom))
-
-    def kernel(bits_ref, center_ref, nf_ref, nl_ref, counts_ref):
-        a = bits_ref[:].astype(jnp.int32)            # [block_b, L]
-        masks = (center_ref[:], nf_ref[:], nl_ref[:])
-        counts_ref[:] = packed_cluster_counts(
-            a, geom, masks, lambda v, s: _pltpu.roll(v, s, 1))
-
-    mask_spec = pl.BlockSpec((1, lanes), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-
-    @jax.jit
-    def op(bits):
-        b = bits.shape[0]
-        assert b % block_b == 0, (b, block_b)
-        assert bits.shape[1] == lanes, (bits.shape, lanes)
-        counts = pl.pallas_call(
-            kernel,
-            grid=(b // block_b,),
-            in_specs=[pl.BlockSpec((block_b, lanes), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-                      mask_spec, mask_spec, mask_spec],
-            out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
-        )(bits, *(jnp.asarray(m) for m in masks_np))
-        counts = counts[:, 0]
         return counts, counts >= jnp.int32(max(1, clusters_needed))
 
     return op
