@@ -33,7 +33,8 @@ from ..ops.sweep import make_vote_sweep_op
 
 def sweep(input_path: str, thresholds, vectors, clusters, *,
           cfg: Config | None = None, batch_frames: int = 512,
-          device_stats: bool = False) -> list[dict]:
+          device_stats: bool = False,
+          scan_input: str = "grids") -> list[dict]:
     """Score every config combination over one decode.
 
     ``device_stats=False`` (default): per-batch motion booleans come back
@@ -47,6 +48,15 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     savings — with a single host round trip.  Timestamps are f32 on
     device, so savings can differ from the oracle in the last decimals;
     use it for tuning sweeps, not for cut lists.
+
+    ``scan_input`` picks the H2D payload, like the pipeline's
+    MVT_SCAN_INPUT: 'grids' scatters one vote grid per threshold during
+    decode (mvt_scan_grids_multi — K*gh*gw bytes/frame, near-zero device
+    math per config); 'mv_raw' exports raw MV fields once and sweeps the
+    magnitude thresholds as device data (ops/sweep.make_mv_sweep_op) —
+    for hosts where the scatter CPU is the constraint.  Identical
+    decisions either way (the integer bound reproduces the double
+    threshold compare exactly — ops/mv_vote.threshold_bound).
     """
     import jax
 
@@ -60,7 +70,6 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     duration, fps = reader.duration, reader.fps
     geom = GridGeometry.build(reader.width, reader.height, cfg)
     frame_skip = cfg.frame_skip(fps)
-    op = make_vote_sweep_op(geom)
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
 
     # motion_ts[(threshold index, vc index)] -> timestamps (host path)
@@ -72,36 +81,44 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     dev_motion: list[list] = [[] for _ in thresholds]
     all_pts: list[np.ndarray] = []
 
-    t = 0.0
-    chunk = cfg.chunk_duration_sec
-    cap = int(math.ceil(chunk * max(fps, 1.0))) + 64
-    while t < duration:
-        end = min(t + chunk, duration)
-        grids, pts = reader.scan_grids_multi(
-            t, end, thresholds_sq=thresholds,
-            block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
-            y_min=geom.y_min, y_max=geom.y_max,
-            frame_skip=frame_skip, max_frames=cap)
-        t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
-        if len(pts) == 0:
-            continue
-        if device_stats:
-            all_pts.append(pts)
-        for lo in range(0, len(pts), batch_frames):
-            hi = min(lo + batch_frames, len(pts))
-            for ti in range(len(thresholds)):
-                batch = np.zeros((batch_frames, gh_p, gw_p), np.uint8)
-                batch[:hi - lo, :geom.gh, :geom.gw] = grids[lo:hi, ti]
-                motion = op(batch, vec_needs, clust_needs)
-                if device_stats:
-                    # async dispatch; resolution happens on-device at the
-                    # end via the segmentation op — no host round trip
-                    dev_motion[ti].append((motion, hi - lo))
-                else:
-                    motion = np.asarray(motion)
-                    for vi in range(len(vc_pairs)):
-                        sel = motion[:hi - lo, vi]
-                        motion_ts[(ti, vi)].extend(pts[lo:hi][sel].tolist())
+    if scan_input == "mv_raw":
+        _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs,
+                      frame_skip, batch_frames, device_stats,
+                      motion_ts, dev_motion, all_pts)
+    else:
+        op = make_vote_sweep_op(geom)
+        t = 0.0
+        chunk = cfg.chunk_duration_sec
+        cap = int(math.ceil(chunk * max(fps, 1.0))) + 64
+        while t < duration:
+            end = min(t + chunk, duration)
+            grids, pts = reader.scan_grids_multi(
+                t, end, thresholds_sq=thresholds,
+                block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                y_min=geom.y_min, y_max=geom.y_max,
+                frame_skip=frame_skip, max_frames=cap)
+            t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
+            if len(pts) == 0:
+                continue
+            if device_stats:
+                all_pts.append(pts)
+            for lo in range(0, len(pts), batch_frames):
+                hi = min(lo + batch_frames, len(pts))
+                for ti in range(len(thresholds)):
+                    batch = np.zeros((batch_frames, gh_p, gw_p), np.uint8)
+                    batch[:hi - lo, :geom.gh, :geom.gw] = grids[lo:hi, ti]
+                    motion = op(batch, vec_needs, clust_needs)
+                    if device_stats:
+                        # async dispatch; resolution happens on-device at
+                        # the end via the segmentation op — no host round
+                        # trip
+                        dev_motion[ti].append((motion, hi - lo))
+                    else:
+                        motion = np.asarray(motion)
+                        for vi in range(len(vc_pairs)):
+                            sel = motion[:hi - lo, vi]
+                            motion_ts[(ti, vi)].extend(
+                                pts[lo:hi][sel].tolist())
     reader.close()
 
     results = []
@@ -176,6 +193,72 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     return results
 
 
+def _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs, frame_skip,
+                  batch_frames, device_stats, motion_ts, dev_motion,
+                  all_pts) -> None:
+    """One raw-MV decode, all (threshold, vec, clu) combos on device.
+
+    Flattened config axis k = ti * len(vc_pairs) + vi; chunks whose MV
+    count overflows MVT_MV_CAPACITY are re-decoded at a fitting capacity
+    (exactness over speed — a truncated list is never scored).
+    """
+    import math as _math
+
+    import numpy as np
+
+    from ..ops.mv_vote import threshold_bound
+    from ..ops.sweep import make_mv_sweep_op
+
+    nvc = len(vc_pairs)
+    bounds = np.asarray([threshold_bound(t) for t in thresholds
+                         for _ in vc_pairs], np.int32)
+    vecs = np.asarray([v for _ in thresholds for v, _ in vc_pairs],
+                      np.int32)
+    clus = np.asarray([c for _ in thresholds for _, c in vc_pairs],
+                      np.int32)
+    op = make_mv_sweep_op(geom, cfg.block_shift)
+
+    t = 0.0
+    chunk = cfg.chunk_duration_sec
+    cap = int(_math.ceil(chunk * max(reader.fps, 1.0))) + 64
+    duration = reader.duration
+    while t < duration:
+        end = min(t + chunk, duration)
+        mvs, counts, pts = reader.scan_mvs(
+            t, end, frame_skip=frame_skip, max_frames=cap,
+            max_mv=cfg.mv_capacity)
+        if len(pts) and (counts < 0).any():
+            capm = 1 << int(np.ceil(np.log2(-counts.min())))
+            mvs, counts, pts = reader.scan_mvs(
+                t, end, frame_skip=frame_skip, max_frames=cap,
+                max_mv=capm)
+        t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
+        if len(pts) == 0:
+            continue
+        if device_stats:
+            all_pts.append(pts)
+        m = mvs.shape[1]
+        for lo in range(0, len(pts), batch_frames):
+            hi = min(lo + batch_frames, len(pts))
+            fields = np.zeros((batch_frames, m, 4), np.int32)
+            fields[:hi - lo] = mvs[lo:hi]
+            cnts = np.zeros((batch_frames,), np.int32)
+            cnts[:hi - lo] = counts[lo:hi]
+            motion = op(fields[..., 0], fields[..., 1], fields[..., 2],
+                        fields[..., 3], cnts, bounds, vecs, clus)
+            if device_stats:
+                for ti in range(len(thresholds)):
+                    dev_motion[ti].append(
+                        (motion[:, ti * nvc:(ti + 1) * nvc], hi - lo))
+            else:
+                mnp = np.asarray(motion)
+                for ti in range(len(thresholds)):
+                    for vi in range(nvc):
+                        sel = mnp[:hi - lo, ti * nvc + vi]
+                        motion_ts[(ti, vi)].extend(
+                            pts[lo:hi][sel].tolist())
+
+
 def main(argv: list[str] | None = None) -> int:
     from ..utils.system import apply_platform_override
     apply_platform_override()  # MVT_JAX_PLATFORM
@@ -187,13 +270,19 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--device-stats", action="store_true",
                         help="compute the stats table with the device "
                              "segmentation op (one host round trip; f32)")
+    parser.add_argument("--scan-input", default="grids",
+                        choices=("grids", "mv_raw"),
+                        help="H2D payload: per-threshold vote grids "
+                             "(default) or raw MV fields with on-device "
+                             "threshold sweeping")
     args = parser.parse_args(argv)
 
     thresholds = [float(x) for x in args.thresholds.split(",")]
     vectors = [int(x) for x in args.vectors.split(",")]
     clusters = [int(x) for x in args.clusters.split(",")]
     results = sweep(args.input, thresholds, vectors, clusters,
-                    device_stats=args.device_stats)
+                    device_stats=args.device_stats,
+                    scan_input=args.scan_input)
     print(json.dumps(results, indent=2))
     return 0
 

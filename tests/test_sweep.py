@@ -103,3 +103,30 @@ class TestTuneTool:
             assert d["motion_frames"] == h["motion_frames"], (h, d)
             assert d["segments"] == h["segments"], (h, d)
             assert abs(d["saved_pct"] - h["saved_pct"]) < 0.05, (h, d)
+
+    def test_mv_raw_sweep_matches_grids_sweep(self, tmp_path):
+        """tune --scan-input mv_raw (make_mv_sweep_op product surface)
+        produces the identical stats table to the grids sweep."""
+        clip = str(tmp_path / "mr.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((1.0, 3.0), (5.5, 6.5)))
+        kw = dict(cfg=Config(), batch_frames=64)
+        grids = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2], **kw)
+        mvraw = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2],
+                           scan_input="mv_raw", **kw)
+        assert mvraw == grids
+
+    def test_mv_raw_sweep_overflow_exact(self, tmp_path):
+        """Tiny MV capacity: the sweep re-decodes at a fitting capacity
+        instead of scoring truncated lists."""
+        clip = str(tmp_path / "mo.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=6.0, codec="libx264",
+                          motion_windows=((1.0, 4.0),), noise=2)
+        ref = tune.sweep(clip, [4.0], [1], [2], cfg=Config(),
+                         batch_frames=64)
+        ovf = tune.sweep(clip, [4.0], [1], [2],
+                         cfg=Config(mv_capacity=8), batch_frames=64,
+                         scan_input="mv_raw")
+        assert ovf == ref
