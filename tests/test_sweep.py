@@ -130,3 +130,16 @@ class TestTuneTool:
                          cfg=Config(mv_capacity=8), batch_frames=64,
                          scan_input="mv_raw")
         assert ovf == ref
+
+    def test_mv_raw_with_device_stats(self, tmp_path):
+        """Both knobs together: raw-MV sweep + device segmentation
+        stats agree with the grids + device-stats table."""
+        clip = str(tmp_path / "md.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((2.0, 4.0),))
+        kw = dict(cfg=Config(), batch_frames=64, device_stats=True)
+        a = tune.sweep(clip, [4.0, 16.0], [1, 2], [2], **kw)
+        b = tune.sweep(clip, [4.0, 16.0], [1, 2], [2],
+                       scan_input="mv_raw", **kw)
+        assert a == b
