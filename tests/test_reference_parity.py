@@ -173,3 +173,48 @@ class TestConcatListParity:
         ours = load(str(our_dump))
         assert set(ref) == {"a.mp4.concat", "b.mp4.concat"}
         assert ours == ref
+
+
+class TestRandomizedParity:
+    """Differential fuzz: random knob combinations through the compiled
+    reference and OUR DEVICE PATH (default bits scan -> word-domain
+    cluster op on the CPU backend via MVT_JAX_PLATFORM — the same jit
+    program TPUs run), asserting byte-identical concat lists.  The fixed
+    CONFIGS above use the oracle backend; this class pins the device
+    kernels themselves to the reference across the knob space."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_knobs_device_path(self, reference_bin, clips,
+                                      tmp_path, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(1000 + seed)
+        knobs = {
+            "MV_THRESHOLD_SQ": str(float(rng.choice(
+                [1.0, 4.0, 9.0, 16.0, 25.0, 64.0]))),
+            "VECTORS_NEEDED": str(int(rng.integers(1, 6))),
+            "CLUSTERS_NEEDED": str(int(rng.integers(1, 5))),
+            "MAX_GAP_SEC": str(round(float(rng.uniform(0.5, 6.0)), 2)),
+            "PADDING_SEC": str(round(float(rng.uniform(0.0, 2.0)), 2)),
+            "TARGET_FPS": str(int(rng.choice([0, 5, 7, 10]))),
+            "CHUNK_DURATION_SEC": str(int(rng.choice([4, 7, 30]))),
+            "MIN_SAVINGS_PCT": str(int(rng.choice([0, 5, 50]))),
+            # >= 0.07 keeps margin >= 1 on the smallest grid here: the
+            # margin-0 neighbor read is UB in the reference
+            "VERTICAL_MASK": str(round(float(rng.uniform(0.07, 0.25)), 3)),
+        }
+        binary, shim = reference_bin
+        _, ref = harness.run_reference(
+            binary, shim, clips["two_windows"],
+            str(tmp_path / "ref_out.mp4"),
+            str(tmp_path / "ref_concat.txt"), knobs)
+        our_knobs = dict(knobs)
+        our_knobs["MVT_JAX_PLATFORM"] = "cpu"  # device path, CPU-backed
+        our_knobs["MVT_LOG"] = "0"
+        _, ours, _ = harness.run_ours(
+            clips["two_windows"], str(tmp_path / "our_out.mp4"),
+            str(tmp_path / "our_concat.txt"), our_knobs)
+        # ref None = the reference found no motion and never invoked a
+        # cut; ours must agree exactly (None == None), and when both cut
+        # the concat lists must be byte-identical
+        assert ours == ref, knobs
