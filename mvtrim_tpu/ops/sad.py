@@ -88,19 +88,20 @@ def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
     def kernel(cur_ref, prev_ref, counts_ref):
         cur = cur_ref[0].astype(jnp.int32)
         prev = prev_ref[0].astype(jnp.int32)
-        diff = jnp.abs(cur - prev).astype(jnp.float32)       # [H_p, W_p]
-        # R[g, r] = 1 if row r belongs to block-row g; S[c, g] likewise.
-        rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
-        r_ind = (rows // block_size ==
-                 jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
-                 ).astype(jnp.float32)                       # [gh_p, H_p]
+        diff = jnp.abs(cur - prev)                           # [H_p, W_p]
+        # Row-block sums on the VPU: splitting the sublane dim keeps the
+        # lane dim intact (Mosaic-legal reshape) and costs one add pass —
+        # the old row-indicator matmul burned block_size x the FLOPs of
+        # the column reduction for the same result.
+        row_sum = jnp.sum(
+            diff.reshape(gh_p, block_size, w_p), axis=1
+        ).astype(jnp.float32)                                # [gh_p, W_p]
+        # Column blocks stay a matmul (lane-dim reshapes are not legal):
+        # S[c, g] = 1 if column c belongs to block-col g.
         cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
         c_ind = (cols // block_size ==
                  jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
                  ).astype(jnp.float32)                       # [W_p, gw_p]
-        row_sum = jax.lax.dot_general(
-            r_ind, diff, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [gh_p, W_p]
         sad = jax.lax.dot_general(
             row_sum, c_ind, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [gh_p, gw_p]
