@@ -85,45 +85,57 @@ def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
     h_p = gh_p * block_size
     w_p = gw_p * block_size
 
-    def kernel(cur_ref, prev_ref, counts_ref):
-        cur = cur_ref[0].astype(jnp.int32)
-        prev = prev_ref[0].astype(jnp.int32)
-        diff = jnp.abs(cur - prev)                           # [H_p, W_p]
-        # Row-block sums on the VPU: splitting the sublane dim keeps the
-        # lane dim intact (Mosaic-legal reshape) and costs one add pass —
-        # the old row-indicator matmul burned block_size x the FLOPs of
-        # the column reduction for the same result.
-        row_sum = jnp.sum(
-            diff.reshape(gh_p, block_size, w_p), axis=1
-        ).astype(jnp.float32)                                # [gh_p, W_p]
-        # Column blocks stay a matmul (lane-dim reshapes are not legal):
-        # S[c, g] = 1 if column c belongs to block-col g.
-        cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
-        c_ind = (cols // block_size ==
-                 jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
-                 ).astype(jnp.float32)                       # [W_p, gw_p]
-        sad = jax.lax.dot_general(
-            row_sum, c_ind, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [gh_p, gw_p]
-        n = _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
-        counts_ref[0] = n.reshape(1, 1)
+    def kernel(frame_ref, counts_ref, prev_ref):
+        # One HBM read per frame: the previous frame is carried across
+        # the (sequential) grid in VMEM scratch instead of being
+        # re-fetched — halves the kernel's HBM traffic, which is what it
+        # is bound by.  Step 0 only seeds the scratch (its output row is
+        # discarded by the caller).
+        i = pl.program_id(0)
+        cur = frame_ref[0]                                   # u8 [H_p, W_p]
+
+        @pl.when(i == 0)
+        def _seed():
+            counts_ref[0] = jnp.zeros((1, 1), jnp.int32)
+
+        @pl.when(i > 0)
+        def _scan():
+            diff = jnp.abs(cur.astype(jnp.int32) -
+                           prev_ref[:].astype(jnp.int32))    # [H_p, W_p]
+            # Row-block sums on the VPU: splitting the sublane dim keeps
+            # the lane dim intact (Mosaic-legal reshape), one add pass.
+            row_sum = jnp.sum(
+                diff.reshape(gh_p, block_size, w_p), axis=1
+            ).astype(jnp.float32)                            # [gh_p, W_p]
+            # Column blocks stay a matmul (lane-dim reshapes are not
+            # legal): S[c, g] = 1 if column c belongs to block-col g.
+            cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
+            c_ind = (cols // block_size ==
+                     jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
+                     ).astype(jnp.float32)                   # [W_p, gw_p]
+            sad = jax.lax.dot_general(
+                row_sum, c_ind, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [gh_p, gw_p]
+            n = _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
+            counts_ref[0] = n.reshape(1, 1)
+
+        prev_ref[:] = cur
 
     @jax.jit
     def op(luma):
-        b = luma.shape[0] - 1
-        frame_spec = lambda off: pl.BlockSpec(
-            (1, h_p, w_p), lambda i, o=off: (i + o, 0, 0),
-            memory_space=pltpu.VMEM)
+        n_frames = luma.shape[0]                      # b+1 incl. carry
         counts = pl.pallas_call(
             kernel,
-            grid=(b,),
-            in_specs=[frame_spec(1), frame_spec(0)],
+            grid=(n_frames,),
+            in_specs=[pl.BlockSpec((1, h_p, w_p), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n_frames, 1, 1), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8)],
             interpret=interpret,
-        )(luma, luma)
-        counts = counts[:, 0, 0]
+        )(luma)
+        counts = counts[1:, 0, 0]
         return counts, counts >= jnp.int32(eff)
 
     return op
