@@ -1,0 +1,478 @@
+"""Audited block-SAD kernel benchmark + variant shootout.
+
+Same validity-by-construction methodology as bench.py's sweep harness:
+ONE pallas launch whose grid spans all passes, every frame's motion
+decision accumulated into a device scalar that is host-fetched inside
+the timed window, checked against the NumPy oracle
+(models/sad_detector.sad_oracle_counts), and gated against the chip's
+HBM roofline (each frame's padded luma is read exactly once; the
+previous frame is carried in VMEM scratch).
+
+Usage:
+    python benchmarks/sad_bench.py [--variants v0,mxcol,mxfull,strip]
+                                   [--buffers K] [--frames B] [--iters N]
+
+``mxf<F>`` variants need ``--frames`` divisible by F; the ``prod``
+variant (the real models/sad_detector op) needs ``--frames`` ≡ 1 mod
+its frames_per_step (1 carry frame + F-frame steps), e.g. 129.
+
+Replaces the round-2 ad-hoc measurement (63-64k frames/s) whose timing
+loop paid a full dynamic-slice HBM copy of the luma stack per pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_variant(variant, geom, cfg, *, k, b, iters, dev_stack=None):
+    """Returns a jitted fn(stacked) -> device motion total (int32)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mvtrim_tpu.ops import sad as sad_ops
+    from mvtrim_tpu.ops.cluster import cluster_counts_traced
+
+    bs = cfg.block_size
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+    h_p, w_p = gh_p * bs, gw_p * bs
+    bound = sad_ops.sad_threshold_sum(cfg.sad_threshold, bs)
+    eff = max(1, cfg.clusters_needed)
+
+    def col_indicator(dtype):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
+        return (cols // bs ==
+                jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
+                ).astype(dtype)
+
+    def row_indicator(dtype):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
+        return (rows // bs ==
+                jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
+                ).astype(dtype)
+
+    def finish(sad_i32, acc_ref):
+        n = cluster_counts_traced(sad_i32, geom, jnp.int32(bound))
+        motion = (n >= jnp.int32(eff)).astype(jnp.int32)
+        acc_ref[:] = acc_ref[:] + motion.reshape(1, 1)
+
+    def rows_vpu(diff_i32):
+        return jnp.sum(diff_i32.reshape(gh_p, bs, w_p), axis=1)
+
+    def cols_f32(row_sum_i32):
+        sad = jax.lax.dot_general(
+            row_sum_i32.astype(jnp.float32), col_indicator(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return sad.astype(jnp.int32)
+
+    def cols_bf16_hilo(row_sum_i32):
+        # row sums <= bs*255 = 4080 don't fit bf16 exactly; hi/lo bytes do
+        hi = (row_sum_i32 >> 8).astype(jnp.bfloat16)
+        lo = (row_sum_i32 & 255).astype(jnp.bfloat16)
+        s = col_indicator(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        hi_s = jax.lax.dot_general(hi, s, dims,
+                                   preferred_element_type=jnp.float32)
+        lo_s = jax.lax.dot_general(lo, s, dims,
+                                   preferred_element_type=jnp.float32)
+        return (hi_s * 256.0 + lo_s).astype(jnp.int32)
+
+    if variant in ("v0", "mxcol", "mxfull", "mxfull2", "mxbf", "mxbfroll",
+                   "mxbfv"):
+        prev_bf = variant in ("mxbf", "mxbfroll", "mxbfv")
+
+        def cols_from_rs_f32(rs_f32, acc_ref, *, use_roll=False):
+            # rs values <= 4080 are f32-exact; one f32 matmul finishes
+            sad = jax.lax.dot_general(
+                rs_f32, col_indicator(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            if use_roll:
+                from mvtrim_tpu.ops.cluster import cluster_map_kernel
+                cl = cluster_map_kernel(sad, geom, bound)
+                n = jnp.sum(cl.astype(jnp.int32))
+                motion = (n >= jnp.int32(eff)).astype(jnp.int32)
+                acc_ref[:] = acc_ref[:] + motion.reshape(1, 1)
+            else:
+                finish(sad, acc_ref)
+
+        def kernel(frame_ref, acc_ref, prev_ref):
+            it = pl.program_id(0)
+            i = pl.program_id(1)
+            cur = frame_ref[0, 0]
+
+            @pl.when((it == 0) & (i == 0))
+            def _init():
+                acc_ref[:] = jnp.zeros((1, 1), jnp.int32)
+
+            @pl.when(i > 0)
+            def _scan():
+                if prev_bf:
+                    # |a-b| of bf16-exact uint8 values is integer <= 255:
+                    # bf16-exact; prev is stored pre-cast in scratch
+                    d16 = jnp.abs(cur.astype(jnp.int32).astype(jnp.bfloat16)
+                                  - prev_ref[:])
+                    if variant == "mxbfv":
+                        # VPU sublane row-sums with exact f32 accumulation
+                        rs = jnp.sum(d16.reshape(gh_p, bs, w_p), axis=1,
+                                     dtype=jnp.float32)
+                    else:
+                        rs = jax.lax.dot_general(
+                            row_indicator(jnp.bfloat16), d16,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    cols_from_rs_f32(rs, acc_ref,
+                                     use_roll=variant == "mxbfroll")
+                    return
+                diff = jnp.abs(cur.astype(jnp.int32) -
+                               prev_ref[:].astype(jnp.int32))
+                if variant == "v0":
+                    finish(cols_f32(rows_vpu(diff)), acc_ref)
+                elif variant == "mxcol":
+                    finish(cols_bf16_hilo(rows_vpu(diff)), acc_ref)
+                elif variant == "mxfull2":
+                    d16 = diff.astype(jnp.bfloat16)
+                    rs = jax.lax.dot_general(
+                        row_indicator(jnp.bfloat16), d16,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    cols_from_rs_f32(rs, acc_ref)
+                else:  # mxfull: both reductions on the MXU
+                    # |diff| <= 255 is bf16-exact; accumulate f32
+                    d16 = diff.astype(jnp.bfloat16)
+                    rs = jax.lax.dot_general(
+                        row_indicator(jnp.bfloat16), d16,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    finish(cols_bf16_hilo(rs.astype(jnp.int32)), acc_ref)
+
+            if prev_bf:
+                prev_ref[:] = cur.astype(jnp.int32).astype(jnp.bfloat16)
+            else:
+                prev_ref[:] = cur
+
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(iters, b),
+            in_specs=[pl.BlockSpec((1, 1, h_p, w_p),
+                                   lambda it, i: (it % k, i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda it, i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            scratch_shapes=[pltpu.VMEM(
+                (h_p, w_p), jnp.bfloat16 if prev_bf else jnp.uint8)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )
+
+    elif variant.startswith("mxf") and variant[3:].isdigit():
+        # F frames per grid step: amortizes per-step cost; in-block
+        # consecutive diffs + one diff against the scratch carry
+        F = int(variant[3:])
+        assert b % F == 0
+
+        def decide(diff_i32):
+            # the production per-frame math (ops/sad.sad_step_counts)
+            n = sad_ops.sad_step_counts(diff_i32, geom, bs, bound)
+            return (n >= jnp.int32(eff)).astype(jnp.int32)
+
+        def kernel(frame_ref, acc_ref, prev_ref):
+            it = pl.program_id(0)
+            i = pl.program_id(1)
+
+            @pl.when((it == 0) & (i == 0))
+            def _init():
+                acc_ref[:] = jnp.zeros((1, 1), jnp.int32)
+
+            frames = [frame_ref[0, f].astype(jnp.int32) for f in range(F)]
+            m0 = decide(jnp.abs(frames[0] -
+                                prev_ref[:].astype(jnp.int32)))
+            total = jnp.where(i > 0, m0, 0)
+            for f in range(1, F):
+                total = total + decide(jnp.abs(frames[f] - frames[f - 1]))
+            acc_ref[:] = acc_ref[:] + total.reshape(1, 1)
+            prev_ref[:] = frame_ref[0, F - 1]
+
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(iters, b // F),
+            in_specs=[pl.BlockSpec((1, F, h_p, w_p),
+                                   lambda it, i: (it % k, i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda it, i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+    elif variant.startswith("strip"):
+        # split each frame into sublane strips: small blocks pipeline
+        # better and bound the i32 diff temp; SAD rows accumulate in a
+        # tiny scratch, cluster fires on the last strip.
+        # Suffixes: strip<N> = N strips; striproll = roll-based cluster;
+        # stripbf = bf16 hi/lo column matmuls; stripi32 = i32 prev scratch
+        opts = variant[len("strip"):]
+        s_blocks = 8
+        for tok in ("roll", "bf", "i32"):
+            opts = opts.replace(tok, "")
+        if opts:
+            s_blocks = int(opts)
+        use_roll = "roll" in variant
+        use_bf = "bf" in variant
+        prev_i32 = "i32" in variant
+        assert gh_p % s_blocks == 0
+        strip_gh = gh_p // s_blocks       # block-rows per strip
+        strip_h = strip_gh * bs
+        cols_fn = cols_bf16_hilo if use_bf else cols_f32
+
+        if use_roll:
+            from mvtrim_tpu.ops.cluster import cluster_map_kernel
+
+            def finish_strip(sad_i32, acc_ref):
+                cl = cluster_map_kernel(sad_i32, geom, bound)
+                n = jnp.sum(cl.astype(jnp.int32))
+                motion = (n >= jnp.int32(eff)).astype(jnp.int32)
+                acc_ref[:] = acc_ref[:] + motion.reshape(1, 1)
+        else:
+            finish_strip = finish
+
+        def kernel(frame_ref, acc_ref, prev_ref, sad_ref):
+            it = pl.program_id(0)
+            i = pl.program_id(1)
+            s = pl.program_id(2)
+            cur = frame_ref[0, 0]                       # [strip_h, w_p]
+
+            @pl.when((it == 0) & (i == 0) & (s == 0))
+            def _init():
+                acc_ref[:] = jnp.zeros((1, 1), jnp.int32)
+
+            @pl.when(i > 0)
+            def _scan():
+                prev = prev_ref[pl.ds(s * strip_h, strip_h), :]
+                if not prev_i32:
+                    prev = prev.astype(jnp.int32)
+                diff = jnp.abs(cur.astype(jnp.int32) - prev)
+                row_sum = jnp.sum(diff.reshape(strip_gh, bs, w_p), axis=1)
+                sad_ref[pl.ds(s * strip_gh, strip_gh), :] = (
+                    cols_fn(row_sum))
+
+                @pl.when(s == s_blocks - 1)
+                def _decide():
+                    finish_strip(sad_ref[:], acc_ref)
+
+            prev_ref[pl.ds(s * strip_h, strip_h), :] = (
+                cur.astype(jnp.int32) if prev_i32 else cur)
+
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(iters, b, s_blocks),
+            in_specs=[pl.BlockSpec(
+                (1, 1, strip_h, w_p),
+                lambda it, i, s: (it % k, i, s, 0),
+                memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda it, i, s: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((h_p, w_p),
+                           jnp.int32 if prev_i32 else jnp.uint8),
+                pltpu.VMEM((gh_p, gw_p), jnp.int32)],
+        )
+    elif variant == "prod":
+        # The REAL production kernel (ops/sad.make_sad_kernel — the
+        # exact kernel body models/sad_detector.py dispatches), chained
+        # over (iters, nb) in one launch with per-frame counts written
+        # to HBM every step, exactly like the product op.  The output
+        # block is revisited each iteration (last write wins); the host
+        # fetch blocks on the whole sequential grid and the fetched
+        # counts are diffed per-frame against the oracle, so an acked-
+        # early transport cannot fake a result.  (An earlier fori_loop+
+        # switch formulation over jit-captured resident buffers blew the
+        # remote-compile request-size limit: HTTP 413.)
+        F = 4
+        if (b - 1) % F:
+            raise SystemExit(
+                f"prod variant needs (frames-1) % {F} == 0 "
+                f"(1 carry + {F}-frame steps): use --frames "
+                f"{((b - 1) // F) * F + 1}")
+        nb = (b - 1) // F
+        kernel = sad_ops.make_sad_kernel(geom, bs, bound, F, step_axis=1)
+
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(iters, nb),
+            in_specs=[pl.BlockSpec((1, h_p, w_p),
+                                   lambda it, j: (it % k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((F, h_p, w_p),
+                                   lambda it, j: ((it % k) * nb + j, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((F, 1, 1), lambda it, j: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb * F, 1, 1), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        @jax.jit
+        def run(stacked):
+            # host-side pre-split layout: carries [k,h,w], rest
+            # [k*(b-1),h,w] (built once in main; no in-jit slice copies)
+            carries, rest = stacked
+            return sweep(carries, rest)[:, 0, 0]
+
+        return run
+    else:
+        raise SystemExit(f"unknown variant {variant}")
+
+    @jax.jit
+    def run(stacked):
+        return sweep(stacked)[0, 0]
+
+    return run
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="v0,mxcol,mxfull,strip")
+    ap.add_argument("--buffers", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=256)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    args = ap.parse_args()
+
+    import jax
+
+    from mvtrim_tpu.core.config import Config
+    from mvtrim_tpu.core.types import GridGeometry
+    from mvtrim_tpu.models.sad_detector import sad_oracle_counts
+    from mvtrim_tpu.ops import sad as sad_ops
+    import bench as bench_mod
+
+    dev = jax.devices()[0]
+    roofline = bench_mod._roofline_gbps(dev)
+    cfg = Config()
+    geom = GridGeometry.build(args.width, args.height, cfg)
+    bs = cfg.block_size
+    h_p, w_p = geom.padded_gh * bs, geom.padded_gw * bs
+    k, b, iters = args.buffers, args.frames, args.iters
+    print(f"device: {dev} | {args.width}x{args.height} padded {h_p}x{w_p} "
+          f"({h_p * w_p} B/frame) | K={k} B={b} iters={iters}",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(7)
+    # realistic-ish luma: static noise background + moving bright squares
+    stack = rng.integers(0, 200, size=(k, 1, h_p, w_p),
+                         dtype=np.uint8).repeat(b, axis=1)
+    for kk in range(k):
+        for i in range(1, b, 3):
+            y = 64 + (i * 37) % (h_p - 200)
+            x = 64 + (i * 53) % (w_p - 200)
+            stack[kk, i, y:y + 120, x:x + 120] = 255
+
+    from mvtrim_tpu.core.oracle import count_clusters_batch
+
+    def fast_counts(luma):
+        """Vectorized restatement of sad_oracle_counts (cross-checked
+        below against the real oracle before any timing)."""
+        x = luma.astype(np.int32)
+        diff = np.abs(x[1:] - x[:-1])
+        n = diff.shape[0]
+        sad = diff.reshape(n, geom.padded_gh, bs, geom.padded_gw, bs
+                           ).sum(axis=(2, 4))[:, :geom.gh, :geom.gw]
+        bound = sad_ops.sad_threshold_sum(cfg.sad_threshold, bs)
+        active = (sad >= bound).astype(np.uint8)
+        return count_clusters_batch(active, vectors_needed=1,
+                                    y_min=geom.y_min, y_max=geom.y_max)
+
+    np.testing.assert_array_equal(
+        fast_counts(stack[0, :9]),
+        sad_oracle_counts(stack[0, :9], geom,
+                          sad_threshold=cfg.sad_threshold, block_size=bs))
+
+    eff = max(1, cfg.clusters_needed)
+    motion_per_buf = []
+    for kk in range(k):
+        # chunked (1-frame carry overlap) to bound the int32 working set
+        hits = 0
+        for lo in range(0, b - 1, 32):
+            hi = min(lo + 32, b - 1)
+            counts = fast_counts(stack[kk, lo:hi + 1])
+            hits += int((counts >= eff).sum())
+        motion_per_buf.append(hits)
+    expected = bench_mod._expected_total(motion_per_buf, k, iters)
+    print(f"oracle motion/buffer: {motion_per_buf} "
+          f"-> expected total {expected}", file=sys.stderr)
+
+    stacked = jax.device_put(stack)
+    bytes_per_frame = h_p * w_p
+    analyzed = (b - 1) * iters
+    results = {}
+    prod_inputs = prod_expected = None
+    for variant in args.variants.split(","):
+        variant = variant.strip()
+        if variant == "prod" and prod_inputs is None:
+            # pre-split host-side like the product op (carries [k,h,w],
+            # rest [k*(b-1),h,w]); the last-written output buffer is
+            # (iters-1) % k — diffed per frame against the oracle
+            prod_inputs = (jax.device_put(np.ascontiguousarray(stack[:, 0])),
+                           jax.device_put(np.ascontiguousarray(
+                               stack[:, 1:].reshape(k * (b - 1), h_p, w_p))))
+            last = (iters - 1) % k
+            chunks = []
+            for lo in range(0, b - 1, 32):
+                hi = min(lo + 32, b - 1)
+                chunks.append(fast_counts(stack[last, lo:hi + 1]))
+            prod_expected = np.concatenate(chunks)
+        try:
+            run = build_variant(variant, geom, cfg, k=k, b=b, iters=iters,
+                                dev_stack=stacked)
+            arg = prod_inputs if variant == "prod" else stacked
+            t0 = time.perf_counter()
+            out = np.asarray(run(arg))         # compile + first pass
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = np.asarray(run(arg))
+            dt = time.perf_counter() - t0
+        except Exception as e:
+            print(f"{variant}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        fps = analyzed / dt
+        if variant == "prod":
+            ok = np.array_equal(out, prod_expected)
+        else:
+            ok = int(out) == expected
+        valid, implied, pct = bench_mod._audit(
+            f"sad/{variant}", fps, bytes_per_frame, roofline, ok)
+        results[variant] = {"frames_per_sec": round(fps),
+                            "implied_gbps": round(implied, 1),
+                            "pct_roofline": round(pct, 1),
+                            "audited": bool(valid),
+                            "compile_s": round(compile_s, 1)}
+
+    print(json.dumps({"metric": "sad_1080p_frames_per_sec",
+                      "bytes_per_frame": bytes_per_frame,
+                      "roofline_gbps": roofline,
+                      "variants": results}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

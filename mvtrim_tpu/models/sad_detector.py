@@ -96,6 +96,8 @@ class SADDetector:
             batch = np.zeros(
                 (db + 1,) + padded.shape[1:], np.uint8)
             batch[:hi - lo + 1] = padded[lo:hi + 1]
-            _, motion = op(jnp.asarray(batch))
+            # host array in: the pallas op splits carry/frames host-side
+            # (zero-copy views) before its single H2D put
+            _, motion = op(batch)
             out[lo + 1:hi + 1] = np.asarray(motion)[:hi - lo]
         return out

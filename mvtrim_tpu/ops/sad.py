@@ -15,9 +15,17 @@ star requires.
 
 Two implementations:
 * ``xla``   — reduce_window block sums; XLA fuses diff+reduce.
-* ``pallas``— per-frame kernel: |cur-prev| then the block reduction as two
-  small matmuls (R @ D @ S with block-indicator matrices) on the MXU,
-  cluster decision fused in-kernel.
+* ``pallas``— multi-frame-block kernel: |cur-prev| in int32, then both
+  block reductions on the MXU as indicator matmuls — rows as bf16
+  (R @ D: |diff| <= 255 is bf16-exact, f32 accumulation), columns as
+  f32 (row sums <= block_area*255 are f32-exact) — with the cluster
+  decision fused in-kernel.  Several frames per grid step (in-block
+  consecutive diffs) amortize the per-step pipeline cost, and the
+  previous frame is carried across the sequential grid in VMEM scratch
+  (one HBM read per frame).  Variant shootout on v5e
+  (benchmarks/sad_bench.py, audited): this formulation wins over VPU
+  sublane row-sums, bf16 hi/lo column splits, bf16 scratch, and
+  strip-blocked grids.
 """
 
 from __future__ import annotations
@@ -74,70 +82,134 @@ def make_sad_op_xla(geom: GridGeometry, *, sad_threshold: float,
     return op
 
 
+def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
+                    bound: int):
+    """Cluster count for one |cur-prev| int32 frame diff — the SAD
+    kernel's per-frame math (shared by the product op and the
+    benchmarks/sad_bench.py shootout so the bench measures the real
+    production math).
+
+    Row blocks as a bf16 indicator matmul on the MXU: R[g, r] = 1 if
+    row r belongs to block-row g; |diff| <= 255 is bf16-exact and the
+    f32 accumulation keeps row sums (<= block_size*255) exact.
+    Measured faster than VPU sublane reshape-sums.  Column blocks as an
+    f32 matmul (lane-dim reshapes are not legal): S[c, g] = 1 if
+    column c belongs to block-col g; row sums <= block_size*255 are
+    f32-exact — so the MXU path stays bit-exact end to end.
+    """
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+    h_p, w_p = gh_p * block_size, gw_p * block_size
+    rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
+    r_ind = (rows // block_size ==
+             jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
+             ).astype(jnp.bfloat16)                      # [gh_p, H_p]
+    row_sum = jax.lax.dot_general(
+        r_ind, diff_i32.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [gh_p, W_p]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
+    c_ind = (cols // block_size ==
+             jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
+             ).astype(jnp.float32)                       # [W_p, gw_p]
+    sad = jax.lax.dot_general(
+        row_sum, c_ind, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [gh_p, gw_p]
+    return _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
+
+
+def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,
+                    F: int, *, step_axis: int = 0):
+    """Build the production SAD pallas kernel body: F frames per grid
+    step (in-block consecutive diffs + one against the VMEM scratch
+    carry — one HBM read per frame).  ``step_axis`` is which grid axis
+    walks the frame blocks (the product op uses axis 0; the bench's
+    chained sweep puts its repeat axis first and the frame walk on
+    axis 1)."""
+
+    def kernel(carry_ref, frames_ref, counts_ref, prev_ref):
+        j = pl.program_id(step_axis)
+
+        @pl.when(j == 0)
+        def _seed():
+            prev_ref[:] = carry_ref[0]
+
+        prev = prev_ref[:].astype(jnp.int32)
+        for fi in range(F):
+            cur = frames_ref[fi].astype(jnp.int32)       # [H_p, W_p]
+            n = sad_step_counts(jnp.abs(cur - prev), geom, block_size,
+                                bound)
+            counts_ref[fi] = n.reshape(1, 1)
+            prev = cur
+        prev_ref[:] = frames_ref[F - 1]
+
+    return kernel
+
+
 def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
                        block_size: int, clusters_needed: int,
-                       height: int, width: int, interpret: bool = False):
-    """Pallas: one frame pair per grid step; block reduction via two
-    block-indicator matmuls on the MXU (no strided gathers)."""
+                       height: int, width: int, interpret: bool = False,
+                       frames_per_step: int = 4):
+    """Pallas: ``frames_per_step`` frames per grid step (in-block
+    consecutive diffs + one against the VMEM scratch carry — one HBM
+    read per frame), block reductions via two block-indicator matmuls
+    on the MXU (no strided gathers).  Multi-frame steps amortize the
+    per-step pipeline cost — the single biggest factor in the variant
+    shootout (benchmarks/sad_bench.py: 64k -> 221k frames/s at 1080p).
+    """
     bound = sad_threshold_sum(sad_threshold, block_size)
     eff = max(1, clusters_needed)
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
     h_p = gh_p * block_size
     w_p = gw_p * block_size
-
-    def kernel(frame_ref, counts_ref, prev_ref):
-        # One HBM read per frame: the previous frame is carried across
-        # the (sequential) grid in VMEM scratch instead of being
-        # re-fetched — halves the kernel's HBM traffic, which is what it
-        # is bound by.  Step 0 only seeds the scratch (its output row is
-        # discarded by the caller).
-        i = pl.program_id(0)
-        cur = frame_ref[0]                                   # u8 [H_p, W_p]
-
-        @pl.when(i == 0)
-        def _seed():
-            counts_ref[0] = jnp.zeros((1, 1), jnp.int32)
-
-        @pl.when(i > 0)
-        def _scan():
-            diff = jnp.abs(cur.astype(jnp.int32) -
-                           prev_ref[:].astype(jnp.int32))    # [H_p, W_p]
-            # Row-block sums on the VPU: splitting the sublane dim keeps
-            # the lane dim intact (Mosaic-legal reshape), one add pass.
-            row_sum = jnp.sum(
-                diff.reshape(gh_p, block_size, w_p), axis=1
-            ).astype(jnp.float32)                            # [gh_p, W_p]
-            # Column blocks stay a matmul (lane-dim reshapes are not
-            # legal): S[c, g] = 1 if column c belongs to block-col g.
-            cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
-            c_ind = (cols // block_size ==
-                     jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
-                     ).astype(jnp.float32)                   # [W_p, gw_p]
-            sad = jax.lax.dot_general(
-                row_sum, c_ind, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [gh_p, gw_p]
-            n = _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
-            counts_ref[0] = n.reshape(1, 1)
-
-        prev_ref[:] = cur
+    # VMEM-aware: the frames block is double-buffered, so cap it at
+    # ~24MB (F=4 at 1080p's 2.4MB frames; F=2 at 4K's ~8.9MB) to stay
+    # inside the 100MB limit with the scratch carry + carry input.
+    frame_bytes = h_p * w_p
+    F = max(1, min(max(1, frames_per_step),
+                   int(24 * 1024 * 1024 // frame_bytes) or 1))
+    kernel = make_sad_kernel(geom, block_size, bound, F)
 
     @jax.jit
-    def op(luma):
-        n_frames = luma.shape[0]                      # b+1 incl. carry
+    def device_scan(carry, rest):
+        """carry u8 [1, H_p, W_p], rest u8 [nb*F, H_p, W_p] -> counts
+        i32 [nb*F].  Split interface: an in-jit luma[1:] slice would be
+        a full HBM copy (measured 221k -> 82k frames/s); callers slice
+        host-side (zero-copy views) instead."""
+        nb = rest.shape[0] // F
         counts = pl.pallas_call(
             kernel,
-            grid=(n_frames,),
-            in_specs=[pl.BlockSpec((1, h_p, w_p), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((1, h_p, w_p), lambda j: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_frames, 1, 1), jnp.int32),
+                      pl.BlockSpec((F, h_p, w_p), lambda j: (j, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((F, 1, 1), lambda j: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb * F, 1, 1), jnp.int32),
             scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(luma)
-        counts = counts[1:, 0, 0]
-        return counts, counts >= jnp.int32(eff)
+        )(carry, rest)
+        return counts[:, 0, 0]
 
+    def op(luma):
+        """luma [b+1, H_p, W_p] (frame 0 = previous carry) ->
+        (counts i32 [b], motion bool [b]), as host arrays."""
+        b = luma.shape[0] - 1
+        nb = -(-b // F)
+        luma = np.asarray(luma)
+        carry, rest = luma[:1], luma[1:]          # zero-copy host views
+        if nb * F != b:
+            rest = np.concatenate(
+                [rest, np.zeros((nb * F - b, h_p, w_p), np.uint8)])
+        counts = np.asarray(device_scan(jnp.asarray(carry),
+                                        jnp.asarray(rest)))[:b]
+        return counts, counts >= eff
+
+    op.device_scan = device_scan
+    op.frames_per_step = F
+    op.eff_clusters = eff
     return op
 
 

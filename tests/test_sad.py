@@ -66,6 +66,38 @@ class TestSADKernels:
         cp, _ = op_p(luma)
         np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
 
+    @pytest.mark.parametrize("fps_n", [1, 2, 3, 4])
+    def test_pallas_frames_per_step_parity(self, rng, fps_n):
+        """The multi-frame-step kernel is exact at every F, including
+        step-boundary carries and the padded tail (b % F != 0)."""
+        luma = self.random_luma(rng, n=8)  # b=7: pads for F in {2,3,4}
+        op_x = sad_ops.make_sad_op_xla(
+            GEOM, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size, clusters_needed=CFG.clusters_needed)
+        op_p = sad_ops.make_sad_op_pallas(
+            GEOM, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size, clusters_needed=CFG.clusters_needed,
+            height=240, width=320, interpret=True, frames_per_step=fps_n)
+        assert op_p.frames_per_step == fps_n
+        cx, mx = op_x(luma)
+        cp, mp = op_p(luma)
+        np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
+        np.testing.assert_array_equal(np.asarray(mx), np.asarray(mp))
+
+    def test_pallas_vmem_autoscale_4k(self):
+        """4K frames (~8.9MB padded) halve frames_per_step to keep the
+        double-buffered frames block within the VMEM budget."""
+        geom4k = GridGeometry.build(3840, 2160, CFG)
+        op = sad_ops.make_sad_op_pallas(
+            geom4k, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size, clusters_needed=CFG.clusters_needed,
+            height=2160, width=3840, interpret=True)
+        frame_bytes = (geom4k.padded_gh * CFG.block_size *
+                       geom4k.padded_gw * CFG.block_size)
+        assert op.frames_per_step == max(
+            1, min(4, 24 * 1024 * 1024 // frame_bytes))
+        assert op.frames_per_step < 4
+
     def test_static_frames_inactive(self):
         h = GEOM.padded_gh * CFG.block_size
         w = GEOM.padded_gw * CFG.block_size
