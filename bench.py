@@ -230,6 +230,68 @@ def _sweep_bench_packed(geom, cfg, stacked_bits, iters, block_b=None,
     return dt / iters, total
 
 
+def _sweep_bench_words_T(geom, cfg, stacked_T, iters, block_b=1024):
+    """Transposed word-domain sweep (ops/cluster.word_cluster_counts_T):
+    words on sublanes, frames on lanes, popcount reduction on the MXU —
+    the fastest kernel measured (benchmarks/word_bench.py).  Same
+    single-launch resident-accumulator methodology; stacked_T is
+    [K, lanes, B] int32."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from mvtrim_tpu.ops.cluster import (_word_masks, word_cluster_counts_T,
+                                        word_geometry)
+
+    k, lanes, b = stacked_T.shape
+    assert lanes == word_geometry(geom)[2], (stacked_T.shape, geom)
+    while b % block_b:
+        block_b //= 2
+    nb = b // block_b
+    clusters_needed = max(1, cfg.clusters_needed)
+    masks_np = tuple(m[:, None] for m in _word_masks(geom))
+
+    def kernel(words_ref, center_ref, nf_ref, nl_ref, acc_ref):
+        it = pl.program_id(1)
+        masks = (center_ref[:], nf_ref[:], nl_ref[:])
+        counts = word_cluster_counts_T(
+            words_ref[0], geom, masks, lambda v, s: pltpu.roll(v, s, 0))
+        motion = (counts >= clusters_needed).astype(jnp.int32)
+
+        @pl.when(it == 0)
+        def _init():
+            acc_ref[:] = motion
+
+        @pl.when(it != 0)
+        def _acc():
+            acc_ref[:] = acc_ref[:] + motion
+
+    mask_spec = pl.BlockSpec((lanes, 1), lambda jb, it: (0, 0),
+                             memory_space=pltpu.VMEM)
+    sweep = pl.pallas_call(
+        kernel,
+        grid=(nb, iters),
+        in_specs=[pl.BlockSpec((1, lanes, block_b),
+                               lambda jb, it: (it % k, 0, jb),
+                               memory_space=pltpu.VMEM),
+                  mask_spec, mask_spec, mask_spec],
+        out_specs=pl.BlockSpec((1, block_b), lambda jb, it: (0, jb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, b), jnp.int32),
+    )
+    masks_dev = tuple(jnp.asarray(m) for m in masks_np)
+
+    @jax.jit
+    def run(stacked_T):
+        return jnp.sum(sweep(stacked_T, *masks_dev))
+
+    int(run(stacked_T))  # warmup: compile + one full pass
+    t0 = time.perf_counter()
+    total = int(run(stacked_T))
+    dt = time.perf_counter() - t0
+    return dt / iters, total
+
+
 def _expected_total(motion_per_buf, k, iters):
     full, rem = divmod(iters, k)
     return int(sum(int(m) * (full + (1 if i < rem else 0))
@@ -309,6 +371,18 @@ def main() -> int:
     word_bytes = lanesw * 4
 
     try:
+        stacked_T = jax.device_put(
+            np.ascontiguousarray(flatw.transpose(0, 2, 1)))
+        dt, total = _sweep_bench_words_T(geom, cfg, stacked_T, ITERS)
+        fps_pt = B / dt
+        ok = total == _expected_total(motion_per_buf, K, ITERS)
+        ok_pt, gbps_pt, pct_pt = _audit("words-T pallas sweep", fps_pt,
+                                        word_bytes, roofline, ok)
+    except Exception as e:  # pallas unavailable on some backends
+        print(f"words-T pallas bench skipped: {e}", file=sys.stderr)
+        fps_pt, gbps_pt, pct_pt, ok_pt = 0.0, 0.0, 0.0, False
+
+    try:
         dt, total = _sweep_bench_packed(geom, cfg, stacked_words, ITERS,
                                         domain="words")
         fps_pk = B / dt
@@ -325,6 +399,7 @@ def main() -> int:
         "words xla", op_pkx, stacked_words, word_bytes)
 
     candidates = [
+        (fps_pt, gbps_pt, pct_pt, word_bytes, "pallas-words-T", ok_pt),
         (fps_pk, gbps_pk, pct_pk, word_bytes, "pallas-words", ok_pk),
         (fps_px, gbps_px, pct_px, word_bytes, "xla-words", ok_px)]
     valid = [c for c in candidates if c[5]]
@@ -388,11 +463,13 @@ def main() -> int:
                 g, vectors_needed=cfg.vectors_needed,
                 y_min=geom4k.y_min, y_max=geom4k.y_max) >= need4k).sum())
             for g in grids4k]
-        dt, total = _sweep_bench_packed(
-            geom4k, cfg, jax.device_put(flat4k), ITERS, domain="words")
+        dt, total = _sweep_bench_words_T(
+            geom4k, cfg,
+            jax.device_put(np.ascontiguousarray(flat4k.transpose(0, 2, 1))),
+            ITERS)
         fps4k = B4 / dt
         ok = total == _expected_total(motion4k, K, ITERS)
-        _audit("words pallas 4K", fps4k, lanes4k * 4, roofline, ok)
+        _audit("words-T pallas 4K", fps4k, lanes4k * 4, roofline, ok)
     except Exception as e:
         print(f"4K words bench skipped: {e}", file=sys.stderr)
 

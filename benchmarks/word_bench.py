@@ -1,0 +1,279 @@
+"""Word-domain cluster kernel layout shootout (headline-metric R&D).
+
+The production kernel (ops/cluster.word_cluster_counts) keeps each
+frame's 384 packed int32 words on the LANE axis: neighbor taps are
+lane rotates (cross-lane shuffles) and the final popcount sum is a
+cross-lane reduction — both relatively expensive VPU patterns.  This
+harness measures alternatives under the same audited methodology as
+bench.py (single launch, resident accumulator, oracle checksum,
+roofline gate):
+
+* ``base``  — the production lane-major kernel (control).
+* ``lmxu``  — lane-major, but the final reduction as an f32 ones-matmul
+              on the MXU instead of a cross-lane sum.
+* ``tvpu``  — TRANSPOSED layout [lanes, frames]: words on sublanes
+              (neighbor taps become sublane rotates), frames on lanes;
+              VPU sublane-axis reduction.
+* ``tmxu``  — transposed + the reduction as ones[1,lanes] @ v on the
+              MXU (per-word popcounts <= 32, sums <= gh*gw — f32-exact).
+
+Usage:
+    python benchmarks/word_bench.py [--variants base,lmxu,tvpu,tmxu]
+                                    [--frames B] [--iters N] [--block N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def word_cluster_counts_T(wT, geom, masksT, roll0):
+    """Transposed word-domain cluster math: int32 words [L, B_blk]
+    (words on sublanes, frames on lanes) -> per-frame cluster counts
+    [1, B_blk] — same rule as ops/cluster.word_cluster_counts, with
+    every lane rotate replaced by a sublane rotate.  roll semantics are
+    axis-symmetric, so the math transposes verbatim."""
+    import jax.numpy as jnp
+    from mvtrim_tpu.ops.cluster import word_geometry
+
+    center, not_first, not_last = masksT
+    lanes = wT.shape[0]
+    gww = word_geometry(geom)[0]
+
+    left = (wT << 1) | ((roll0(wT, 1) >> 31) & 1)
+    right = ((wT >> 1) & 0x7FFFFFFF) | ((roll0(wT, lanes - 1) & 1) << 31)
+    up = roll0(wT, gww) & not_first
+    down = roll0(wT, lanes - gww) & not_last
+    cl = wT & (left | right | up | down) & center
+
+    v = cl - ((cl >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
+    v = ((v * 0x01010101) >> 24) & 0xFF
+    return v  # caller reduces over axis 0
+
+
+def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from mvtrim_tpu.ops.cluster import (_word_masks, word_cluster_counts,
+                                        word_geometry)
+
+    gww, used, lanes = word_geometry(geom)
+    clusters_needed = max(1, cfg.clusters_needed)
+    nb = b // block_b
+    assert nb * block_b == b, (b, block_b)
+
+    if variant in ("base", "lmxu"):
+        masks_np = tuple(m[None, :] for m in _word_masks(geom))
+
+        def kernel(words_ref, center_ref, nf_ref, nl_ref, acc_ref):
+            it = pl.program_id(1)
+            a = words_ref[0]
+            masks = (center_ref[:], nf_ref[:], nl_ref[:])
+            if variant == "base":
+                counts = word_cluster_counts(
+                    a, geom, masks, lambda v, s: pltpu.roll(v, s, 1))
+            else:
+                # same math, but stop before the cross-lane sum and
+                # finish with an f32 ones-matmul on the MXU
+                center, nf, nl = masks
+                w = a
+                left = (w << 1) | ((pltpu.roll(w, 1, 1) >> 31) & 1)
+                right = (((w >> 1) & 0x7FFFFFFF) |
+                         ((pltpu.roll(w, lanes - 1, 1) & 1) << 31))
+                up = pltpu.roll(w, gww, 1) & nf
+                down = pltpu.roll(w, lanes - gww, 1) & nl
+                cl = w & (left | right | up | down) & center
+                v = cl - ((cl >> 1) & 0x55555555)
+                v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+                v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
+                v = ((v * 0x01010101) >> 24) & 0xFF
+                ones = jnp.ones((lanes, 1), jnp.float32)
+                counts = jax.lax.dot_general(
+                    v.astype(jnp.float32), ones,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+            motion = (counts >= clusters_needed).astype(jnp.int32)
+
+            @pl.when(it == 0)
+            def _init():
+                acc_ref[:] = motion
+
+            @pl.when(it != 0)
+            def _acc():
+                acc_ref[:] = acc_ref[:] + motion
+
+        mask_spec = pl.BlockSpec((1, lanes), lambda jb, it: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(nb, iters),
+            in_specs=[pl.BlockSpec((1, block_b, lanes),
+                                   lambda jb, it: (it % k, jb, 0),
+                                   memory_space=pltpu.VMEM),
+                      mask_spec, mask_spec, mask_spec],
+            out_specs=pl.BlockSpec((block_b, 1), lambda jb, it: (jb, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        )
+        masks_dev = tuple(jnp.asarray(m) for m in masks_np)
+
+        @jax.jit
+        def run(stacked):
+            return jnp.sum(sweep(stacked, *masks_dev))
+
+        return run, "lane"
+
+    elif variant in ("tvpu", "tmxu"):
+        masks_np = tuple(m[:, None] for m in _word_masks(geom))
+
+        def kernel(words_ref, center_ref, nf_ref, nl_ref, acc_ref):
+            it = pl.program_id(1)
+            wT = words_ref[0]                          # [lanes, block_b]
+            masks = (center_ref[:], nf_ref[:], nl_ref[:])
+            v = word_cluster_counts_T(
+                wT, geom, masks, lambda x, s: pltpu.roll(x, s, 0))
+            if variant == "tvpu":
+                counts = jnp.sum(v, axis=0, keepdims=True)  # [1, blk]
+            else:
+                ones = jnp.ones((1, lanes), jnp.float32)
+                counts = jax.lax.dot_general(
+                    ones, v.astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+            motion = (counts >= clusters_needed).astype(jnp.int32)
+
+            @pl.when(it == 0)
+            def _init():
+                acc_ref[:] = motion
+
+            @pl.when(it != 0)
+            def _acc():
+                acc_ref[:] = acc_ref[:] + motion
+
+        mask_spec = pl.BlockSpec((lanes, 1), lambda jb, it: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(nb, iters),
+            in_specs=[pl.BlockSpec((1, lanes, block_b),
+                                   lambda jb, it: (it % k, 0, jb),
+                                   memory_space=pltpu.VMEM),
+                      mask_spec, mask_spec, mask_spec],
+            out_specs=pl.BlockSpec((1, block_b), lambda jb, it: (0, jb),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, b), jnp.int32),
+        )
+        masks_dev = tuple(jnp.asarray(m) for m in masks_np)
+
+        @jax.jit
+        def run(stackedT):
+            return jnp.sum(sweep(stackedT, *masks_dev))
+
+        return run, "transposed"
+
+    raise SystemExit(f"unknown variant {variant}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="base,lmxu,tvpu,tmxu")
+    ap.add_argument("--buffers", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=1024)
+    ap.add_argument("--block", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+
+    from mvtrim_tpu.core.config import Config
+    from mvtrim_tpu.core import oracle
+    from mvtrim_tpu.core.types import GridGeometry
+    from mvtrim_tpu.ops import cluster as cluster_ops
+    import bench as bench_mod
+
+    dev = jax.devices()[0]
+    roofline = bench_mod._roofline_gbps(dev)
+    cfg = Config()
+    geom = GridGeometry.build(1920, 1080, cfg)
+    gww, used, lanes = cluster_ops.word_geometry(geom)
+    k, b, iters = args.buffers, args.frames, args.iters
+    print(f"device: {dev} | lanes={lanes} used={used} | K={k} B={b} "
+          f"iters={iters} block={args.block}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    grids = rng.integers(0, 6, size=(k, b, geom.gh, geom.gw),
+                         dtype=np.uint8)
+    need = oracle.effective_clusters_needed(cfg.clusters_needed)
+    motion_per_buf = [
+        int((oracle.count_clusters_batch(
+            g, vectors_needed=cfg.vectors_needed,
+            y_min=geom.y_min, y_max=geom.y_max) >= need).sum())
+        for g in grids]
+    expected = bench_mod._expected_total(motion_per_buf, k, iters)
+    print(f"oracle motion/buffer: {motion_per_buf} -> expected {expected}",
+          file=sys.stderr)
+
+    packed = np.packbits(grids >= cfg.vectors_needed, axis=3,
+                         bitorder="little")
+    flat = np.zeros((k, b, lanes), np.int32)
+    flat[:, :, :used] = cluster_ops.repack_bits_words(
+        packed.reshape(k * b, geom.gh, -1), geom).reshape(k, b, used)
+
+    stacked = stackedT = None
+    word_bytes = lanes * 4
+    results = {}
+    for variant in args.variants.split(","):
+        variant = variant.strip()
+        run, layout = build_variant(variant, geom, cfg, k=k, b=b,
+                                    iters=iters, block_b=args.block)
+        if layout == "lane":
+            if stacked is None:
+                stacked = jax.device_put(flat)
+            arg = stacked
+        else:
+            if stackedT is None:
+                stackedT = jax.device_put(
+                    np.ascontiguousarray(flat.transpose(0, 2, 1)))
+            arg = stackedT
+        try:
+            t0 = time.perf_counter()
+            total = int(run(arg))          # compile + first pass
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            total = int(run(arg))
+            dt = time.perf_counter() - t0
+        except Exception as e:
+            print(f"{variant}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        fps = b * iters / dt
+        ok = total == expected
+        valid, implied, pct = bench_mod._audit(
+            f"words/{variant}", fps, word_bytes, roofline, ok)
+        results[variant] = {"frames_per_sec": round(fps),
+                            "implied_gbps": round(implied, 1),
+                            "pct_roofline": round(pct, 1),
+                            "audited": bool(valid),
+                            "compile_s": round(compile_s, 1)}
+
+    print(json.dumps({"metric": "word_kernel_1080p_frames_per_sec",
+                      "bytes_per_frame": word_bytes,
+                      "roofline_gbps": roofline,
+                      "variants": results}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,6 +56,7 @@ class MVClusterDetector:
         self._op = None
         self._mv_op = None
         self._bits_op = None  # word-domain packed op (see scan_bits_async)
+        self._bits_transposed = False  # set when the bits op is built
 
     # --- forward over host-scattered vote grids (default path) ---
 
@@ -135,9 +136,12 @@ class MVClusterDetector:
         if self._bits_op is None:
             backend = self._bits_backend()
             db = self.device_batch
-            block_b = min(512, db)
+            # transposed kernel: frames on the LANE axis, best block
+            # measured at 1024 (benchmarks/word_bench.py)
+            block_b = min(1024 if backend == "pallas" else 512, db)
             while db % block_b:
-                block_b -= 8  # sublane-aligned divisor of the batch
+                block_b -= 8  # aligned divisor of the batch
+            self._bits_transposed = backend == "pallas"
             self._bits_op = cluster_ops._cached_bits_op(
                 self.geom, self.cfg.clusters_needed, backend,
                 max(8, block_b))
@@ -171,12 +175,20 @@ class MVClusterDetector:
         db = self.device_batch
         _, used, lanes = cluster_ops.word_geometry(self.geom)
         op = self._build_bits_op()
+        transposed = self._bits_transposed
         futures = []
         for lo in range(0, n, db):
             hi = min(lo + db, n)
-            batch = np.zeros((db, lanes), np.int32)
-            batch[:hi - lo, :used] = cluster_ops.repack_bits_words(
-                bits[lo:hi], self.geom)
+            if transposed:
+                # words on sublanes, frames on lanes (the layout the
+                # fastest kernel wants); zero pad columns decide False
+                batch = np.zeros((lanes, db), np.int32)
+                batch[:used, :hi - lo] = cluster_ops.repack_bits_words(
+                    bits[lo:hi], self.geom).T
+            else:
+                batch = np.zeros((db, lanes), np.int32)
+                batch[:hi - lo, :used] = cluster_ops.repack_bits_words(
+                    bits[lo:hi], self.geom)
             if self.device is not None:
                 batch = jax.device_put(batch, self.device)
             _, motion = op(jnp.asarray(batch))

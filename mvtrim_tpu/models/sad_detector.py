@@ -90,12 +90,15 @@ class SADDetector:
         op = self._build_op()
         padded = sad_ops.pad_luma(luma, self.geom, self.cfg.block_size)
         db = self.device_batch
-        # window batches of db+1 frames overlapping by one (the carry)
+        # window batches of db+1 frames overlapping by one (the carry);
+        # one reused buffer (a fresh np.zeros per window costs a full
+        # clear + page faults on the host decode core)
+        batch = np.zeros((db + 1,) + padded.shape[1:], np.uint8)
         for lo in range(0, n - 1, db):
             hi = min(lo + db, n - 1)
-            batch = np.zeros(
-                (db + 1,) + padded.shape[1:], np.uint8)
             batch[:hi - lo + 1] = padded[lo:hi + 1]
+            if hi - lo < db:
+                batch[hi - lo + 1:] = 0
             # host array in: the pallas op splits carry/frames host-side
             # (zero-copy views) before its single H2D put
             _, motion = op(batch)

@@ -259,6 +259,37 @@ class TestWordClusterOps:
         need = orc.effective_clusters_needed(cfg.clusters_needed)
         np.testing.assert_array_equal(np.asarray(motion), expect >= need)
 
+    @pytest.mark.parametrize("dims,vm", [
+        ((1920, 1080), 0.05),   # gw=120: not a multiple of 32
+        ((360, 240), 0.0),      # margin-0 zero-fill rows
+        ((200, 144), 0.05),     # tiny, gw=13 < one word
+    ])
+    def test_words_transposed_matches_oracle(self, rng, dims, vm):
+        """The transposed pallas kernel (words on sublanes, frames on
+        lanes, MXU popcount reduction) is bit-identical to the oracle
+        and the lane-major op."""
+        from mvtrim_tpu.core import oracle as orc
+
+        cfg = Config(vertical_mask=vm)
+        geom = GridGeometry.build(dims[0], dims[1], cfg)
+        grids = rng.integers(0, 5, size=(40, geom.gh, geom.gw),
+                             dtype=np.uint8)
+        active = grids >= cfg.vectors_needed
+        bits = np.packbits(active, axis=2, bitorder="little")
+        gww, used, lanes = cluster_ops.word_geometry(geom)
+        words = np.zeros((40, lanes), np.int32)
+        words[:, :used] = cluster_ops.repack_bits_words(bits, geom)
+
+        op_t = cluster_ops.make_cluster_words_op_pallas_T(
+            geom, cfg.clusters_needed, block_b=40, interpret=True)
+        ct, mt = op_t(jnp.asarray(np.ascontiguousarray(words.T)))
+        expect = orc.count_clusters_batch(
+            active.astype(np.uint8), vectors_needed=1,
+            y_min=geom.y_min, y_max=geom.y_max)
+        np.testing.assert_array_equal(np.asarray(ct), expect)
+        need = orc.effective_clusters_needed(cfg.clusters_needed)
+        np.testing.assert_array_equal(np.asarray(mt), expect >= need)
+
     def test_words_match_byte_domain(self, rng):
         """Word and byte packed domains agree bit-for-bit (same frames,
         both layouts)."""

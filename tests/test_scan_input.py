@@ -97,6 +97,36 @@ class TestDetectorBits:
         np.testing.assert_array_equal(det.scan_bits(packed),
                                       det.scan_votes(grids))
 
+    def test_bits_transposed_pallas_path(self, monkeypatch):
+        """The TPU bits path (transposed pallas kernel + transposed host
+        batch layout) decides identically — driven on CPU by forcing the
+        'pallas' backend through an interpret-mode build."""
+        from mvtrim_tpu.models import mv_detector as mvd
+
+        rng = np.random.default_rng(11)
+        cfg = Config(device_batch=32)
+        det = MVClusterDetector(360, 240, cfg)
+        monkeypatch.setattr(det, "_bits_backend", lambda: "pallas")
+
+        def fake_cached(geom, clusters_needed, backend, block_b):
+            from mvtrim_tpu.ops.cluster import (
+                make_cluster_words_op_pallas_T, make_cluster_words_op_xla)
+            if backend == "pallas":
+                return make_cluster_words_op_pallas_T(
+                    geom, clusters_needed, block_b=block_b, interpret=True)
+            return make_cluster_words_op_xla(geom, clusters_needed)
+
+        monkeypatch.setattr(mvd.cluster_ops, "_cached_bits_op", fake_cached)
+        grids = rng.integers(0, 5, size=(70, det.geom.gh, det.geom.gw),
+                             dtype=np.uint8)
+        packed = np.packbits(grids >= cfg.vectors_needed, axis=2,
+                             bitorder="little")
+        got = det.scan_bits(packed)
+        assert det._bits_transposed
+        ref = MVClusterDetector(360, 240, Config(scan_backend="xla",
+                                                 device_batch=32))
+        np.testing.assert_array_equal(got, ref.scan_bits(packed))
+
     def test_raw_mvs_overflow_raises(self):
         cfg = Config()
         det = MVClusterDetector(360, 240, cfg)
