@@ -244,16 +244,24 @@ def _sweep_bench_words_T(geom, cfg, stacked_T, iters, block_b=1024):
                                         word_geometry)
 
     k, lanes, b = stacked_T.shape
-    assert lanes == word_geometry(geom)[2], (stacked_T.shape, geom)
+    gww, used, lanes_w = word_geometry(geom)
+    assert lanes == lanes_w, (stacked_T.shape, geom)
     while b % block_b:
         block_b //= 2
     nb = b // block_b
     clusters_needed = max(1, cfg.clusters_needed)
-    masks_np = tuple(m[:, None] for m in _word_masks(geom))
+    masks_full = tuple(m[:, None] for m in _word_masks(geom))
+    # same selection as the product op builder: edge masks are redundant
+    # when the up/down wrap can only source the zero-padded lanes
+    slim = lanes - used >= gww
+    masks_np = masks_full[:1] if slim else masks_full
 
-    def kernel(words_ref, center_ref, nf_ref, nl_ref, acc_ref):
+    def kernel(words_ref, *refs):
+        mask_refs, (acc_ref,) = refs[:-1], refs[-1:]
         it = pl.program_id(1)
-        masks = (center_ref[:], nf_ref[:], nl_ref[:])
+        masks = (mask_refs[0][:],
+                 mask_refs[1][:] if not slim else None,
+                 mask_refs[2][:] if not slim else None)
         counts = word_cluster_counts_T(
             words_ref[0], geom, masks, lambda v, s: pltpu.roll(v, s, 0))
         motion = (counts >= clusters_needed).astype(jnp.int32)
@@ -273,8 +281,8 @@ def _sweep_bench_words_T(geom, cfg, stacked_T, iters, block_b=1024):
         grid=(nb, iters),
         in_specs=[pl.BlockSpec((1, lanes, block_b),
                                lambda jb, it: (it % k, 0, jb),
-                               memory_space=pltpu.VMEM),
-                  mask_spec, mask_spec, mask_spec],
+                               memory_space=pltpu.VMEM)] +
+                 [mask_spec] * len(masks_np),
         out_specs=pl.BlockSpec((1, block_b), lambda jb, it: (0, jb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.int32),

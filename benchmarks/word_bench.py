@@ -11,14 +11,17 @@ roofline gate):
 * ``base``  — the production lane-major kernel (control).
 * ``lmxu``  — lane-major, but the final reduction as an f32 ones-matmul
               on the MXU instead of a cross-lane sum.
-* ``tvpu``  — TRANSPOSED layout [lanes, frames]: words on sublanes
-              (neighbor taps become sublane rotates), frames on lanes;
-              VPU sublane-axis reduction.
-* ``tmxu``  — transposed + the reduction as ones[1,lanes] @ v on the
-              MXU (per-word popcounts <= 32, sums <= gh*gw — f32-exact).
+* ``tmxu``  — TRANSPOSED layout [lanes, frames]: words on sublanes
+              (neighbor taps become sublane rotates), frames on lanes,
+              reduction as ones[1,lanes] @ v on the MXU (per-word
+              popcounts <= 32, sums <= gh*gw — f32-exact).  This is the
+              production math (ops/cluster.word_cluster_counts_T).
+* ``tslim`` — tmxu with the provably-redundant up/down edge masks
+              dropped (legal when lanes - used >= gww — what the
+              production op builder selects automatically).
 
 Usage:
-    python benchmarks/word_bench.py [--variants base,lmxu,tvpu,tmxu]
+    python benchmarks/word_bench.py [--variants base,lmxu,tmxu,tslim]
                                     [--frames B] [--iters N] [--block N]
 """
 
@@ -35,30 +38,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def word_cluster_counts_T(wT, geom, masksT, roll0):
-    """Transposed word-domain cluster math: int32 words [L, B_blk]
-    (words on sublanes, frames on lanes) -> per-frame cluster counts
-    [1, B_blk] — same rule as ops/cluster.word_cluster_counts, with
-    every lane rotate replaced by a sublane rotate.  roll semantics are
-    axis-symmetric, so the math transposes verbatim."""
-    import jax.numpy as jnp
-    from mvtrim_tpu.ops.cluster import word_geometry
+def _counts_T(wT, geom, masksT, roll0, slim):
+    """Production transposed math (ops/cluster.word_cluster_counts_T);
+    ``slim`` drops the edge masks (valid when lanes - used >= gww)."""
+    from mvtrim_tpu.ops.cluster import word_cluster_counts_T
 
     center, not_first, not_last = masksT
-    lanes = wT.shape[0]
-    gww = word_geometry(geom)[0]
-
-    left = (wT << 1) | ((roll0(wT, 1) >> 31) & 1)
-    right = ((wT >> 1) & 0x7FFFFFFF) | ((roll0(wT, lanes - 1) & 1) << 31)
-    up = roll0(wT, gww) & not_first
-    down = roll0(wT, lanes - gww) & not_last
-    cl = wT & (left | right | up | down) & center
-
-    v = cl - ((cl >> 1) & 0x55555555)
-    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
-    v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
-    v = ((v * 0x01010101) >> 24) & 0xFF
-    return v  # caller reduces over axis 0
+    if slim:
+        masksT = (center, None, None)
+    return word_cluster_counts_T(wT, geom, masksT, roll0)
 
 
 def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
@@ -135,23 +123,20 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
 
         return run, "lane"
 
-    elif variant in ("tvpu", "tmxu"):
+    elif variant in ("tmxu", "tslim"):
+        # (the tvpu comparison point from the original shootout — VPU
+        # sublane reduction, 139M — is recorded in PERFORMANCE.md; the
+        # harness now measures the production math only)
         masks_np = tuple(m[:, None] for m in _word_masks(geom))
+        slim = variant == "tslim"
 
         def kernel(words_ref, center_ref, nf_ref, nl_ref, acc_ref):
             it = pl.program_id(1)
             wT = words_ref[0]                          # [lanes, block_b]
             masks = (center_ref[:], nf_ref[:], nl_ref[:])
-            v = word_cluster_counts_T(
-                wT, geom, masks, lambda x, s: pltpu.roll(x, s, 0))
-            if variant == "tvpu":
-                counts = jnp.sum(v, axis=0, keepdims=True)  # [1, blk]
-            else:
-                ones = jnp.ones((1, lanes), jnp.float32)
-                counts = jax.lax.dot_general(
-                    ones, v.astype(jnp.float32),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+            counts = _counts_T(
+                wT, geom, masks,
+                lambda x, s: pltpu.roll(x, s, 0), slim)
             motion = (counts >= clusters_needed).astype(jnp.int32)
 
             @pl.when(it == 0)
@@ -188,7 +173,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variants", default="base,lmxu,tvpu,tmxu")
+    ap.add_argument("--variants", default="base,lmxu,tmxu,tslim")
     ap.add_argument("--buffers", type=int, default=8)
     ap.add_argument("--frames", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=1024)

@@ -432,9 +432,17 @@ def word_cluster_counts_T(wT, geom: GridGeometry, masks, roll0):
     a sublane rotate (cheap vector shifts instead of cross-lane
     shuffles) and the final popcount reduction as an f32 ones-matmul on
     the MXU (per-word byte-sums <= 32, frame totals <= gh*gw < 2^24 —
-    f32-exact).  Measured 1.32x the lane-major kernel on v5e
-    (benchmarks/word_bench.py: 178M vs 135M 1080p frames/s in the same
-    harness).  ``roll0`` must rotate axis 0; masks are [L, 1] columns.
+    f32-exact).  Measured 1.47x the lane-major kernel on v5e
+    (benchmarks/word_bench.py).  ``roll0`` must rotate axis 0; masks
+    are [L, 1] columns; ``not_first``/``not_last`` may be None when
+    ``lanes - used >= gww`` (see make_cluster_words_op_pallas_T): the
+    up/down wrap then sources only the zero padding (inactive
+    neighbors) or lands outside the center mask — the edge masks are
+    provably redundant.
+
+    The popcount fold needs no ``& 0xFF``: v's bytes are <= 8, so the
+    mod-2^32 product's bytes are the exact partial sums (top byte
+    <= 32 < 128 — no carries, sign bit clear, arithmetic >>24 exact).
     """
     center, not_first, not_last = masks
     lanes = wT.shape[0]
@@ -442,14 +450,18 @@ def word_cluster_counts_T(wT, geom: GridGeometry, masks, roll0):
 
     left = (wT << 1) | ((roll0(wT, 1) >> 31) & 1)
     right = ((wT >> 1) & 0x7FFFFFFF) | ((roll0(wT, lanes - 1) & 1) << 31)
-    up = roll0(wT, gww) & not_first
-    down = roll0(wT, lanes - gww) & not_last
+    up = roll0(wT, gww)
+    if not_first is not None:
+        up = up & not_first
+    down = roll0(wT, lanes - gww)
+    if not_last is not None:
+        down = down & not_last
     cl = wT & (left | right | up | down) & center
 
     v = cl - ((cl >> 1) & 0x55555555)
     v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
     v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
-    v = ((v * 0x01010101) >> 24) & 0xFF
+    v = (v * 0x01010101) >> 24
     ones = jnp.ones((1, lanes), jnp.float32)
     return jax.lax.dot_general(
         ones, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -467,10 +479,18 @@ def make_cluster_words_op_pallas_T(geom: GridGeometry, clusters_needed: int,
     from jax.experimental.pallas import tpu as _pltpu
 
     gww, used, lanes = word_geometry(geom)
-    masks_np = tuple(m[:, None] for m in _word_masks(geom))
+    masks_full = tuple(m[:, None] for m in _word_masks(geom))
+    # lanes - used >= gww: the up/down wrap reads only zero padding (or
+    # lands outside the center mask), so the edge masks are redundant —
+    # two fewer VPU ANDs and two fewer VMEM streams per block
+    slim = lanes - used >= gww
+    masks_np = masks_full[:1] if slim else masks_full
 
-    def kernel(words_ref, center_ref, nf_ref, nl_ref, counts_ref):
-        masks = (center_ref[:], nf_ref[:], nl_ref[:])
+    def kernel(words_ref, *refs):
+        mask_refs, (counts_ref,) = refs[:-1], refs[-1:]
+        masks = (mask_refs[0][:],
+                 mask_refs[1][:] if not slim else None,
+                 mask_refs[2][:] if not slim else None)
         counts_ref[:] = word_cluster_counts_T(
             words_ref[:], geom, masks, lambda v, s: _pltpu.roll(v, s, 0))
 
@@ -486,8 +506,8 @@ def make_cluster_words_op_pallas_T(geom: GridGeometry, clusters_needed: int,
             kernel,
             grid=(b // block_b,),
             in_specs=[pl.BlockSpec((lanes, block_b), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-                      mask_spec, mask_spec, mask_spec],
+                                   memory_space=pltpu.VMEM)] +
+                     [mask_spec] * len(masks_np),
             out_specs=pl.BlockSpec((1, block_b), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, b), jnp.int32),

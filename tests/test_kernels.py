@@ -290,6 +290,31 @@ class TestWordClusterOps:
         need = orc.effective_clusters_needed(cfg.clusters_needed)
         np.testing.assert_array_equal(np.asarray(mt), expect >= need)
 
+    def test_words_transposed_no_padding_headroom(self, rng):
+        """A geometry where used == lanes (no zero-padding lanes): the
+        transposed op must keep the up/down edge masks — the wrap
+        sources real words there — and still match the oracle."""
+        from mvtrim_tpu.core import oracle as orc
+
+        cfg = Config(vertical_mask=0.0)
+        geom = GridGeometry.build(512, 2048, cfg)  # gww=1, gh=128
+        gww, used, lanes = cluster_ops.word_geometry(geom)
+        assert lanes - used < gww  # the case under test
+        grids = rng.integers(0, 5, size=(16, geom.gh, geom.gw),
+                             dtype=np.uint8)
+        active = grids >= cfg.vectors_needed
+        bits = np.packbits(active, axis=2, bitorder="little")
+        words = np.zeros((16, lanes), np.int32)
+        words[:, :used] = cluster_ops.repack_bits_words(bits, geom)
+
+        op_t = cluster_ops.make_cluster_words_op_pallas_T(
+            geom, cfg.clusters_needed, block_b=16, interpret=True)
+        ct, _ = op_t(jnp.asarray(np.ascontiguousarray(words.T)))
+        expect = orc.count_clusters_batch(
+            active.astype(np.uint8), vectors_needed=1,
+            y_min=geom.y_min, y_max=geom.y_max)
+        np.testing.assert_array_equal(np.asarray(ct), expect)
+
     def test_words_match_byte_domain(self, rng):
         """Word and byte packed domains agree bit-for-bit (same frames,
         both layouts)."""
