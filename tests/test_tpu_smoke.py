@@ -45,7 +45,9 @@ def _tpu_env():
     return env
 
 
-def _run_py(code: str, timeout: float = 560.0):
+def _run_py(code: str, timeout: float = 900.0):
+    # remote compiles are usually 20-140s but have been observed north
+    # of 500s on busy days — the bound must cover one cold compile
     return subprocess.run([sys.executable, "-c", code], env=_tpu_env(),
                           capture_output=True, text=True, timeout=timeout)
 
@@ -146,6 +148,47 @@ ok_counts = bool((np.asarray(counts) == expected).all())
 need = oracle.effective_clusters_needed(cfg.clusters_needed)
 ok_motion = bool((np.asarray(motion) == (expected >= need)).all())
 print(json.dumps({"ok_counts": ok_counts, "ok_motion": ok_motion}))
+"""
+    r = _run_py(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec == {"ok_counts": True, "ok_motion": True}
+
+
+def test_transposed_words_kernel_on_device():
+    """The flagship transposed word kernel (sublane rolls + MXU popcount
+    reduction, slim edge masks) vs the oracle on the real chip."""
+    code = """
+import json
+import numpy as np
+import jax
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected an accelerator, got {dev}"
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core import oracle
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.ops import cluster as cluster_ops
+
+cfg = Config()
+geom = GridGeometry.build(1920, 1080, cfg)
+rng = np.random.default_rng(9)
+grids = rng.integers(0, 6, size=(256, geom.gh, geom.gw), dtype=np.uint8)
+active = grids >= cfg.vectors_needed
+bits = np.packbits(active, axis=2, bitorder="little")
+gww, used, lanes = cluster_ops.word_geometry(geom)
+words = np.zeros((256, lanes), np.int32)
+words[:, :used] = cluster_ops.repack_bits_words(bits, geom)
+
+op = cluster_ops.make_cluster_words_op_pallas_T(
+    geom, cfg.clusters_needed, block_b=256)
+counts, motion = op(jax.device_put(np.ascontiguousarray(words.T)))
+expected = oracle.count_clusters_batch(
+    active.astype(np.uint8), vectors_needed=1,
+    y_min=geom.y_min, y_max=geom.y_max)
+need = oracle.effective_clusters_needed(cfg.clusters_needed)
+print(json.dumps({
+    "ok_counts": bool((np.asarray(counts) == expected).all()),
+    "ok_motion": bool((np.asarray(motion) == (expected >= need)).all())}))
 """
     r = _run_py(code)
     assert r.returncode == 0, r.stderr[-2000:]
