@@ -303,7 +303,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters, dev_stack=None):
         # early transport cannot fake a result.  (An earlier fori_loop+
         # switch formulation over jit-captured resident buffers blew the
         # remote-compile request-size limit: HTTP 413.)
-        F = 4
+        F = sad_ops.sad_frames_per_step(geom, bs)
         if (b - 1) % F:
             raise SystemExit(
                 f"prod variant needs (frames-1) % {F} == 0 "

@@ -117,6 +117,21 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
     return _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
 
 
+def sad_frames_per_step(geom: GridGeometry, block_size: int,
+                        requested: int = 4) -> int:
+    """VMEM-aware frames-per-step: the frames block is double-buffered
+    AND the kernel's per-frame int32/bf16 diff temporaries live on the
+    same scoped-VMEM stack (~6x frame_bytes in flight), so cap the
+    frames block at ~12MB: F=4 at 1080p's 2.4MB frames, F=1 at 4K's
+    ~8.9MB (F=2 at 4K measured 101.09M > the 100M scoped limit).
+    Shared by the product op and benchmarks/sad_bench.py's prod variant
+    so the bench measures the kernel the detector actually builds."""
+    frame_bytes = (geom.padded_gh * block_size) * (geom.padded_gw *
+                                                   block_size)
+    return max(1, min(max(1, requested),
+                      int(12 * 1024 * 1024 // frame_bytes) or 1))
+
+
 def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,
                     F: int, *, step_axis: int = 0):
     """Build the production SAD pallas kernel body: F frames per grid
@@ -161,12 +176,7 @@ def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
     h_p = gh_p * block_size
     w_p = gw_p * block_size
-    # VMEM-aware: the frames block is double-buffered, so cap it at
-    # ~24MB (F=4 at 1080p's 2.4MB frames; F=2 at 4K's ~8.9MB) to stay
-    # inside the 100MB limit with the scratch carry + carry input.
-    frame_bytes = h_p * w_p
-    F = max(1, min(max(1, frames_per_step),
-                   int(24 * 1024 * 1024 // frame_bytes) or 1))
+    F = sad_frames_per_step(geom, block_size, frames_per_step)
     kernel = make_sad_kernel(geom, block_size, bound, F)
 
     @jax.jit

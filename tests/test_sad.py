@@ -92,10 +92,8 @@ class TestSADKernels:
             geom4k, sad_threshold=CFG.sad_threshold,
             block_size=CFG.block_size, clusters_needed=CFG.clusters_needed,
             height=2160, width=3840, interpret=True)
-        frame_bytes = (geom4k.padded_gh * CFG.block_size *
-                       geom4k.padded_gw * CFG.block_size)
-        assert op.frames_per_step == max(
-            1, min(4, 24 * 1024 * 1024 // frame_bytes))
+        assert op.frames_per_step == sad_ops.sad_frames_per_step(
+            geom4k, CFG.block_size)
         assert op.frames_per_step < 4
 
     def test_static_frames_inactive(self):
