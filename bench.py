@@ -246,8 +246,11 @@ def _sweep_bench_words_T(geom, cfg, stacked_T, iters, block_b=1024):
     k, lanes, b = stacked_T.shape
     gww, used, lanes_w = word_geometry(geom)
     assert lanes == lanes_w, (stacked_T.shape, geom)
-    while b % block_b:
-        block_b //= 2
+    # block_b is the LANE dim: multiple of 128 (tile alignment) or the
+    # whole batch — a misaligned divisor fails Mosaic lowering
+    cap = min(block_b, b)
+    block_b = next((d for d in range(cap - cap % 128, 127, -128)
+                    if b % d == 0), b)
     nb = b // block_b
     clusters_needed = max(1, cfg.clusters_needed)
     masks_full = tuple(m[:, None] for m in _word_masks(geom))

@@ -33,7 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_variant(variant, geom, cfg, *, k, b, iters, dev_stack=None):
+def build_variant(variant, geom, cfg, *, k, b, iters):
     """Returns a jitted fn(stacked) -> device motion total (int32)."""
     import jax
     import jax.numpy as jnp
@@ -420,7 +420,7 @@ def main() -> int:
     print(f"oracle motion/buffer: {motion_per_buf} "
           f"-> expected total {expected}", file=sys.stderr)
 
-    stacked = jax.device_put(stack)
+    stacked = None  # device_put lazily: prod uses its own split inputs
     bytes_per_frame = h_p * w_p
     analyzed = (b - 1) * iters
     results = {}
@@ -441,9 +441,13 @@ def main() -> int:
                 chunks.append(fast_counts(stack[last, lo:hi + 1]))
             prod_expected = np.concatenate(chunks)
         try:
-            run = build_variant(variant, geom, cfg, k=k, b=b, iters=iters,
-                                dev_stack=stacked)
-            arg = prod_inputs if variant == "prod" else stacked
+            run = build_variant(variant, geom, cfg, k=k, b=b, iters=iters)
+            if variant == "prod":
+                arg = prod_inputs
+            else:
+                if stacked is None:
+                    stacked = jax.device_put(stack)
+                arg = stacked
             t0 = time.perf_counter()
             out = np.asarray(run(arg))         # compile + first pass
             compile_s = time.perf_counter() - t0

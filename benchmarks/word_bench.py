@@ -127,13 +127,19 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
         # (the tvpu comparison point from the original shootout — VPU
         # sublane reduction, 139M — is recorded in PERFORMANCE.md; the
         # harness now measures the production math only)
-        masks_np = tuple(m[:, None] for m in _word_masks(geom))
+        masks_full = tuple(m[:, None] for m in _word_masks(geom))
         slim = variant == "tslim"
+        # slim matches the production op exactly: only the center mask
+        # is declared/loaded (two fewer VMEM streams per block)
+        masks_np = masks_full[:1] if slim else masks_full
 
-        def kernel(words_ref, center_ref, nf_ref, nl_ref, acc_ref):
+        def kernel(words_ref, *refs):
+            mask_refs, (acc_ref,) = refs[:-1], refs[-1:]
             it = pl.program_id(1)
             wT = words_ref[0]                          # [lanes, block_b]
-            masks = (center_ref[:], nf_ref[:], nl_ref[:])
+            masks = (mask_refs[0][:],
+                     mask_refs[1][:] if not slim else None,
+                     mask_refs[2][:] if not slim else None)
             counts = _counts_T(
                 wT, geom, masks,
                 lambda x, s: pltpu.roll(x, s, 0), slim)
@@ -154,8 +160,8 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
             grid=(nb, iters),
             in_specs=[pl.BlockSpec((1, lanes, block_b),
                                    lambda jb, it: (it % k, 0, jb),
-                                   memory_space=pltpu.VMEM),
-                      mask_spec, mask_spec, mask_spec],
+                                   memory_space=pltpu.VMEM)] +
+                     [mask_spec] * len(masks_np),
             out_specs=pl.BlockSpec((1, block_b), lambda jb, it: (0, jb),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, b), jnp.int32),

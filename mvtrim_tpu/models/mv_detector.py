@@ -136,15 +136,21 @@ class MVClusterDetector:
         if self._bits_op is None:
             backend = self._bits_backend()
             db = self.device_batch
-            # transposed kernel: frames on the LANE axis, best block
-            # measured at 1024 (benchmarks/word_bench.py)
-            block_b = min(1024 if backend == "pallas" else 512, db)
-            while db % block_b:
-                block_b -= 8  # aligned divisor of the batch
+            if backend == "pallas":
+                # transposed kernel: block_b is the LANE dim, so it must
+                # be a multiple of 128 (Mosaic tile alignment) or equal
+                # to the batch; best block measured at 1024
+                block_b = next(
+                    (c for c in (1024, 512, 256, 128) if db % c == 0), db)
+            else:
+                # lane-major kernel: block_b is the sublane dim
+                block_b = min(512, db)
+                while db % block_b:
+                    block_b -= 8
+                block_b = max(8, block_b)
             self._bits_transposed = backend == "pallas"
             self._bits_op = cluster_ops._cached_bits_op(
-                self.geom, self.cfg.clusters_needed, backend,
-                max(8, block_b))
+                self.geom, self.cfg.clusters_needed, backend, block_b)
         return self._bits_op
 
     def scan_bits_async(self, bits: np.ndarray):

@@ -90,6 +90,10 @@ class SADDetector:
         op = self._build_op()
         padded = sad_ops.pad_luma(luma, self.geom, self.cfg.block_size)
         db = self.device_batch
+        f = getattr(op, "frames_per_step", 1)
+        # windows a multiple of the kernel's frames-per-step: otherwise
+        # the op pads with a full np.concatenate copy every dispatch
+        db = max(f, (db // f) * f)
         # window batches of db+1 frames overlapping by one (the carry);
         # one reused buffer (a fresh np.zeros per window costs a full
         # clear + page faults on the host decode core)

@@ -128,8 +128,7 @@ def sad_frames_per_step(geom: GridGeometry, block_size: int,
     so the bench measures the kernel the detector actually builds."""
     frame_bytes = (geom.padded_gh * block_size) * (geom.padded_gw *
                                                    block_size)
-    return max(1, min(max(1, requested),
-                      int(12 * 1024 * 1024 // frame_bytes) or 1))
+    return max(1, min(requested, 12 * 1024 * 1024 // frame_bytes))
 
 
 def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,

@@ -97,14 +97,17 @@ class TestDetectorBits:
         np.testing.assert_array_equal(det.scan_bits(packed),
                                       det.scan_votes(grids))
 
-    def test_bits_transposed_pallas_path(self, monkeypatch):
+    @pytest.mark.parametrize("db", [32, 1048, 1152])
+    def test_bits_transposed_pallas_path(self, monkeypatch, db):
         """The TPU bits path (transposed pallas kernel + transposed host
         batch layout) decides identically — driven on CPU by forcing the
-        'pallas' backend through an interpret-mode build."""
+        'pallas' backend through an interpret-mode build.  db=1048/1152:
+        batches with no 1024 divisor must still get a Mosaic-legal lane
+        block (multiple of 128, or the whole batch)."""
         from mvtrim_tpu.models import mv_detector as mvd
 
         rng = np.random.default_rng(11)
-        cfg = Config(device_batch=32)
+        cfg = Config(device_batch=db)
         det = MVClusterDetector(360, 240, cfg)
         monkeypatch.setattr(det, "_bits_backend", lambda: "pallas")
 
@@ -112,6 +115,9 @@ class TestDetectorBits:
             from mvtrim_tpu.ops.cluster import (
                 make_cluster_words_op_pallas_T, make_cluster_words_op_xla)
             if backend == "pallas":
+                assert det.device_batch % block_b == 0
+                assert (block_b % 128 == 0
+                        or block_b == det.device_batch), block_b
                 return make_cluster_words_op_pallas_T(
                     geom, clusters_needed, block_b=block_b, interpret=True)
             return make_cluster_words_op_xla(geom, clusters_needed)
@@ -124,7 +130,7 @@ class TestDetectorBits:
         got = det.scan_bits(packed)
         assert det._bits_transposed
         ref = MVClusterDetector(360, 240, Config(scan_backend="xla",
-                                                 device_batch=32))
+                                                 device_batch=db))
         np.testing.assert_array_equal(got, ref.scan_bits(packed))
 
     def test_raw_mvs_overflow_raises(self):
