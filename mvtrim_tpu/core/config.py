@@ -96,6 +96,9 @@ class Config:
     scan_input: str = "bits"         # bits | grids | mv_raw (H2D payload)
     mv_capacity: int = 8192          # raw-MV rows per frame (mv_raw path)
     rss_limit_mb: float = 0.0        # watch-mode RSS watchdog (0 = off)
+    compile_cache_dir: str = ""      # persistent jit-compile cache directory
+                                     # ("" = off); collapses cold-process
+                                     # warmup(jit) to a cache read
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -131,6 +134,7 @@ class Config:
             scan_input=_env_str("MVT_SCAN_INPUT", "bits"),
             mv_capacity=_env_int("MVT_MV_CAPACITY", 8192),
             rss_limit_mb=_env_float("MVT_RSS_LIMIT_MB", 0.0),
+            compile_cache_dir=_env_str("MVT_COMPILE_CACHE", ""),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

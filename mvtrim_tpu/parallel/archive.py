@@ -76,6 +76,11 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     from ..ops.cluster import packed_geometry
 
     cfg = cfg or Config.from_env()
+    if cfg.compile_cache_dir:
+        from ..utils.system import enable_compile_cache
+
+        enable_compile_cache(cfg.compile_cache_dir)
+
     mesh = mesh or build_mesh()
     data_size = mesh.shape["data"]
     global_batch = frames_per_device * data_size

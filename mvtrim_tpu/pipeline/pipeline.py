@@ -104,6 +104,10 @@ class ProcessingPipeline:
             f"({self.duration * fps:.0f} frames @ {fps:.1f}fps)", sid)
 
         mode = self.cfg.pipeline_mode
+        if self.cfg.compile_cache_dir:
+            from ..utils.system import enable_compile_cache
+
+            enable_compile_cache(self.cfg.compile_cache_dir)
         profiler_cm = None
         if self.cfg.profile_dir:
             # device-level tracing (the rebuild's analog of the reference's
