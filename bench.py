@@ -381,64 +381,79 @@ def main() -> int:
     stacked_words = jax.device_put(flatw)
     word_bytes = lanesw * 4
 
-    try:
+    # Candidates in descending expected speed; the headline JSON is
+    # emitted as soon as ONE candidate passes the audit, so on days when
+    # the remote compile service is degraded (500s+ per program) a
+    # driver timeout cannot lose the metric — the remaining candidates
+    # then run as informational secondaries.
+    def cand_words_T():
         stacked_T = jax.device_put(
             np.ascontiguousarray(flatw.transpose(0, 2, 1)))
         dt, total = _sweep_bench_words_T(geom, cfg, stacked_T, ITERS)
-        fps_pt = B / dt
-        ok = total == _expected_total(motion_per_buf, K, ITERS)
-        ok_pt, gbps_pt, pct_pt = _audit("words-T pallas sweep", fps_pt,
-                                        word_bytes, roofline, ok)
-    except Exception as e:  # pallas unavailable on some backends
-        print(f"words-T pallas bench skipped: {e}", file=sys.stderr)
-        fps_pt, gbps_pt, pct_pt, ok_pt = 0.0, 0.0, 0.0, False
+        return B / dt, total == _expected_total(motion_per_buf, K, ITERS)
 
-    try:
+    def cand_words_pallas():
         dt, total = _sweep_bench_packed(geom, cfg, stacked_words, ITERS,
                                         domain="words")
-        fps_pk = B / dt
-        ok = total == _expected_total(motion_per_buf, K, ITERS)
-        ok_pk, gbps_pk, pct_pk = _audit("words pallas sweep", fps_pk,
-                                        word_bytes, roofline, ok)
-    except Exception as e:  # pallas unavailable on some backends
-        print(f"words pallas bench skipped: {e}", file=sys.stderr)
-        fps_pk, gbps_pk, pct_pk, ok_pk = 0.0, 0.0, 0.0, False
+        return B / dt, total == _expected_total(motion_per_buf, K, ITERS)
 
-    op_pkx = cluster_ops.make_cluster_words_op_xla(
-        geom, cfg.clusters_needed)
-    fps_px, gbps_px, pct_px, ok_px = run(
-        "words xla", op_pkx, stacked_words, word_bytes)
+    def cand_words_xla():
+        op = cluster_ops.make_cluster_words_op_xla(geom, cfg.clusters_needed)
+        fps, _, _, valid = run("words xla", op, stacked_words, word_bytes)
+        return fps, valid
 
-    candidates = [
-        (fps_pt, gbps_pt, pct_pt, word_bytes, "pallas-words-T", ok_pt),
-        (fps_pk, gbps_pk, pct_pk, word_bytes, "pallas-words", ok_pk),
-        (fps_px, gbps_px, pct_px, word_bytes, "xla-words", ok_px)]
-    valid = [c for c in candidates if c[5]]
-    audit_ok = bool(valid)
-    fps, gbps, pct, bpf, impl, _ = max(valid or candidates)
+    headline = None
+    best_unaudited = (0.0, "none")
+    remaining = [("pallas-words-T", "words-T pallas sweep", cand_words_T),
+                 ("pallas-words", "words pallas sweep", cand_words_pallas),
+                 ("xla-words", "words xla", cand_words_xla)]
+    while remaining and headline is None:
+        impl, label, fn = remaining.pop(0)
+        try:
+            fps, checksum_ok = fn()
+        except Exception as e:  # pallas unavailable on some backends
+            print(f"{label} skipped: {e}", file=sys.stderr)
+            continue
+        if impl != "xla-words":  # run() already audited the xla path
+            valid, gbps, pct = _audit(label, fps, word_bytes, roofline,
+                                      checksum_ok)
+        else:
+            valid = checksum_ok
+            gbps = fps * word_bytes / 1e9
+            pct = 100.0 * gbps / roofline
+        if valid:
+            headline = (fps, gbps, pct, impl)
+        elif fps > best_unaudited[0]:
+            best_unaudited = (fps, impl)
+
     rec = {
         "metric": "1080p_scan_frames_per_sec_per_chip",
-        "value": round(fps),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 50000.0, 2),
-        "impl": impl,
-        "implied_hbm_gbps": round(gbps, 1),
-        "pct_of_roofline": round(pct, 1),
         "roofline_gbps": roofline,
-        "bytes_per_frame": bpf,
+        "bytes_per_frame": word_bytes,
         "audit": "single-launch resident accumulator, oracle checksum, "
                  "roofline gate",
     }
-    if not audit_ok:
+    if headline is not None:
+        fps, gbps, pct, impl = headline
+        rec.update(value=round(fps), vs_baseline=round(fps / 50000.0, 2),
+                   impl=impl, implied_hbm_gbps=round(gbps, 1),
+                   pct_of_roofline=round(pct, 1))
+    else:
         # never pass off an unaudited number as the metric of record
-        rec["value"] = 0
-        rec["vs_baseline"] = 0.0
-        rec["audit_failed"] = True
-        rec["unaudited_fps"] = round(fps)
+        rec.update(value=0, vs_baseline=0.0, impl=best_unaudited[1],
+                   audit_failed=True, unaudited_fps=round(best_unaudited[0]))
     print(json.dumps(rec), flush=True)
 
     # Secondaries run AFTER the headline JSON is flushed so a driver
     # timeout mid-compile cannot lose the metric.
+    for impl, label, fn in remaining:
+        try:
+            fps, checksum_ok = fn()
+            if impl != "xla-words":
+                _audit(label, fps, word_bytes, roofline, checksum_ok)
+        except Exception as e:
+            print(f"{label} skipped: {e}", file=sys.stderr)
 
     # --- secondary: byte-domain kernel (the transfer-optimal archive
     # variant: uint8 lanes, 1020 B/frame on the wire) ---
