@@ -123,6 +123,94 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
 
         return run, "lane"
 
+    elif variant in ("tcsa", "tu32"):
+        # tcsa: one carry-save-adder level over the sublane axis before
+        #   the SWAR popcount — 3 slices of 128 words fold to (sum,
+        #   carry) in 5 bitops, then two SWARs + a weighted MXU reduce:
+        #   ~9%% fewer VPU ops than per-word popcounts when lanes%3==0.
+        # tu32: logical shifts via uint32 bitcast (drops the arithmetic-
+        #   shift mask ops) — probes Mosaic u32 op support.
+        masks_np = (tuple(m[:, None] for m in _word_masks(geom)))[:1]
+
+        def kernel(words_ref, center_ref, acc_ref):
+            it = pl.program_id(1)
+            wT = words_ref[0]                          # [lanes, block_b]
+            center = center_ref[:]
+            if variant == "tu32":
+                wu = jax.lax.bitcast_convert_type(wT, jnp.uint32)
+                left = (wT << 1) | jax.lax.bitcast_convert_type(
+                    pltpu.roll(wu, 1, 0) >> 31, jnp.int32)
+                right = jax.lax.bitcast_convert_type(
+                    wu >> 1, jnp.int32) | (
+                    (pltpu.roll(wT, lanes - 1, 0) & 1) << 31)
+            else:
+                left = (wT << 1) | ((pltpu.roll(wT, 1, 0) >> 31) & 1)
+                right = (((wT >> 1) & 0x7FFFFFFF) |
+                         ((pltpu.roll(wT, lanes - 1, 0) & 1) << 31))
+            up = pltpu.roll(wT, gww, 0)
+            down = pltpu.roll(wT, lanes - gww, 0)
+            cl_ = wT & (left | right | up | down) & center
+
+            def swar(v):
+                v = v - ((v >> 1) & 0x55555555)
+                v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+                v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
+                return (v * 0x01010101) >> 24
+
+            if variant == "tcsa" and lanes % 3 == 0:
+                third = lanes // 3
+                a = cl_[0:third]
+                bb = cl_[third:2 * third]
+                c = cl_[2 * third:]
+                t = a ^ bb
+                s = t ^ c                                # weight 1
+                cy = (a & bb) | (t & c)                  # weight 2
+                ones = jnp.ones((1, third), jnp.float32)
+                dims = (((1,), (0,)), ((), ()))
+                c1 = jax.lax.dot_general(
+                    ones, swar(s).astype(jnp.float32), dims,
+                    preferred_element_type=jnp.float32)
+                c2 = jax.lax.dot_general(
+                    ones, swar(cy).astype(jnp.float32), dims,
+                    preferred_element_type=jnp.float32)
+                counts = (c1 + 2.0 * c2).astype(jnp.int32)
+            else:
+                ones = jnp.ones((1, lanes), jnp.float32)
+                counts = jax.lax.dot_general(
+                    ones, swar(cl_).astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+            motion = (counts >= clusters_needed).astype(jnp.int32)
+
+            @pl.when(it == 0)
+            def _init():
+                acc_ref[:] = motion
+
+            @pl.when(it != 0)
+            def _acc():
+                acc_ref[:] = acc_ref[:] + motion
+
+        mask_spec = pl.BlockSpec((lanes, 1), lambda jb, it: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(nb, iters),
+            in_specs=[pl.BlockSpec((1, lanes, block_b),
+                                   lambda jb, it: (it % k, 0, jb),
+                                   memory_space=pltpu.VMEM),
+                      mask_spec],
+            out_specs=pl.BlockSpec((1, block_b), lambda jb, it: (0, jb),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, b), jnp.int32),
+        )
+        masks_dev = tuple(jnp.asarray(m) for m in masks_np)
+
+        @jax.jit
+        def run(stackedT):
+            return jnp.sum(sweep(stackedT, *masks_dev))
+
+        return run, "transposed"
+
     elif variant in ("tmxu", "tslim"):
         # (the tvpu comparison point from the original shootout — VPU
         # sublane reduction, 139M — is recorded in PERFORMANCE.md; the

@@ -458,13 +458,36 @@ def word_cluster_counts_T(wT, geom: GridGeometry, masks, roll0):
         down = down & not_last
     cl = wT & (left | right | up | down) & center
 
-    v = cl - ((cl >> 1) & 0x55555555)
-    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
-    v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
-    v = (v * 0x01010101) >> 24
+    def swar(v):
+        v = v - ((v >> 1) & 0x55555555)
+        v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+        v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
+        return (v * 0x01010101) >> 24
+
+    dims = (((1,), (0,)), ((), ()))
+    third = lanes // 3
+    if lanes % 3 == 0 and third % 8 == 0:
+        # One carry-save-adder level over the sublane axis: three slices
+        # fold to (sum, carry) in 5 bitops, so only 2/3 of the words pay
+        # the 13-op SWAR; popcount(a)+popcount(b)+popcount(c) ==
+        # popcount(s) + 2*popcount(cy) exactly.  Weighted totals stay
+        # < 2^24 (f32-exact).  Measured +3% at 1080p
+        # (benchmarks/word_bench.py tcsa: 317.7M vs 308.4M).
+        a, b, c = cl[0:third], cl[third:2 * third], cl[2 * third:]
+        t = a ^ b
+        s = t ^ c                                 # weight 1
+        cy = (a & b) | (t & c)                    # weight 2
+        ones = jnp.ones((1, third), jnp.float32)
+        c1 = jax.lax.dot_general(
+            ones, swar(s).astype(jnp.float32), dims,
+            preferred_element_type=jnp.float32)
+        c2 = jax.lax.dot_general(
+            ones, swar(cy).astype(jnp.float32), dims,
+            preferred_element_type=jnp.float32)
+        return (c1 + 2.0 * c2).astype(jnp.int32)
     ones = jnp.ones((1, lanes), jnp.float32)
     return jax.lax.dot_general(
-        ones, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        ones, swar(cl).astype(jnp.float32), dims,
         preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
