@@ -16,12 +16,13 @@ roofline gate):
               reduction as ones[1,lanes] @ v on the MXU (per-word
               popcounts <= 32, sums <= gh*gw — f32-exact).  This is the
               production math (ops/cluster.word_cluster_counts_T).
-* ``tslim`` — tmxu with the provably-redundant up/down edge masks
-              dropped (legal when lanes - used >= gww — what the
-              production op builder selects automatically).
+* ``tslim`` — the full production math (slim edge masks + CSA
+              popcount fold, via ops/cluster.word_cluster_counts_T).
+* ``tswar`` — plain per-word SWAR control (no CSA fold) for the +3%
+              CSA comparison; ``tu32`` — neutral uint32-shift probe.
 
 Usage:
-    python benchmarks/word_bench.py [--variants base,lmxu,tmxu,tslim]
+    python benchmarks/word_bench.py [--variants base,lmxu,tslim,tswar]
                                     [--frames B] [--iters N] [--block N]
 """
 
@@ -123,13 +124,14 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
 
         return run, "lane"
 
-    elif variant in ("tcsa", "tu32"):
-        # tcsa: one carry-save-adder level over the sublane axis before
-        #   the SWAR popcount — 3 slices of 128 words fold to (sum,
-        #   carry) in 5 bitops, then two SWARs + a weighted MXU reduce:
-        #   ~9%% fewer VPU ops than per-word popcounts when lanes%3==0.
+    elif variant in ("tswar", "tu32"):
+        # tswar: plain per-word SWAR popcount WITHOUT the CSA fold the
+        #   production math now includes — the control that reproduces
+        #   the +3% CSA comparison (tslim vs tswar; measured 317.7M vs
+        #   308.4M when CSA was the probe).
         # tu32: logical shifts via uint32 bitcast (drops the arithmetic-
-        #   shift mask ops) — probes Mosaic u32 op support.
+        #   shift mask ops) — measured neutral; kept as a probe of
+        #   Mosaic u32 op support.
         masks_np = (tuple(m[:, None] for m in _word_masks(geom)))[:1]
 
         def kernel(words_ref, center_ref, acc_ref):
@@ -157,29 +159,11 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
                 v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
                 return (v * 0x01010101) >> 24
 
-            if variant == "tcsa" and lanes % 3 == 0:
-                third = lanes // 3
-                a = cl_[0:third]
-                bb = cl_[third:2 * third]
-                c = cl_[2 * third:]
-                t = a ^ bb
-                s = t ^ c                                # weight 1
-                cy = (a & bb) | (t & c)                  # weight 2
-                ones = jnp.ones((1, third), jnp.float32)
-                dims = (((1,), (0,)), ((), ()))
-                c1 = jax.lax.dot_general(
-                    ones, swar(s).astype(jnp.float32), dims,
-                    preferred_element_type=jnp.float32)
-                c2 = jax.lax.dot_general(
-                    ones, swar(cy).astype(jnp.float32), dims,
-                    preferred_element_type=jnp.float32)
-                counts = (c1 + 2.0 * c2).astype(jnp.int32)
-            else:
-                ones = jnp.ones((1, lanes), jnp.float32)
-                counts = jax.lax.dot_general(
-                    ones, swar(cl_).astype(jnp.float32),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+            ones = jnp.ones((1, lanes), jnp.float32)
+            counts = jax.lax.dot_general(
+                ones, swar(cl_).astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
             motion = (counts >= clusters_needed).astype(jnp.int32)
 
             @pl.when(it == 0)
@@ -267,7 +251,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variants", default="base,lmxu,tmxu,tslim")
+    ap.add_argument("--variants", default="base,lmxu,tslim,tswar")
     ap.add_argument("--buffers", type=int, default=8)
     ap.add_argument("--frames", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=1024)

@@ -26,9 +26,20 @@ import os as _os
 
 # Persistent jit cache: CLI invocations are short-lived processes, and the
 # scan programs are identical across runs for a given (geometry, config) —
-# without this every invocation pays tens of seconds of XLA compilation.
-# Opt out with MVT_JAX_CACHE=0 or by setting JAX_COMPILATION_CACHE_DIR.
-if _os.environ.get("MVT_JAX_CACHE", "1") != "0":
+# without this every invocation pays tens of seconds of XLA compilation
+# on standard PJRT deployments (remote-compile tunnels like axon compile
+# server-side and are not helped — see PERFORMANCE.md).
+# MVT_COMPILE_CACHE=<dir> selects an explicit (e.g. fleet-shared)
+# directory and caches every program; otherwise a per-user default is
+# used.  Opt out entirely with MVT_JAX_CACHE=0.  Handled here via env
+# vars so every entry point (CLI, library, bench, tools) is covered
+# before jax initializes.
+if _os.environ.get("MVT_COMPILE_CACHE"):
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.environ[
+        "MVT_COMPILE_CACHE"]
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+elif _os.environ.get("MVT_JAX_CACHE", "1") != "0":
     _os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.expanduser("~/.cache/mvtrim_tpu/jax"))

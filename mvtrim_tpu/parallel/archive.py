@@ -79,8 +79,7 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     if cfg.compile_cache_dir:
         from ..utils.system import enable_compile_cache
 
-        enable_compile_cache(cfg.compile_cache_dir)
-
+        enable_compile_cache(cfg.compile_cache_dir)  # programmatic cfgs
     mesh = mesh or build_mesh()
     data_size = mesh.shape["data"]
     global_batch = frames_per_device * data_size

@@ -105,6 +105,9 @@ class ProcessingPipeline:
 
         mode = self.cfg.pipeline_mode
         if self.cfg.compile_cache_dir:
+            # env-var plumbing in mvtrim_tpu/__init__ covers processes
+            # that import the package; this covers programmatic callers
+            # that built a Config with an explicit dir after jax init
             from ..utils.system import enable_compile_cache
 
             enable_compile_cache(self.cfg.compile_cache_dir)

@@ -111,11 +111,12 @@ def device_info() -> list[dict]:
 
 def enable_compile_cache(path: str) -> None:
     """Point JAX's persistent compilation cache at ``path`` (created if
-    missing).  Collapses cold-process jit warmup to a disk read when a
-    previous process already compiled the same programs — verified
-    effective through the axon remote-compile backend (cache hits
-    logged, no recompile requests).  Size/time thresholds are zeroed so
-    every program is cached.  Idempotent; no-op for empty paths."""
+    missing).  On standard PJRT deployments a warm cache collapses
+    cold-process jit warmup to a disk read (round trip covered by
+    tests/test_compile_cache.py).  NOT effective through remote-compile
+    tunnels (axon) that compile server-side at first execution — see
+    PERFORMANCE.md.  Size/time thresholds are zeroed so every program
+    is cached.  Idempotent; no-op for empty paths."""
     if not path:
         return
     import jax

@@ -15,8 +15,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _PROG = """
@@ -60,12 +58,15 @@ def test_compile_cache_round_trip(tmp_path):
     r1 = _run(cache)
     assert r1.returncode == 0, r1.stderr[-2000:]
     assert "counts_sum 0" in r1.stdout
-    assert "Writing jit_op to persistent compilation cache" in r1.stderr, (
-        r1.stderr[-2000:])
-    entries = os.listdir(cache)
-    assert any(e.startswith("jit_op-") for e in entries), entries
+    entries = sorted(os.listdir(cache))
+    # at least the scan program landed on disk (exact filenames are
+    # JAX-internal; "-cache" suffix is the on-disk contract we rely on)
+    assert any(e.endswith("-cache") for e in entries), entries
 
     r2 = _run(cache)
     assert r2.returncode == 0, r2.stderr[-2000:]
-    assert "Persistent compilation cache hit for 'jit_op'" in r2.stderr, (
-        r2.stderr[-2000:])
+    assert "counts_sum 0" in r2.stdout
+    # a hit produces NO new entries; a key-instability miss would write
+    # a second entry for the same program (the axon-tunnel signature)
+    assert sorted(os.listdir(cache)) == entries, (
+        entries, sorted(os.listdir(cache)))
