@@ -126,9 +126,10 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
 
     elif variant in ("tswar", "tu32"):
         # tswar: plain per-word SWAR popcount WITHOUT the CSA fold the
-        #   production math now includes — the control that reproduces
-        #   the +3% CSA comparison (tslim vs tswar; measured 317.7M vs
-        #   308.4M when CSA was the probe).
+        #   production math now includes — the control for the CSA
+        #   comparison (tslim vs tswar: +1-3% across sessions; 317.7M
+        #   vs 308.4M when CSA was first probed, 311.6M vs 308.0M on
+        #   the relabeled-harness confirm run).
         # tu32: logical shifts via uint32 bitcast (drops the arithmetic-
         #   shift mask ops) — measured neutral; kept as a probe of
         #   Mosaic u32 op support.

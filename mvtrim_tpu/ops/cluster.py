@@ -471,8 +471,8 @@ def word_cluster_counts_T(wT, geom: GridGeometry, masks, roll0):
         # fold to (sum, carry) in 5 bitops, so only 2/3 of the words pay
         # the 13-op SWAR; popcount(a)+popcount(b)+popcount(c) ==
         # popcount(s) + 2*popcount(cy) exactly.  Weighted totals stay
-        # < 2^24 (f32-exact).  Measured +3% at 1080p
-        # (benchmarks/word_bench.py tcsa: 317.7M vs 308.4M).
+        # < 2^24 (f32-exact).  Measured +1-3% at 1080p across
+        # sessions (benchmarks/word_bench.py, tslim vs tswar).
         a, b, c = cl[0:third], cl[third:2 * third], cl[2 * third:]
         t = a ^ b
         s = t ^ c                                 # weight 1
