@@ -1,0 +1,44 @@
+"""bench.py smoke: the driver's metric surface must emit one valid
+headline JSON line even where pallas is unavailable (CPU backend).
+
+Runs the real bench.py in a subprocess with tiny MVT_BENCH_B/ITERS on
+the CPU backend: the pallas candidates skip, the XLA words candidate
+audits, and exactly one JSON object with the contract keys must appear
+on stdout.  Guards the scoring surface against Python-level regressions
+that only a TPU run would otherwise catch.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_headline_json():
+    env = dict(os.environ)
+    env.update(MVT_BENCH_B="256", MVT_BENCH_ITERS="8",
+               JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # bench.py has no platform override hook; force CPU like conftest does
+    prog = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import runpy\n"
+        "runpy.run_path('bench.py', run_name='__main__')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", prog], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=900)
+    json_lines = [ln for ln in r.stdout.splitlines()
+                  if ln.startswith("{")]
+    assert len(json_lines) == 1, (r.stdout, r.stderr[-2000:])
+    rec = json.loads(json_lines[0])
+    assert rec["metric"] == "1080p_scan_frames_per_sec_per_chip"
+    for key in ("value", "unit", "vs_baseline", "impl", "roofline_gbps",
+                "bytes_per_frame", "audit"):
+        assert key in rec, (key, rec)
+    # on CPU the XLA words path must audit (checksum Ok, under roofline)
+    assert rec.get("audit_failed") is None, rec
+    assert rec["value"] > 0
+    assert rec["impl"] == "xla-words"
