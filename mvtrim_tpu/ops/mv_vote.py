@@ -124,50 +124,62 @@ def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
 def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                               block_shift: int, vectors_needed: int,
                               clusters_needed: int, interpret: bool = False,
-                              m_chunk: int = 2048):
-    """Pallas implementation: one frame per grid step, everything in VMEM.
+                              m_chunk: int = 2048, frames_per_step: int = 1):
+    """Pallas implementation: ``frames_per_step`` frames per grid step,
+    everything in VMEM.
 
     The MV count array rides as a scalar-prefetch arg (SMEM) so the keep
-    mask is computed without an extra VMEM stream.  MV capacities larger
-    than ``m_chunk`` are accumulated via a fori_loop so the one-hot
-    operands fit VMEM at any geometry (4K + M=16384 in one shot exceeds
-    the ~16MB limit; a static unroll keeps every chunk resident and fails
-    too).  2048 is validated across 1080p/4K up to M=16384; oddly, exactly
-    4 chunks of 4096 at 4K trips a Mosaic scheduling limit — keep the
-    chunk small rather than clever.
+    mask is computed without an extra VMEM stream.  Multi-frame steps
+    measured NEUTRAL here (F=1/8/16: 227k/226k/233k frames/s at M=2048 —
+    unlike the SAD kernel, this one is compute-bound on the one-hot
+    construction + matmul, and pipelined dispatch already hides the
+    per-step cost), so the default stays 1; the parameter is kept for
+    sweeps.  MV capacities larger than ``m_chunk`` are
+    accumulated via a fori_loop so the one-hot operands fit VMEM at any
+    geometry (4K + M=16384 in one shot exceeds the ~16MB limit; a
+    static unroll keeps every chunk resident and fails too).  2048 is
+    validated across 1080p/4K up to M=16384; oddly, exactly 4 chunks of
+    4096 at 4K trips a Mosaic scheduling limit — keep the chunk small
+    rather than clever.
     """
     bound = threshold_bound(threshold_sq)
+    F = max(1, frames_per_step)
+
+    def frame_votes(count, dst_x, dst_y, src_x, src_y, dst_x_sub, m):
+        if m <= m_chunk:
+            return _mv_frame_votes(dst_x, dst_y, src_x, src_y,
+                                   dst_x_sub, count, geom, bound,
+                                   block_shift)
+
+        # fori_loop (not a static unroll): one chunk's one-hot operands
+        # live at a time, or the scheduler keeps them all resident and
+        # blows VMEM at 4 chunks x 4K geometry
+        def chunk_body(ci, votes):
+            off = pl.multiple_of(ci * m_chunk, m_chunk)
+            sl1 = lambda a: jax.lax.dynamic_slice_in_dim(a, off, m_chunk, 1)
+            return votes + _mv_frame_votes(
+                sl1(dst_x), sl1(dst_y), sl1(src_x), sl1(src_y),
+                jax.lax.dynamic_slice_in_dim(dst_x_sub, off, m_chunk, 0),
+                count, geom, bound, block_shift, idx_offset=off)
+
+        return jax.lax.fori_loop(
+            0, m // m_chunk, chunk_body,
+            jnp.zeros((geom.padded_gh, geom.padded_gw), jnp.float32))
 
     def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,
                dst_x_sub_ref, counts_ref):
-        i = pl.program_id(0)
-        count = count_ref[i]
+        j = pl.program_id(0)
         m = dst_x_ref.shape[-1]
-        if m <= m_chunk:
-            votes = _mv_frame_votes(
-                dst_x_ref[0], dst_y_ref[0], src_x_ref[0], src_y_ref[0],
-                dst_x_sub_ref[0], count, geom, bound, block_shift)
-        else:
-            # fori_loop (not a static unroll): one chunk's one-hot operands
-            # live at a time, or the scheduler keeps them all resident and
-            # blows VMEM at 4 chunks x 4K geometry
-            def chunk_body(ci, votes):
-                off = pl.multiple_of(ci * m_chunk, m_chunk)
-                sl = pl.ds(off, m_chunk)
-                return votes + _mv_frame_votes(
-                    dst_x_ref[0, :, sl], dst_y_ref[0, :, sl],
-                    src_x_ref[0, :, sl], src_y_ref[0, :, sl],
-                    dst_x_sub_ref[0, sl, :], count,
-                    geom, bound, block_shift, idx_offset=off)
-
-            votes = jax.lax.fori_loop(
-                0, m // m_chunk, chunk_body,
-                jnp.zeros((geom.padded_gh, geom.padded_gw), jnp.float32))
-        cluster = _cluster_map(votes.astype(jnp.int32), geom,
-                               vectors_needed).astype(jnp.int32)
-        # keep every reduction step >=2D for Mosaic: [GH,GW]->[1,GW]->[1,1]
-        col_sums = jnp.sum(cluster, axis=0, keepdims=True)
-        counts_ref[0] = jnp.sum(col_sums, axis=1, keepdims=True)
+        for fi in range(F):
+            votes = frame_votes(
+                count_ref[j * F + fi],
+                dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
+                src_y_ref[fi], dst_x_sub_ref[fi], m)
+            cluster = _cluster_map(votes.astype(jnp.int32), geom,
+                                   vectors_needed).astype(jnp.int32)
+            # keep every reduction step >=2D: [GH,GW]->[1,GW]->[1,1]
+            col_sums = jnp.sum(cluster, axis=0, keepdims=True)
+            counts_ref[fi] = jnp.sum(col_sums, axis=1, keepdims=True)
 
     @jax.jit
     def op(dst_x, dst_y, src_x, src_y, counts):
@@ -180,29 +192,42 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
             dst_x, dst_y, src_x, src_y = (padder(a) for a in
                                           (dst_x, dst_y, src_x, src_y))
             m += pad
+        nb = -(-b // F)
+        if nb * F != b:
+            # pad to whole steps: padded frames have count 0 -> idx >=
+            # count fails for every row, votes are all-zero, motion False
+            fpad = nb * F - b
+            dst_x, dst_y, src_x, src_y = (
+                jnp.pad(a, ((0, fpad), (0, 0)))
+                for a in (dst_x, dst_y, src_x, src_y))
+            counts = jnp.pad(counts, (0, fpad))
+        bp = nb * F
         # Blocks must keep their last two dims tile-aligned or array-equal;
-        # [B, 1, M] with block (1, 1, M) satisfies that for one frame/step.
-        lane = lambda a: a.reshape(b, 1, m)
-        mv_spec = pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0),
+        # [B, 1, M] with block (F, 1, M) satisfies that for F frames/step.
+        lane = lambda a: a.reshape(bp, 1, m)
+        mv_spec = pl.BlockSpec((F, 1, m), lambda j, *_: (j, 0, 0),
                                memory_space=pltpu.VMEM)
-        sub_spec = pl.BlockSpec((1, m, 1), lambda i, *_: (i, 0, 0),
+        sub_spec = pl.BlockSpec((F, m, 1), lambda j, *_: (j, 0, 0),
                                 memory_space=pltpu.VMEM)
         n = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(b,),
+                grid=(nb,),
                 in_specs=[mv_spec] * 4 + [sub_spec],
-                out_specs=pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
+                out_specs=pl.BlockSpec((F, 1, 1), lambda j, *_: (j, 0, 0),
                                        memory_space=pltpu.VMEM),
             ),
-            out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((bp, 1, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(counts, lane(dst_x), lane(dst_y), lane(src_x), lane(src_y),
-          dst_x.reshape(b, m, 1))
-        n = n[:, 0, 0]
+          dst_x.reshape(bp, m, 1))
+        n = n[:b, 0, 0]
         return n, n >= jnp.int32(max(1, clusters_needed))
 
+    op.frames_per_step = F
     return op
 
 

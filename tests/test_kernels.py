@@ -118,6 +118,27 @@ class TestMVFusedKernels:
         n_ref, _ = op_ref(dx_, dy_, sx_, sy_, counts)
         np.testing.assert_array_equal(np.asarray(n), np.asarray(n_ref))
 
+    @pytest.mark.parametrize("fps_n", [1, 3, 8])
+    def test_pallas_frames_per_step_parity(self, rng, fps_n):
+        """Multi-frame steps (and the zero-count step padding when b is
+        not a multiple of F) decide identically."""
+        b, m = 8, 256
+        mv_list = [random_mvs(rng, int(rng.integers(32, m)))
+                   for _ in range(b)]
+        dx_, dy_, sx_, sy_, counts, _ = mv_vote.pad_mvs(mv_list, m)
+        op = mv_vote.make_mv_cluster_op_pallas(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=2, clusters_needed=2, interpret=True,
+            frames_per_step=fps_n)
+        assert op.frames_per_step == fps_n
+        op_ref = mv_vote.make_mv_cluster_op_xla(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=2, clusters_needed=2)
+        n, mo = op(dx_, dy_, sx_, sy_, counts)
+        nr, mr = op_ref(dx_, dy_, sx_, sy_, counts)
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(nr))
+        np.testing.assert_array_equal(np.asarray(mo), np.asarray(mr))
+
     def test_padding_ignored(self, rng):
         # padded zero MVs have mag 0: dropped when threshold > 0, and when
         # threshold == 0 they must still be masked by the count
