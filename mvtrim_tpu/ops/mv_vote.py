@@ -145,22 +145,27 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     bound = threshold_bound(threshold_sq)
     F = max(1, frames_per_step)
 
-    def frame_votes(count, dst_x, dst_y, src_x, src_y, dst_x_sub, m):
+    def frame_votes(count, fi, dst_x_ref, dst_y_ref, src_x_ref,
+                    src_y_ref, dst_x_sub_ref, m):
         if m <= m_chunk:
-            return _mv_frame_votes(dst_x, dst_y, src_x, src_y,
-                                   dst_x_sub, count, geom, bound,
-                                   block_shift)
+            return _mv_frame_votes(
+                dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
+                src_y_ref[fi], dst_x_sub_ref[fi], count, geom, bound,
+                block_shift)
 
         # fori_loop (not a static unroll): one chunk's one-hot operands
         # live at a time, or the scheduler keeps them all resident and
-        # blows VMEM at 4 chunks x 4K geometry
+        # blows VMEM at 4 chunks x 4K geometry.  Chunks are sliced from
+        # the REFS with pl.ds — dynamic_slice on loaded values has no
+        # Mosaic lowering (caught on hardware; interpret mode accepts it)
         def chunk_body(ci, votes):
             off = pl.multiple_of(ci * m_chunk, m_chunk)
-            sl1 = lambda a: jax.lax.dynamic_slice_in_dim(a, off, m_chunk, 1)
+            sl = pl.ds(off, m_chunk)
             return votes + _mv_frame_votes(
-                sl1(dst_x), sl1(dst_y), sl1(src_x), sl1(src_y),
-                jax.lax.dynamic_slice_in_dim(dst_x_sub, off, m_chunk, 0),
-                count, geom, bound, block_shift, idx_offset=off)
+                dst_x_ref[fi, :, sl], dst_y_ref[fi, :, sl],
+                src_x_ref[fi, :, sl], src_y_ref[fi, :, sl],
+                dst_x_sub_ref[fi, sl, :], count,
+                geom, bound, block_shift, idx_offset=off)
 
         return jax.lax.fori_loop(
             0, m // m_chunk, chunk_body,
@@ -172,9 +177,9 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
         m = dst_x_ref.shape[-1]
         for fi in range(F):
             votes = frame_votes(
-                count_ref[j * F + fi],
-                dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
-                src_y_ref[fi], dst_x_sub_ref[fi], m)
+                count_ref[j * F + fi], fi,
+                dst_x_ref, dst_y_ref, src_x_ref,
+                src_y_ref, dst_x_sub_ref, m)
             cluster = _cluster_map(votes.astype(jnp.int32), geom,
                                    vectors_needed).astype(jnp.int32)
             # keep every reduction step >=2D: [GH,GW]->[1,GW]->[1,1]
