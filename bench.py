@@ -404,6 +404,10 @@ def main() -> int:
 
     headline = None
     best_unaudited = (0.0, "none")
+    failed_candidates = []  # machine-visible record of every skipped or
+    # audit-failed candidate ABOVE the published one — an oracle-checksum
+    # failure of the product-default kernel must surface in the metric of
+    # record even when a slower fallback passes (ADVICE r2)
     remaining = [("pallas-words-T", "words-T pallas sweep", cand_words_T),
                  ("pallas-words", "words pallas sweep", cand_words_pallas),
                  ("xla-words", "words xla", cand_words_xla)]
@@ -413,6 +417,8 @@ def main() -> int:
             fps, checksum_ok = fn()
         except Exception as e:  # pallas unavailable on some backends
             print(f"{label} skipped: {e}", file=sys.stderr)
+            failed_candidates.append(
+                {"impl": impl, "reason": f"exception: {e}"[:200]})
             continue
         if impl != "xla-words":  # run() already audited the xla path
             valid, gbps, pct = _audit(label, fps, word_bytes, roofline,
@@ -423,8 +429,14 @@ def main() -> int:
             pct = 100.0 * gbps / roofline
         if valid:
             headline = (fps, gbps, pct, impl)
-        elif fps > best_unaudited[0]:
-            best_unaudited = (fps, impl)
+        else:
+            failed_candidates.append(
+                {"impl": impl,
+                 "reason": ("oracle checksum mismatch" if not checksum_ok
+                            else "roofline violation"),
+                 "unaudited_fps": round(fps)})
+            if fps > best_unaudited[0]:
+                best_unaudited = (fps, impl)
 
     rec = {
         "metric": "1080p_scan_frames_per_sec_per_chip",

@@ -27,16 +27,25 @@ from ..core.types import GridGeometry
 
 
 def build_mesh(n_devices: int | None = None,
-               sweep: int = 1) -> Mesh:
+               sweep: int = 1,
+               allow_cpu_fallback: bool = False) -> Mesh:
     """Mesh over available devices: ('data', 'sweep').
 
     ``sweep`` chips hold distinct detector configs; the rest of the
     devices spread the frame batch.  If the default platform has fewer
-    devices than requested, fall back to the CPU platform (virtual
-    multi-device meshes for dryruns/tests).
+    devices than requested, the call FAILS loudly with the device
+    inventory — a mis-sized production run must not silently "scan" on
+    host CPUs.  Dryruns/tests that intend virtual CPU meshes opt in with
+    ``allow_cpu_fallback=True``.
     """
     devices = jax.devices()
     if n_devices is not None and len(devices) < n_devices:
+        if not allow_cpu_fallback:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but the default "
+                f"platform has only {len(devices)}: "
+                f"{[str(d) for d in devices]}. Pass allow_cpu_fallback="
+                f"True only for virtual-mesh dryruns/tests.")
         devices = jax.devices("cpu")
     n = n_devices or len(devices)
     assert n <= len(devices), (n, len(devices))

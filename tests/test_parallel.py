@@ -37,6 +37,21 @@ class TestMesh:
         mesh = build_mesh(4)
         assert stream_device_assignment(6, mesh) == [0, 1, 2, 3, 0, 1]
 
+    def test_oversized_mesh_fails_loudly(self):
+        """Production misconfiguration (more devices requested than the
+        default platform holds) must raise with the device inventory —
+        never silently fall back to scanning on host CPUs."""
+        with pytest.raises(RuntimeError, match="16-device mesh.*only 8"):
+            build_mesh(16)
+
+    def test_cpu_fallback_is_explicit_opt_in(self):
+        # On the CPU test backend the fallback re-resolves to the same
+        # 8 devices, so an oversized request still fails (the assert),
+        # but a satisfiable one succeeds — the knob only gates the
+        # platform switch, never relaxes the size check.
+        mesh = build_mesh(8, allow_cpu_fallback=True)
+        assert mesh.devices.size == 8
+
 
 class TestShardedScan:
     @pytest.mark.parametrize("sweep", [1, 2, 4])
