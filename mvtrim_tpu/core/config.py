@@ -99,6 +99,12 @@ class Config:
     compile_cache_dir: str = ""      # persistent jit-compile cache directory
                                      # ("" = off); collapses cold-process
                                      # warmup(jit) to a cache read
+    chunk_frames_cap: int = 0        # max frames per native scan call
+                                     # (0 = auto).  Saturated calls resume
+                                     # from the exact stream position with
+                                     # the frame-skip phase carried, so the
+                                     # cap never changes decisions — it
+                                     # bounds host memory per decode call
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -135,6 +141,7 @@ class Config:
             mv_capacity=_env_int("MVT_MV_CAPACITY", 8192),
             rss_limit_mb=_env_float("MVT_RSS_LIMIT_MB", 0.0),
             compile_cache_dir=_env_str("MVT_COMPILE_CACHE", ""),
+            chunk_frames_cap=_env_int("MVT_CHUNK_FRAMES_CAP", 0),
         )
 
     # --- derived geometry (reference motion_scanner.cpp:190-196) ---

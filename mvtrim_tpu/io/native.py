@@ -29,7 +29,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # Must match mvt_abi_version() in native/mvtrim_host.cpp.  Calling a stale
 # prebuilt .so with shifted ctypes signatures corrupts the stack silently,
 # so the loader rebuilds (dev checkouts) or refuses on mismatch.
-_ABI_VERSION = 6
+_ABI_VERSION = 7
 
 
 def _rebuild() -> None:
@@ -92,37 +92,51 @@ def _load_library():
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         lib.mvt_scan_bits.restype = ctypes.c_long
         lib.mvt_scan_bits.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
+        lib.mvt_scan_words.restype = ctypes.c_long
+        lib.mvt_scan_words.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         lib.mvt_scan_grids_multi.restype = ctypes.c_long
         lib.mvt_scan_grids_multi.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         lib.mvt_scan_mvs.restype = ctypes.c_long
         lib.mvt_scan_mvs.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
             ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         lib.mvt_scan_luma.restype = ctypes.c_long
         lib.mvt_scan_luma.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
-            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         lib.mvt_scan_mvs_full.restype = ctypes.c_long
         lib.mvt_scan_mvs_full.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
             ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         lib.mvt_stream_counts.restype = ctypes.c_int
         lib.mvt_stream_counts.argtypes = [ctypes.c_void_p,
                                           ctypes.POINTER(ctypes.c_int),
                                           ctypes.POINTER(ctypes.c_int)]
+        lib.mvt_skip_phase.restype = ctypes.c_int
+        lib.mvt_skip_phase.argtypes = [ctypes.c_void_p]
         lib.mvt_time_base.restype = ctypes.c_int
         lib.mvt_time_base.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int),
@@ -204,7 +218,8 @@ class VideoReader:
     def scan_grids(self, start: float, end: float, *, threshold_sq: float,
                    block_shift: int, gw: int, gh: int, y_min: int,
                    y_max: int, frame_skip: int = 1, max_frames: int = 4096,
-                   timing: ScanTiming | None = None):
+                   timing: ScanTiming | None = None,
+                   resume: bool = False):
         """Decode [start, end) and return (grids uint8 [N, gh, gw], pts f64 [N])."""
         grids = np.empty((max_frames, gh, gw), dtype=np.uint8)
         pts = np.empty((max_frames,), dtype=np.float64)
@@ -212,7 +227,8 @@ class VideoReader:
         n = self._lib.mvt_scan_grids(
             self._h, start, end, threshold_sq, block_shift, gw, gh,
             y_min, y_max, frame_skip, max_frames,
-            grids.ctypes.data, pts.ctypes.data, t.ctypes.data)
+            grids.ctypes.data, pts.ctypes.data, t.ctypes.data,
+            int(resume))
         if n < 0:
             raise RuntimeError(f"mvt_scan_grids failed on {self.path}")
         if timing is not None:
@@ -223,7 +239,8 @@ class VideoReader:
                   block_shift: int, gw: int, gh: int, y_min: int,
                   y_max: int, vectors_needed: int, frame_skip: int = 1,
                   max_frames: int = 4096,
-                  timing: ScanTiming | None = None):
+                  timing: ScanTiming | None = None,
+                  resume: bool = False):
         """Decode [start, end) and return bit-packed activity masks.
 
         Returns (bits uint8 [N, gh, ceil(gw/8)], pts f64 [N]).  Bit k of
@@ -239,18 +256,50 @@ class VideoReader:
         n = self._lib.mvt_scan_bits(
             self._h, start, end, threshold_sq, block_shift, gw, gh,
             y_min, y_max, vectors_needed, frame_skip, max_frames,
-            bits.ctypes.data, pts.ctypes.data, t.ctypes.data)
+            bits.ctypes.data, pts.ctypes.data, t.ctypes.data,
+            int(resume))
         if n < 0:
             raise RuntimeError(f"mvt_scan_bits failed on {self.path}")
         if timing is not None:
             timing.add_raw(t)
         return bits[:n], pts[:n]
 
+    def scan_words(self, start: float, end: float, *, threshold_sq: float,
+                   block_shift: int, gw: int, gh: int, y_min: int,
+                   y_max: int, vectors_needed: int, frame_skip: int = 1,
+                   max_frames: int = 4096,
+                   timing: ScanTiming | None = None,
+                   resume: bool = False):
+        """Decode [start, end) and return word-layout activity masks.
+
+        Returns (words int32 [N, gh*gww], pts f64 [N]) where gww =
+        ceil(gw/32) and word w of a row holds cells x = 32w..32w+31 in
+        little-endian bit order — exactly
+        ``ops.cluster.repack_bits_words(scan_bits(...))`` emitted
+        natively, so the device feeder only assembles batches (no
+        per-frame repack on the Python side).
+        """
+        gww = (gw + 31) // 32
+        words = np.empty((max_frames, gh * gww), dtype=np.int32)
+        pts = np.empty((max_frames,), dtype=np.float64)
+        t = np.zeros((4,), dtype=np.int64)
+        n = self._lib.mvt_scan_words(
+            self._h, start, end, threshold_sq, block_shift, gw, gh,
+            y_min, y_max, vectors_needed, frame_skip, max_frames,
+            words.ctypes.data, pts.ctypes.data, t.ctypes.data,
+            int(resume))
+        if n < 0:
+            raise RuntimeError(f"mvt_scan_words failed on {self.path}")
+        if timing is not None:
+            timing.add_raw(t)
+        return words[:n], pts[:n]
+
     def scan_grids_multi(self, start: float, end: float, *,
                          thresholds_sq, block_shift: int, gw: int, gh: int,
                          y_min: int, y_max: int, frame_skip: int = 1,
                          max_frames: int = 4096,
-                         timing: ScanTiming | None = None):
+                         timing: ScanTiming | None = None,
+                         resume: bool = False):
         """One decode pass, K vote grids per frame (one per threshold).
 
         Returns (grids uint8 [N, K, gh, gw], pts f64 [N]).
@@ -263,7 +312,8 @@ class VideoReader:
         n = self._lib.mvt_scan_grids_multi(
             self._h, start, end, thr.ctypes.data, k, block_shift, gw, gh,
             y_min, y_max, frame_skip, max_frames,
-            grids.ctypes.data, pts.ctypes.data, t.ctypes.data)
+            grids.ctypes.data, pts.ctypes.data, t.ctypes.data,
+            int(resume))
         if n < 0:
             raise RuntimeError(f"mvt_scan_grids_multi failed on {self.path}")
         if timing is not None:
@@ -272,7 +322,8 @@ class VideoReader:
 
     def scan_mvs(self, start: float, end: float, *, frame_skip: int = 1,
                  max_frames: int = 4096, max_mv: int = 8192,
-                 timing: ScanTiming | None = None):
+                 timing: ScanTiming | None = None,
+                 resume: bool = False):
         """Decode [start, end) and return raw MVs.
 
         Returns (mvs int16 [N, max_mv, 4], counts int32 [N], pts f64 [N]).
@@ -285,7 +336,7 @@ class VideoReader:
         n = self._lib.mvt_scan_mvs(
             self._h, start, end, frame_skip, max_frames, max_mv,
             mvs.ctypes.data, counts.ctypes.data, pts.ctypes.data,
-            t.ctypes.data)
+            t.ctypes.data, int(resume))
         if n < 0:
             raise RuntimeError(f"mvt_scan_mvs failed on {self.path}")
         if timing is not None:
@@ -308,9 +359,19 @@ class VideoReader:
         self._lib.mvt_time_base(self._h, ctypes.byref(num), ctypes.byref(den))
         return num.value, den.value
 
+    def skip_phase(self) -> int:
+        """Frame-skip modulo phase at the handle's current decode
+        position (frames decoded since the active range's seek).  A
+        ``resume=True`` scan continues from this phase — the mechanism
+        that keeps cap-resumed chunks bit-identical to the reference's
+        single uninterrupted counter per chunk
+        (motion_scanner.cpp:314,356-357)."""
+        return int(self._lib.mvt_skip_phase(self._h))
+
     def scan_mvs_full(self, start: float, end: float, *, frame_skip: int = 1,
                       max_frames: int = 4096, max_mv: int = 8192,
-                      timing: ScanTiming | None = None):
+                      timing: ScanTiming | None = None,
+                      resume: bool = False):
         """Full-field MV export (extract_mvs schema).
 
         Returns (mvs int32 [N, max_mv, 10], counts int32 [N],
@@ -326,7 +387,7 @@ class VideoReader:
         n = self._lib.mvt_scan_mvs_full(
             self._h, start, end, frame_skip, max_frames, max_mv,
             mvs.ctypes.data, counts.ctypes.data, pts.ctypes.data,
-            ptype.ctypes.data, t.ctypes.data)
+            ptype.ctypes.data, t.ctypes.data, int(resume))
         if n < 0:
             raise RuntimeError(f"mvt_scan_mvs_full failed on {self.path}")
         if timing is not None:
@@ -334,14 +395,16 @@ class VideoReader:
         return mvs[:n], counts[:n], pts[:n], ptype[:n]
 
     def scan_luma(self, start: float, end: float, *, frame_skip: int = 1,
-                  max_frames: int = 256, timing: ScanTiming | None = None):
+                  max_frames: int = 256, timing: ScanTiming | None = None,
+                  resume: bool = False):
         """Decode [start, end) and return (luma uint8 [N, H, W], pts f64 [N])."""
         luma = np.empty((max_frames, self.height, self.width), dtype=np.uint8)
         pts = np.empty((max_frames,), dtype=np.float64)
         t = np.zeros((4,), dtype=np.int64)
         n = self._lib.mvt_scan_luma(
             self._h, start, end, frame_skip, max_frames,
-            luma.ctypes.data, pts.ctypes.data, t.ctypes.data)
+            luma.ctypes.data, pts.ctypes.data, t.ctypes.data,
+            int(resume))
         if n < 0:
             raise RuntimeError(f"mvt_scan_luma failed on {self.path}")
         if timing is not None:

@@ -212,6 +212,55 @@ class MVClusterDetector:
         """Host entry: packed masks uint8 [N, gh, gwb] -> motion bool [N]."""
         return self.scan_bits_async(bits)()
 
+    def scan_words_async(self, words: np.ndarray):
+        """Dispatch word-layout activity masks int32 [N, gh*gww] (the
+        native mvt_scan_words output — already the device kernel's word
+        layout); return a resolver for motion [N].
+
+        Identical decisions to scan_bits_async; the per-frame repack
+        (repack_bits_words) happened inside the GIL-released native scan,
+        so the feeder's per-batch work here is pure batch assembly — the
+        many-core scaling path (see benchmarks/feeder_bench.py).
+        """
+        n = words.shape[0]
+        if n == 0:
+            return lambda: np.zeros((0,), bool)
+        _, used, lanes = cluster_ops.word_geometry(self.geom)
+        assert words.shape[1] == used, (words.shape, used)
+        if self.backend == "oracle":
+            gwb = (self.geom.gw + 7) // 8
+            bits = words.view(np.uint8).reshape(n, self.geom.gh, -1)[
+                :, :, :gwb]
+            return self.scan_bits_async(np.ascontiguousarray(bits))
+        db = self.device_batch
+        op = self._build_bits_op()
+        transposed = self._bits_transposed
+        futures = []
+        for lo in range(0, n, db):
+            hi = min(lo + db, n)
+            if transposed:
+                batch = np.zeros((lanes, db), np.int32)
+                batch[:used, :hi - lo] = words[lo:hi].T
+            else:
+                batch = np.zeros((db, lanes), np.int32)
+                batch[:hi - lo, :used] = words[lo:hi]
+            if self.device is not None:
+                batch = jax.device_put(batch, self.device)
+            _, motion = op(jnp.asarray(batch))
+            futures.append((lo, hi, motion))
+
+        def resolve():
+            out = np.zeros((n,), bool)
+            for lo, hi, motion in futures:
+                out[lo:hi] = np.asarray(motion)[:hi - lo]
+            return out
+
+        return resolve
+
+    def scan_words(self, words: np.ndarray) -> np.ndarray:
+        """Host entry: word-layout masks int32 [N, gh*gww] -> motion [N]."""
+        return self.scan_words_async(words)()
+
     # --- forward over raw MV fields (on-device thresholding path) ---
 
     def _build_mv_op(self, m: int):

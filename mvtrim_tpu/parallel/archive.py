@@ -129,24 +129,30 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
                 if task is None:
                     break
                 # resume past the frame cap (VFR bursts); concatenate so
-                # each chunk stays one attribution unit for checkpointing
+                # each chunk stays one attribution unit for checkpointing.
+                # resume=True continues decode from the exact stream
+                # position with the skip counter carried, keeping the
+                # analyzed frame set identical to an uncapped chunk scan
+                # (the reference's one counter per chunk,
+                # motion_scanner.cpp:314,356-357).
                 parts_g, parts_p = [], []
-                start = task.start
-                while start < task.end:
+                resume = False
+                while True:
                     bits, pts = r.scan_bits(
-                        start, task.end,
+                        task.start, task.end,
                         threshold_sq=cfg.mv_threshold_sq,
                         block_shift=cfg.block_shift, gw=geom.gw,
                         gh=geom.gh, y_min=geom.y_min, y_max=geom.y_max,
                         vectors_needed=cfg.vectors_needed,
-                        frame_skip=frame_skip, max_frames=max_frames)
+                        frame_skip=frame_skip, max_frames=max_frames,
+                        resume=resume)
                     if len(pts) == 0:
                         break
                     parts_g.append(bits)
                     parts_p.append(pts)
                     if len(pts) < max_frames:
                         break
-                    start = float(pts[-1]) + 1e-6
+                    resume = True
                 if parts_p:
                     results.put((task.chunk_id,
                                  np.concatenate(parts_g),

@@ -275,7 +275,9 @@ class ProcessingPipeline:
                                       cfg.chunk_duration_sec))
         n_threads = self._scan_thread_count(num_chunks)
         # luma chunks are large (H*W bytes/frame); cap frames per scan call
-        if kind == "sad":
+        if cfg.chunk_frames_cap > 0:
+            chunk_frames_cap = cfg.chunk_frames_cap
+        elif kind == "sad":
             chunk_frames_cap = max(
                 16, (512 * 1024 * 1024) // max(1, width * height)
                 // max(1, n_threads))
@@ -356,12 +358,19 @@ class ProcessingPipeline:
                     # resume when the frame cap saturates (VFR bursts can
                     # exceed the probed-fps estimate; silently dropping the
                     # chunk tail would lose motion); the luma path also
-                    # sub-chunks when its memory cap binds
-                    start = task.start
-                    while start < task.end:
+                    # sub-chunks when its memory cap binds.  resume=True
+                    # continues the decode from the exact stream position
+                    # with the frame-skip counter carried on the handle,
+                    # so a capped chunk analyzes the identical frame set
+                    # as the reference's uncapped single-counter scan
+                    # (motion_scanner.cpp:314,356-357) — including with
+                    # TARGET_FPS phase active.
+                    resume = False
+                    cap = cfg.mv_capacity
+                    while True:
                         if scan_input == "bits":
                             data, pts = reader.scan_bits(
-                                start, task.end,
+                                task.start, task.end,
                                 threshold_sq=cfg.mv_threshold_sq,
                                 block_shift=cfg.block_shift,
                                 gw=geom.gw, gh=geom.gh,
@@ -369,54 +378,56 @@ class ProcessingPipeline:
                                 vectors_needed=cfg.vectors_needed,
                                 frame_skip=frame_skip,
                                 max_frames=max_frames,
-                                timing=timings[widx])
+                                timing=timings[widx], resume=resume)
                             item = ("bits", data, pts)
                         elif scan_input == "grids":
                             data, pts = reader.scan_grids(
-                                start, task.end,
+                                task.start, task.end,
                                 threshold_sq=cfg.mv_threshold_sq,
                                 block_shift=cfg.block_shift,
                                 gw=geom.gw, gh=geom.gh,
                                 y_min=geom.y_min, y_max=geom.y_max,
                                 frame_skip=frame_skip,
                                 max_frames=max_frames,
-                                timing=timings[widx])
+                                timing=timings[widx], resume=resume)
                             item = ("grids", data, pts)
                         elif scan_input == "mv_raw":
                             mvs, counts, pts = reader.scan_mvs(
-                                start, task.end, frame_skip=frame_skip,
-                                max_frames=max_frames,
-                                max_mv=cfg.mv_capacity,
-                                timing=timings[widx])
+                                task.start, task.end,
+                                frame_skip=frame_skip,
+                                max_frames=max_frames, max_mv=cap,
+                                timing=timings[widx], resume=resume)
                             if len(pts) and (counts < 0).any():
-                                # capacity overflow: re-decode the range
-                                # with a capacity that fits every frame so
-                                # the decision is over the COMPLETE MV
-                                # list (the feeder decides these on the
-                                # host oracle — exact, and no device
-                                # recompile for a rare path)
+                                # capacity overflow: restart the WHOLE
+                                # chunk from a fresh seek with a capacity
+                                # that fits every frame, so the decision
+                                # is over the COMPLETE MV list.  Frames
+                                # already queued from this chunk are
+                                # re-emitted with identical decisions and
+                                # deduped by merge_timestamps — exact,
+                                # and no device recompile for a rare path
+                                # (the feeder decides oversized frames on
+                                # the host oracle).
                                 cap = 1 << int(np.ceil(np.log2(
                                     -counts.min())))
-                                mvs, counts, pts = reader.scan_mvs(
-                                    start, task.end,
-                                    frame_skip=frame_skip,
-                                    max_frames=max_frames, max_mv=cap,
-                                    timing=timings[widx])
-                                item = ("mv_host", (mvs, counts), pts)
-                            else:
-                                item = ("mv", (mvs, counts), pts)
+                                resume = False
+                                continue
+                            tag = "mv" if cap == cfg.mv_capacity \
+                                else "mv_host"
+                            item = (tag, (mvs, counts), pts)
                         else:
                             data, pts = reader.scan_luma(
-                                start, task.end, frame_skip=frame_skip,
+                                task.start, task.end,
+                                frame_skip=frame_skip,
                                 max_frames=max_frames,
-                                timing=timings[widx])
+                                timing=timings[widx], resume=resume)
                             item = ("luma", data, pts)
                         if len(pts) == 0:
                             break
                         results.put(item)
                         if len(pts) < max_frames:
                             break
-                        start = float(pts[-1]) + 1e-6
+                        resume = True
                 reader.close()
             except Exception as e:  # noqa: BLE001 — surfaced after join
                 errors.append(e)

@@ -47,17 +47,22 @@ def compute_heatmap(input_path: str, cfg: Config | None = None):
     t = 0.0
     chunk = cfg.chunk_duration_sec
     cap = int(math.ceil(chunk * max(reader.fps, 1.0))) + 64
+    resume = False
     while t < duration:
         end = min(t + chunk, duration)
         grids, pts = reader.scan_grids(
             t, end, threshold_sq=cfg.mv_threshold_sq,
             block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
             y_min=geom.y_min, y_max=geom.y_max,
-            frame_skip=frame_skip, max_frames=cap)
+            frame_skip=frame_skip, max_frames=cap, resume=resume)
         if len(pts):
             acc = accumulate(acc, grids)
             frames += len(pts)
-        t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
+        # saturated: continue the same chunk from the exact stream
+        # position (skip phase carried — reference-exact)
+        resume = len(pts) == cap
+        if not resume:
+            t = end
     reader.close()
 
     counts = np.asarray(acc, dtype=np.float64)

@@ -90,14 +90,19 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
         t = 0.0
         chunk = cfg.chunk_duration_sec
         cap = int(math.ceil(chunk * max(fps, 1.0))) + 64
+        resume = False
         while t < duration:
             end = min(t + chunk, duration)
             grids, pts = reader.scan_grids_multi(
                 t, end, thresholds_sq=thresholds,
                 block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
                 y_min=geom.y_min, y_max=geom.y_max,
-                frame_skip=frame_skip, max_frames=cap)
-            t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
+                frame_skip=frame_skip, max_frames=cap, resume=resume)
+            # saturated: continue the same chunk from the exact stream
+            # position (skip phase carried — reference-exact)
+            resume = len(pts) == cap
+            if not resume:
+                t = end
             if len(pts) == 0:
                 continue
             if device_stats:
@@ -222,17 +227,35 @@ def _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs, frame_skip,
     chunk = cfg.chunk_duration_sec
     cap = int(_math.ceil(chunk * max(reader.fps, 1.0))) + 64
     duration = reader.duration
+    resume = False
+    capm = cfg.mv_capacity
+    marks = None  # rollback point: the current chunk's list lengths
     while t < duration:
         end = min(t + chunk, duration)
+        if not resume:
+            marks = (len(all_pts), [len(x) for x in dev_motion],
+                     {k: len(v) for k, v in motion_ts.items()})
         mvs, counts, pts = reader.scan_mvs(
             t, end, frame_skip=frame_skip, max_frames=cap,
-            max_mv=cfg.mv_capacity)
+            max_mv=capm, resume=resume)
         if len(pts) and (counts < 0).any():
+            # MV-capacity overflow: roll back any partial contributions
+            # this chunk already scored, then restart the whole chunk
+            # from a fresh seek at a fitting capacity — the skip phase
+            # restarts with it, so the re-scan is reference-exact
+            del all_pts[marks[0]:]
+            for lst, n in zip(dev_motion, marks[1]):
+                del lst[n:]
+            for k, n in marks[2].items():
+                del motion_ts[k][n:]
             capm = 1 << int(np.ceil(np.log2(-counts.min())))
-            mvs, counts, pts = reader.scan_mvs(
-                t, end, frame_skip=frame_skip, max_frames=cap,
-                max_mv=capm)
-        t = float(pts[-1]) + 1e-6 if len(pts) == cap else end
+            resume = False
+            continue
+        # saturated: continue the same chunk from the exact stream
+        # position (skip phase carried — reference-exact)
+        resume = len(pts) == cap
+        if not resume:
+            t = end
         if len(pts) == 0:
             continue
         if device_stats:

@@ -165,6 +165,12 @@ struct MvtHandle {
   double time_base = 0.0;
   int mode = MVT_MODE_MV;
   bool scanned = false;  // has any scan_loop consumed from this handle?
+  // Frame-skip modulo phase of the handle's decode position: the number
+  // of frames the decoder has produced since the range's seek.  Carried
+  // across capped scan_* calls in resume mode so a resumed sub-range
+  // continues the chunk's phase exactly like the reference's single
+  // counter per chunk scan (motion_scanner.cpp:314,356-357).
+  int skip_phase = 0;
 
   ~MvtHandle() {
     if (dec) avcodec_free_context(&dec);
@@ -305,11 +311,22 @@ namespace {
 // *decoded* frame (including ones before the window), the window test is
 // [start, end) on pts*time_base, and the scan stops at the first analyzed
 // frame at/after `end`.
+//
+// `resume != 0` continues a capped scan: no seek/flush (decode proceeds
+// from the handle's current stream position), the skip counter resumes
+// from h->skip_phase, and frames the decoder buffered when the previous
+// call stopped are drained first.  A chunk scanned as one call and a
+// chunk scanned as a capped call plus resumes analyze the IDENTICAL
+// frame set — the reference (which has no frame cap) scans each chunk
+// with one uninterrupted counter (motion_scanner.cpp:314,356-357), and
+// resume mode reproduces that across the cap boundary.
 template <typename EmitFn>
 long scan_loop(MvtHandle *h, double start, double end, int frame_skip,
-               long max_frames, long long *timing_us, EmitFn &&emit) {
+               long max_frames, long long *timing_us, EmitFn &&emit,
+               int resume = 0) {
   if (!h) return -1;
   if (frame_skip < 1) frame_skip = 1;
+  if (max_frames <= 0) return 0;
   long long seek_us = 0, decode_us = 0, analyze_us = 0;
   long n_emitted = 0;
 
@@ -320,54 +337,67 @@ long scan_loop(MvtHandle *h, double start, double end, int frame_skip,
   // the reference does (a BACKWARD seek to ts 0 would land on the same
   // first keyframe, but the flush costs decoder re-priming time).
   auto t0 = Clock::now();
-  if (h->scanned || start > 0) {
-    int64_t seek_ts = static_cast<int64_t>(start / h->time_base);
-    av_seek_frame(h->fmt, h->video_idx, seek_ts, AVSEEK_FLAG_BACKWARD);
-    avcodec_flush_buffers(h->dec);
+  if (!resume) {
+    if (h->scanned || start > 0) {
+      int64_t seek_ts = static_cast<int64_t>(start / h->time_base);
+      av_seek_frame(h->fmt, h->video_idx, seek_ts, AVSEEK_FLAG_BACKWARD);
+      avcodec_flush_buffers(h->dec);
+    }
+    h->skip_phase = 0;
   }
   h->scanned = true;
   seek_us = us_since(t0);
 
-  int frame_count = 0;
+  int frame_count = h->skip_phase;
   bool done = false;
 
+  // Receive every frame the decoder currently holds.  Used both for the
+  // resume pre-drain (frames buffered when a capped call stopped
+  // mid-packet) and after each sent packet.
+  auto drain = [&]() {
+    while (!done) {
+      auto td = Clock::now();
+      int recv_ret = avcodec_receive_frame(h->dec, h->frame);
+      decode_us += us_since(td);
+      if (recv_ret < 0) break;
+
+      // frame-skip phase: counter advances on every decoded frame and
+      // spans cap-resumes (motion_scanner.cpp:356-357)
+      if (++frame_count % frame_skip != 0) continue;
+
+      double pts = h->frame->pts * h->time_base;
+      if (pts < start) continue;
+      if (pts >= end) {
+        done = true;
+        break;
+      }
+
+      auto ta = Clock::now();
+      emit(h->frame, pts, n_emitted);
+      analyze_us += us_since(ta);
+      n_emitted++;
+      if (n_emitted >= max_frames) {
+        // Buffer full: stop AFTER emitting, so a resume continues with
+        // the next decoded frame — nothing is dropped or re-decoded
+        // across the cap boundary.
+        done = true;
+        break;
+      }
+    }
+  };
+
+  if (resume) drain();
   while (!done && av_read_frame(h->fmt, h->pkt) >= 0) {
     if (h->pkt->stream_index == h->video_idx) {
       auto td = Clock::now();
       int send_ret = avcodec_send_packet(h->dec, h->pkt);
       decode_us += us_since(td);
-      if (send_ret >= 0) {
-        while (true) {
-          td = Clock::now();
-          int recv_ret = avcodec_receive_frame(h->dec, h->frame);
-          decode_us += us_since(td);
-          if (recv_ret < 0) break;
-
-          // frame-skip phase: counter is per-scan-range and advances on
-          // every decoded frame (motion_scanner.cpp:356-357)
-          if (++frame_count % frame_skip != 0) continue;
-
-          double pts = h->frame->pts * h->time_base;
-          if (pts < start) continue;
-          if (pts >= end) {
-            done = true;
-            break;
-          }
-          if (n_emitted >= max_frames) {
-            done = true;
-            break;
-          }
-
-          auto ta = Clock::now();
-          emit(h->frame, pts, n_emitted);
-          analyze_us += us_since(ta);
-          n_emitted++;
-        }
-      }
+      if (send_ret >= 0) drain();
     }
     av_packet_unref(h->pkt);
   }
 
+  h->skip_phase = frame_count;
   if (timing_us) {
     timing_us[0] += seek_us;
     timing_us[1] += decode_us;
@@ -389,7 +419,8 @@ MVT_EXPORT long mvt_scan_grids(MvtHandle *h, double start, double end,
                                double threshold_sq, int block_shift, int gw,
                                int gh, int y_min, int y_max, int frame_skip,
                                long max_frames, uint8_t *out_grids,
-                               double *out_pts, long long *timing_us) {
+                               double *out_pts, long long *timing_us,
+                               int resume) {
   const size_t grid_cells = static_cast<size_t>(gw) * gh;
   return scan_loop(
       h, start, end, frame_skip, max_frames, timing_us,
@@ -417,7 +448,8 @@ MVT_EXPORT long mvt_scan_grids(MvtHandle *h, double start, double end,
             if (cell < 255) cell++;
           }
         }
-      });
+      },
+      resume);
 }
 
 // Bit-packed activity-mask scatter: same decode + vote loop as
@@ -434,7 +466,8 @@ MVT_EXPORT long mvt_scan_bits(MvtHandle *h, double start, double end,
                               int gh, int y_min, int y_max,
                               int vectors_needed, int frame_skip,
                               long max_frames, uint8_t *out_bits,
-                              double *out_pts, long long *timing_us) {
+                              double *out_pts, long long *timing_us,
+                              int resume) {
   const size_t grid_cells = static_cast<size_t>(gw) * gh;
   const int gwb = (gw + 7) / 8;
   const size_t bits_per_frame = static_cast<size_t>(gwb) * gh;
@@ -485,7 +518,85 @@ MVT_EXPORT long mvt_scan_bits(MvtHandle *h, double start, double end,
             for (int y = 0; y < gh; ++y) bits[y * gwb + gwb - 1] = tail;
           }
         }
-      });
+      },
+      resume);
+}
+
+// Word-layout activity-mask scatter: the same thresholded mask as
+// mvt_scan_bits, but rows are padded to 4-byte multiples so the output is
+// directly the int32 word layout the device cluster kernel consumes
+// (ops/cluster.word_geometry: word w of a row holds cells x = 32w..32w+31,
+// little-endian — byte j of the row is bit-identical to mvt_scan_bits'
+// byte j for j < ceil(gw/8), zero beyond).  Emitting this natively moves
+// the per-frame repack (ops/cluster.repack_bits_words) off the Python
+// feeder and into the GIL-released decode workers, so the feeder only
+// assembles batches — the scale-out contract for many-core hosts
+// (reference analog: fully independent workers, batch_processor.cpp:
+// 153-157).  out_words is int32 [max_frames, gh*gww]; the host is
+// little-endian, so byte writes produce the '<i4' view exactly.
+MVT_EXPORT long mvt_scan_words(MvtHandle *h, double start, double end,
+                               double threshold_sq, int block_shift, int gw,
+                               int gh, int y_min, int y_max,
+                               int vectors_needed, int frame_skip,
+                               long max_frames, int32_t *out_words,
+                               double *out_pts, long long *timing_us,
+                               int resume) {
+  const size_t grid_cells = static_cast<size_t>(gw) * gh;
+  const int gww = (gw + 31) / 32;
+  const int row_bytes = gww * 4;
+  const size_t bytes_per_frame = static_cast<size_t>(row_bytes) * gh;
+  std::vector<uint8_t> grid(grid_cells);
+  return scan_loop(
+      h, start, end, frame_skip, max_frames, timing_us,
+      [&](AVFrame *f, double pts, long slot) {
+        uint8_t *bits = reinterpret_cast<uint8_t *>(out_words) +
+                        static_cast<size_t>(slot) * bytes_per_frame;
+        std::memset(bits, 0, bytes_per_frame);
+        out_pts[slot] = pts;
+
+        AVFrameSideData *sd =
+            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+        if (sd) {
+          if (timing_us) timing_us[3]++;
+          std::memset(grid.data(), 0, grid_cells);
+          const auto *mvs =
+              reinterpret_cast<const AVMotionVector *>(sd->data);
+          const int count =
+              static_cast<int>(sd->size / sizeof(AVMotionVector));
+          for (int i = 0; i < count; ++i) {
+            const AVMotionVector *mv = &mvs[i];
+            int dx = mv->dst_x - mv->src_x;
+            int dy = mv->dst_y - mv->src_y;
+            int mag_sq = dx * dx + dy * dy;
+            if (mag_sq < threshold_sq) continue;
+            int gx = mv->dst_x >> block_shift;
+            int gy = mv->dst_y >> block_shift;
+            if (gx >= 0 && gx < gw && gy >= y_min && gy < y_max) {
+              uint8_t &cell = grid[static_cast<size_t>(gy) * gw + gx];
+              if (cell < 255) cell++;
+            }
+          }
+          for (int y = 0; y < gh; ++y) {
+            const uint8_t *row = grid.data() + static_cast<size_t>(y) * gw;
+            uint8_t *brow = bits + static_cast<size_t>(y) * row_bytes;
+            for (int x = 0; x < gw; ++x) {
+              if (row[x] >= vectors_needed)
+                brow[x >> 3] |= static_cast<uint8_t>(1u << (x & 7));
+            }
+          }
+        } else if (vectors_needed <= 0) {
+          // degenerate config: zero votes still satisfy >= 0 — set
+          // exactly the gw valid cells per row (same rule as
+          // mvt_scan_bits, continued across the word-padding bytes)
+          for (int y = 0; y < gh; ++y) {
+            uint8_t *brow = bits + static_cast<size_t>(y) * row_bytes;
+            std::memset(brow, 0xFF, static_cast<size_t>(gw / 8));
+            if (gw & 7)
+              brow[gw / 8] = static_cast<uint8_t>((1u << (gw & 7)) - 1u);
+          }
+        }
+      },
+      resume);
 }
 
 // Multi-threshold vote scatter: one decode pass produces K vote grids per
@@ -497,7 +608,7 @@ MVT_EXPORT long mvt_scan_grids_multi(
     MvtHandle *h, double start, double end, const double *thresholds_sq,
     int n_thresholds, int block_shift, int gw, int gh, int y_min, int y_max,
     int frame_skip, long max_frames, uint8_t *out_grids /* [mf,K,gh*gw] */,
-    double *out_pts, long long *timing_us) {
+    double *out_pts, long long *timing_us, int resume) {
   const size_t grid_cells = static_cast<size_t>(gw) * gh;
   const size_t per_frame = grid_cells * static_cast<size_t>(n_thresholds);
   return scan_loop(
@@ -529,7 +640,8 @@ MVT_EXPORT long mvt_scan_grids_multi(
             }
           }
         }
-      });
+      },
+      resume);
 }
 
 // Raw MV export: int16 rows (dst_x, dst_y, src_x, src_y) padded to max_mv
@@ -538,7 +650,8 @@ MVT_EXPORT long mvt_scan_grids_multi(
 MVT_EXPORT long mvt_scan_mvs(MvtHandle *h, double start, double end,
                              int frame_skip, long max_frames, long max_mv,
                              int16_t *out_mvs, int32_t *out_counts,
-                             double *out_pts, long long *timing_us) {
+                             double *out_pts, long long *timing_us,
+                             int resume) {
   return scan_loop(
       h, start, end, frame_skip, max_frames, timing_us,
       [&](AVFrame *f, double pts, long slot) {
@@ -564,7 +677,8 @@ MVT_EXPORT long mvt_scan_mvs(MvtHandle *h, double start, double end,
         out_counts[slot] =
             (count > max_mv) ? -static_cast<int32_t>(count)
                              : static_cast<int32_t>(count);
-      });
+      },
+      resume);
 }
 
 // Full-field MV export for the extract_mvs tool (tools/extract_mvs.cpp
@@ -576,7 +690,7 @@ MVT_EXPORT long mvt_scan_mvs_full(MvtHandle *h, double start, double end,
                                   long max_mv, int32_t *out_mvs,
                                   int32_t *out_counts, double *out_pts,
                                   int32_t *out_ptype,
-                                  long long *timing_us) {
+                                  long long *timing_us, int resume) {
   const double tb = h ? h->time_base : 0.0;
   return scan_loop(
       h, start, end, frame_skip, max_frames, timing_us,
@@ -611,7 +725,8 @@ MVT_EXPORT long mvt_scan_mvs_full(MvtHandle *h, double start, double end,
         out_counts[slot] =
             (count > max_mv) ? -static_cast<int32_t>(count)
                              : static_cast<int32_t>(count);
-      });
+      },
+      resume);
 }
 
 // Single-pass streaming JSON export of all MV side data — the exact
@@ -732,7 +847,7 @@ MVT_EXPORT int mvt_time_base(MvtHandle *h, int *num, int *den) {
 MVT_EXPORT long mvt_scan_luma(MvtHandle *h, double start, double end,
                               int frame_skip, long max_frames,
                               uint8_t *out_luma, double *out_pts,
-                              long long *timing_us) {
+                              long long *timing_us, int resume) {
   const int w = h ? h->dec->width : 0;
   const int ht = h ? h->dec->height : 0;
   return scan_loop(
@@ -750,7 +865,8 @@ MVT_EXPORT long mvt_scan_luma(MvtHandle *h, double start, double end,
                       f->data[0] + static_cast<size_t>(y) * f->linesize[0],
                       static_cast<size_t>(w));
         }
-      });
+      },
+      resume);
 }
 
 // ---------------------------------------------------------------------------
@@ -1187,4 +1303,7 @@ MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 6; }
+MVT_EXPORT int mvt_abi_version() { return 7; }
+
+// Frame-skip modulo phase of the handle's decode position (testing aid).
+MVT_EXPORT int mvt_skip_phase(MvtHandle *h) { return h ? h->skip_phase : -1; }

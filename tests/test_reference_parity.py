@@ -88,6 +88,15 @@ CONFIGS = [
                  id="zero-padding-tight-gap"),
     pytest.param({"TARGET_FPS": "7", "CHUNK_DURATION_SEC": "4.0"},
                  id="skip-phase-across-chunks"),
+    # frame cap forced tiny: every chunk saturates repeatedly and the
+    # skip phase must survive each cap-resume (the reference has no cap
+    # at all — motion_scanner.cpp:314,356-357 — so any phase restart
+    # diverges the analyzed-frame set)
+    pytest.param({"TARGET_FPS": "7", "CHUNK_DURATION_SEC": "4.0",
+                  "MVT_CHUNK_FRAMES_CAP": "5"},
+                 id="skip-phase-across-cap-resume"),
+    pytest.param({"TARGET_FPS": "10", "MVT_CHUNK_FRAMES_CAP": "3"},
+                 id="skip-phase-tiny-cap-long-chunk"),
     pytest.param({"BLOCK_SIZE": "8", "BLOCK_SHIFT": "3",
                   "VECTORS_NEEDED": "1"}, id="8px-grid-cells"),
 ]
