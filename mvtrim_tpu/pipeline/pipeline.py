@@ -257,12 +257,18 @@ class ProcessingPipeline:
         # H2D payload for the MV path (MVT_SCAN_INPUT):
         #   bits   — host-thresholded activity masks, bit-packed (default;
         #            8x less transfer than grids, identical decision)
+        #   words  — the same masks emitted natively in the device
+        #            kernel's int32 word layout: the per-batch repack
+        #            leaves the Python feeder for the GIL-released decode
+        #            workers (the many-core scaling path; 1.5x the bits
+        #            payload on the wire)
         #   grids  — uint8 vote grids (full counts; required by MVT_HEATMAP
         #            only for historical reasons — bits carries it too)
         #   mv_raw — raw MV fields, thresholding+scatter on device (for
         #            hosts where the scatter CPU is the constraint)
         scan_input = cfg.scan_input if kind == "mv" else "luma"
-        if kind == "mv" and scan_input not in ("bits", "grids", "mv_raw"):
+        if kind == "mv" and scan_input not in ("bits", "words", "grids",
+                                               "mv_raw"):
             log.warn(f"Unknown MVT_SCAN_INPUT={scan_input!r}; using bits",
                      sid)
             scan_input = "bits"
@@ -300,6 +306,9 @@ class ProcessingPipeline:
         elif scan_input == "bits":
             detector.scan_bits(
                 np.zeros((1, geom.gh, (geom.gw + 7) // 8), np.uint8))
+        elif scan_input == "words":
+            detector.scan_words(
+                np.zeros((1, geom.gh * ((geom.gw + 31) // 32)), np.int32))
         elif scan_input == "mv_raw":
             # warm both dispatch buckets frames will land in: the small
             # one (tail chunks) and the one a typical chunk pads to —
@@ -380,6 +389,18 @@ class ProcessingPipeline:
                                 max_frames=max_frames,
                                 timing=timings[widx], resume=resume)
                             item = ("bits", data, pts)
+                        elif scan_input == "words":
+                            data, pts = reader.scan_words(
+                                task.start, task.end,
+                                threshold_sq=cfg.mv_threshold_sq,
+                                block_shift=cfg.block_shift,
+                                gw=geom.gw, gh=geom.gh,
+                                y_min=geom.y_min, y_max=geom.y_max,
+                                vectors_needed=cfg.vectors_needed,
+                                frame_skip=frame_skip,
+                                max_frames=max_frames,
+                                timing=timings[widx], resume=resume)
+                            item = ("words", data, pts)
                         elif scan_input == "grids":
                             data, pts = reader.scan_grids(
                                 task.start, task.end,
@@ -465,6 +486,8 @@ class ProcessingPipeline:
             try:
                 if tag == "bits":
                     resolver = detector.scan_bits_async(data)
+                elif tag == "words":
+                    resolver = detector.scan_words_async(data)
                 elif tag == "grids":
                     resolver = detector.scan_votes_async(data)
                 elif tag == "mv":
@@ -497,6 +520,11 @@ class ProcessingPipeline:
                     heat_acc += np.unpackbits(
                         data, axis=2,
                         bitorder="little")[:, :, :geom.gw].sum(
+                            axis=0, dtype=np.int64)
+                elif tag == "words":
+                    heat_acc += np.unpackbits(
+                        data.view(np.uint8).reshape(len(pts), geom.gh, -1),
+                        axis=2, bitorder="little")[:, :, :geom.gw].sum(
                             axis=0, dtype=np.int64)
                 elif tag == "grids":
                     heat_acc += (data >= cfg.vectors_needed).sum(

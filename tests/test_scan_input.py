@@ -1,4 +1,4 @@
-"""MVT_SCAN_INPUT path parity: bits (default), grids, mv_raw.
+"""MVT_SCAN_INPUT path parity: bits (default), words, grids, mv_raw.
 
 The three H2D payloads must produce identical motion decisions — the
 packed-bits path because the cluster rule reads votes only through
@@ -84,6 +84,26 @@ class TestNativeScanBits:
         assert not tail.any()
 
 
+class TestNativeScanWords:
+    def test_words_match_host_repack(self, clip):
+        """mvt_scan_words emits exactly repack_bits_words(mvt_scan_bits):
+        the word layout the device kernel consumes, natively."""
+        from mvtrim_tpu.ops.cluster import repack_bits_words
+
+        cfg = Config()
+        with native.VideoReader(clip) as r:
+            geom = MVClusterDetector(r.width, r.height, cfg).geom
+        _, _, bits, pts_b = _scan_both(clip, cfg, geom)
+        with native.VideoReader(clip) as r:
+            words, pts_w = r.scan_words(
+                0.0, r.duration + 1, threshold_sq=cfg.mv_threshold_sq,
+                block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                y_min=geom.y_min, y_max=geom.y_max,
+                vectors_needed=cfg.vectors_needed, max_frames=600)
+        np.testing.assert_array_equal(pts_w, pts_b)
+        np.testing.assert_array_equal(words, repack_bits_words(bits, geom))
+
+
 class TestDetectorBits:
     @pytest.mark.parametrize("backend", ["xla", "oracle"])
     def test_bits_decision_equals_grids(self, backend):
@@ -151,10 +171,11 @@ class TestPipelineParity:
 
     def test_all_inputs_identical_cuts(self, clip, tmp_path):
         results = {}
-        for inp in ("bits", "grids", "mv_raw"):
+        for inp in ("bits", "words", "grids", "mv_raw"):
             out = str(tmp_path / f"out_{inp}.mp4")
             results[inp] = self._run(clip, out, scan_input=inp)
-        assert results["bits"] == results["grids"] == results["mv_raw"]
+        assert (results["bits"] == results["words"] == results["grids"]
+                == results["mv_raw"])
 
     def test_mv_raw_overflow_rescan_exact(self, clip, tmp_path):
         """A capacity far below real MV counts forces the overflow
@@ -184,18 +205,19 @@ class TestPipelineParity:
                           motion_windows=((1.0, 3.0), (6.0, 7.0)),
                           noise=2)
         results = {}
-        for inp in ("bits", "grids", "mv_raw"):
+        for inp in ("bits", "words", "grids", "mv_raw"):
             out = str(tmp_path / f"f_{inp}.mp4")
             cfg = Config(device_batch=64, scan_input=inp, **knobs)
             p = ProcessingPipeline(clip, out, cfg=cfg)
             assert p.run() == 0
             TimingCollector.clear()
             results[inp] = (p.time_removed, p.saved_pct)
-        assert results["bits"] == results["grids"] == results["mv_raw"]
+        assert (results["bits"] == results["words"] == results["grids"]
+                == results["mv_raw"])
 
     def test_heatmap_identical_bits_vs_grids(self, clip, tmp_path):
         heats = {}
-        for inp in ("bits", "grids"):
+        for inp in ("bits", "words", "grids"):
             hp = str(tmp_path / f"heat_{inp}.json")
             out = str(tmp_path / f"hout_{inp}.mp4")
             cfg = Config(device_batch=64, scan_input=inp, heatmap_path=hp)
@@ -204,4 +226,4 @@ class TestPipelineParity:
             with open(hp) as f:
                 heats[inp] = json.load(f)
             heats[inp].pop("input")
-        assert heats["bits"] == heats["grids"]
+        assert heats["bits"] == heats["words"] == heats["grids"]
