@@ -54,7 +54,8 @@ def build_mesh(n_devices: int | None = None,
     return Mesh(dev_grid, ("data", "sweep"))
 
 
-def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
+def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh,
+                      sweep_clusters: bool = False):
     """Build the jit'd multi-chip scan step.
 
     Returns ``step(votes, vec_needs) -> (motion, global_motion_frames)``:
@@ -65,6 +66,12 @@ def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
       global_motion_frames int32 [K] — psum over 'data' (ICI collective),
                 replicated over 'data', sharded over 'sweep'
 
+    With ``sweep_clusters=True`` the step takes a third input
+    ``clu_needs`` int32 [K] (also sharded over 'sweep'): each sweep point
+    is a full (vectors_needed, clusters_needed) pair — the tune --mesh
+    product path.  Callers pass EFFECTIVE cluster thresholds
+    (max(1, clusters_needed), oracle.effective_clusters_needed).
+
     The per-frame math is the cluster kernel (ops/cluster.py); thresholds
     arrive as *data* so one compiled program serves every sweep point.
     """
@@ -72,15 +79,20 @@ def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
 
     clusters_eff = max(1, cfg.clusters_needed)
 
-    def local_step(votes, vec_needs):
-        # votes: [B_local, GH, GW] uint8; vec_needs: [K_local] int32
+    def local_step(votes, vec_needs, clu_needs=None):
+        # votes: [B_local, GH, GW] uint8; vec/clu_needs: [K_local] int32
         v = votes.astype(jnp.int32)
 
-        def per_threshold(vec_need):
+        def per_config(vec_need, clu_need):
             counts = cluster_counts_traced(v, geom, vec_need)
-            return counts >= jnp.int32(clusters_eff)      # [B_local]
+            return counts >= clu_need                     # [B_local]
 
-        motion = jax.vmap(per_threshold, out_axes=1)(vec_needs)  # [B_l, K_l]
+        if clu_needs is None:
+            motion = jax.vmap(
+                lambda vn: per_config(vn, jnp.int32(clusters_eff)),
+                out_axes=1)(vec_needs)                    # [B_l, K_l]
+        else:
+            motion = jax.vmap(per_config, out_axes=1)(vec_needs, clu_needs)
         # Global motion-frame count per config: ICI collective over 'data'.
         global_count = jax.lax.psum(
             jnp.sum(motion.astype(jnp.int32), axis=0), axis_name="data")
@@ -90,9 +102,12 @@ def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
     if shard_map is None:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    in_specs = (P("data", None, None), P("sweep"))
+    if sweep_clusters:
+        in_specs = in_specs + (P("sweep"),)
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("data", None, None), P("sweep")),
+        in_specs=in_specs,
         out_specs=(P("data", "sweep"), P("sweep")),
     )
     return jax.jit(step)

@@ -34,7 +34,7 @@ from ..ops.sweep import make_vote_sweep_op
 def sweep(input_path: str, thresholds, vectors, clusters, *,
           cfg: Config | None = None, batch_frames: int = 512,
           device_stats: bool = False,
-          scan_input: str = "grids") -> list[dict]:
+          scan_input: str = "grids", mesh=None) -> list[dict]:
     """Score every config combination over one decode.
 
     ``device_stats=False`` (default): per-batch motion booleans come back
@@ -57,6 +57,14 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     for hosts where the scatter CPU is the constraint.  Identical
     decisions either way (the integer bound reproduces the double
     threshold compare exactly — ops/mv_vote.threshold_bound).
+
+    ``mesh`` (a jax.sharding.Mesh with 'data'/'sweep' axes, e.g. from
+    parallel.mesh.build_mesh) shards the scoring across chips: frames
+    over 'data', (vectors, clusters) pairs over 'sweep', one
+    sharded_scan_step dispatch per (batch, threshold) — the multi-chip
+    sweep the reference would need one box-wide re-run per config for.
+    Decisions are identical to the single-device path (asserted in
+    tests/test_sweep.py on the 8-device CPU mesh).
     """
     import jax
 
@@ -82,11 +90,44 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     all_pts: list[np.ndarray] = []
 
     if scan_input == "mv_raw":
+        if mesh is not None:
+            raise ValueError("--mesh supports the grids scan input only")
         _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs,
                       frame_skip, batch_frames, device_stats,
                       motion_ts, dev_motion, all_pts)
     else:
-        op = make_vote_sweep_op(geom)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import sharded_scan_step
+
+            data_size = mesh.shape["data"]
+            sweep_size = mesh.shape["sweep"]
+            # frames pad to the data axis, configs to the sweep axis;
+            # pad configs score with clusters_needed = INT32_MAX so they
+            # decide False and slice off
+            batch_frames = ((batch_frames + data_size - 1)
+                            // data_size) * data_size
+            kp = ((len(vc_pairs) + sweep_size - 1)
+                  // sweep_size) * sweep_size
+            vec_p = np.ones((kp,), np.int32)
+            clu_p = np.full((kp,), np.iinfo(np.int32).max, np.int32)
+            vec_p[:len(vc_pairs)] = vec_needs
+            clu_p[:len(vc_pairs)] = np.maximum(1, clust_needs)
+            step = sharded_scan_step(geom, cfg, mesh, sweep_clusters=True)
+            votes_sh = NamedSharding(mesh, P("data", None, None))
+            cfg_sh = NamedSharding(mesh, P("sweep"))
+            vec_dev = jax.device_put(vec_p, cfg_sh)
+            clu_dev = jax.device_put(clu_p, cfg_sh)
+
+            def score(batch):
+                m, _ = step(jax.device_put(batch, votes_sh),
+                            vec_dev, clu_dev)
+                return m[:, :len(vc_pairs)]
+        else:
+            op = make_vote_sweep_op(geom)
+
+            def score(batch):
+                return op(batch, vec_needs, clust_needs)
         t = 0.0
         chunk = cfg.chunk_duration_sec
         cap = int(math.ceil(chunk * max(fps, 1.0))) + 64
@@ -112,7 +153,7 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
                 for ti in range(len(thresholds)):
                     batch = np.zeros((batch_frames, gh_p, gw_p), np.uint8)
                     batch[:hi - lo, :geom.gh, :geom.gw] = grids[lo:hi, ti]
-                    motion = op(batch, vec_needs, clust_needs)
+                    motion = score(batch)
                     if device_stats:
                         # async dispatch; resolution happens on-device at
                         # the end via the segmentation op — no host round
@@ -298,14 +339,30 @@ def main(argv: list[str] | None = None) -> int:
                         help="H2D payload: per-threshold vote grids "
                              "(default) or raw MV fields with on-device "
                              "threshold sweeping")
+    parser.add_argument("--mesh", type=int, default=0, metavar="N",
+                        help="shard the sweep over an N-device mesh: "
+                             "frames over 'data', configs over 'sweep' "
+                             "(grids input only)")
+    parser.add_argument("--mesh-sweep", type=int, default=0, metavar="S",
+                        help="sweep-axis size of the mesh (default: the "
+                             "largest divisor of N not exceeding the "
+                             "config-pair count)")
     args = parser.parse_args(argv)
 
     thresholds = [float(x) for x in args.thresholds.split(",")]
     vectors = [int(x) for x in args.vectors.split(",")]
     clusters = [int(x) for x in args.clusters.split(",")]
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import build_mesh
+        s = args.mesh_sweep or max(
+            d for d in range(1, args.mesh + 1)
+            if args.mesh % d == 0
+            and d <= max(1, len(vectors) * len(clusters)))
+        mesh = build_mesh(args.mesh, sweep=s)
     results = sweep(args.input, thresholds, vectors, clusters,
                     device_stats=args.device_stats,
-                    scan_input=args.scan_input)
+                    scan_input=args.scan_input, mesh=mesh)
     print(json.dumps(results, indent=2))
     return 0
 

@@ -104,6 +104,55 @@ class TestTuneTool:
             assert d["segments"] == h["segments"], (h, d)
             assert abs(d["saved_pct"] - h["saved_pct"]) < 0.05, (h, d)
 
+    @pytest.mark.parametrize("n,s", [(8, 4), (8, 1), (4, 2)])
+    def test_mesh_sweep_matches_single_device(self, tmp_path, n, s):
+        """tune --mesh (the sharded_scan_step product surface): frames
+        sharded over 'data', (vectors, clusters) pairs over 'sweep' —
+        identical stats table to the single-device sweep, including
+        config counts that don't divide the sweep axis (padding)."""
+        from mvtrim_tpu.parallel.mesh import build_mesh
+
+        clip = str(tmp_path / "m.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((1.0, 2.5), (5.0, 6.0)))
+        kw = dict(cfg=Config(max_gap_sec=1.0), batch_frames=50)
+        single = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2, 3], **kw)
+        mesh = build_mesh(n, sweep=s)
+        sharded = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2, 3],
+                             mesh=mesh, **kw)
+        assert sharded == single
+
+    def test_mesh_sweep_device_stats(self, tmp_path):
+        """--mesh composes with --device-stats (sharded scoring feeding
+        the device segmentation op)."""
+        from mvtrim_tpu.parallel.mesh import build_mesh
+
+        clip = str(tmp_path / "md.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((1.0, 2.5),))
+        kw = dict(cfg=Config(max_gap_sec=1.0), batch_frames=64)
+        host = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2], **kw)
+        dev = tune.sweep(clip, [4.0, 16.0], [1, 2], [1, 2],
+                         mesh=build_mesh(8, sweep=2), device_stats=True,
+                         **kw)
+        for h, d in zip(host, dev):
+            assert d["motion_frames"] == h["motion_frames"], (h, d)
+            assert d["segments"] == h["segments"], (h, d)
+            assert abs(d["saved_pct"] - h["saved_pct"]) < 0.05, (h, d)
+
+    def test_mesh_rejects_mv_raw(self, tmp_path):
+        from mvtrim_tpu.parallel.mesh import build_mesh
+
+        clip = str(tmp_path / "mr0.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=4.0, codec="libx264",
+                          motion_windows=((1.0, 2.0),))
+        with pytest.raises(ValueError, match="grids"):
+            tune.sweep(clip, [16.0], [2], [2], mesh=build_mesh(2),
+                       scan_input="mv_raw", cfg=Config())
+
     def test_mv_raw_sweep_matches_grids_sweep(self, tmp_path):
         """tune --scan-input mv_raw (make_mv_sweep_op product surface)
         produces the identical stats table to the grids sweep."""
