@@ -29,7 +29,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # Must match mvt_abi_version() in native/mvtrim_host.cpp.  Calling a stale
 # prebuilt .so with shifted ctypes signatures corrupts the stack silently,
 # so the loader rebuilds (dev checkouts) or refuses on mismatch.
-_ABI_VERSION = 7
+_ABI_VERSION = 8
 
 
 def _rebuild() -> None:
@@ -137,6 +137,14 @@ def _load_library():
                                           ctypes.POINTER(ctypes.c_int)]
         lib.mvt_skip_phase.restype = ctypes.c_int
         lib.mvt_skip_phase.argtypes = [ctypes.c_void_p]
+        lib.mvt_inspect_packets.restype = ctypes.c_long
+        lib.mvt_inspect_packets.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.mvt_stream_types.restype = ctypes.c_int
+        lib.mvt_stream_types.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int]
         lib.mvt_time_base.restype = ctypes.c_int
         lib.mvt_time_base.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int),
@@ -359,6 +367,14 @@ class VideoReader:
         self._lib.mvt_time_base(self._h, ctypes.byref(num), ctypes.byref(den))
         return num.value, den.value
 
+    def stream_types(self) -> list[int]:
+        """Per-stream codec types: 0 video, 1 audio, 2 other."""
+        types = np.zeros((64,), np.int32)
+        n = self._lib.mvt_stream_types(self._h, types.ctypes.data, 64)
+        if n < 0:
+            raise RuntimeError(f"mvt_stream_types failed on {self.path}")
+        return types[:n].tolist()
+
     def skip_phase(self) -> int:
         """Frame-skip modulo phase at the handle's current decode
         position (frames decoded since the active range's seek).  A
@@ -410,6 +426,27 @@ class VideoReader:
         if timing is not None:
             timing.add_raw(t)
         return luma[:n], pts[:n]
+
+
+def inspect_packets(path: str, max_packets: int = 1 << 20):
+    """Demux-only packet inspection (test oracle for cut invariants).
+
+    Returns (stream int32 [N], dts f64 [N], pts f64 [N], key int32 [N])
+    in file order; dts/pts are seconds (NaN when the packet has none).
+    """
+    lib = _load_library()
+    stream = np.empty((max_packets,), np.int32)
+    dts = np.empty((max_packets,), np.float64)
+    pts = np.empty((max_packets,), np.float64)
+    key = np.empty((max_packets,), np.int32)
+    err = ctypes.create_string_buffer(256)
+    n = lib.mvt_inspect_packets(path.encode(), stream.ctypes.data,
+                                dts.ctypes.data, pts.ctypes.data,
+                                key.ctypes.data, max_packets, err, len(err))
+    if n < 0:
+        raise RuntimeError(f"mvt_inspect_packets({path}): "
+                           f"{err.value.decode()}")
+    return stream[:n], dts[:n], pts[:n], key[:n]
 
 
 def cut(input_path: str, output_path: str, segments) -> None:

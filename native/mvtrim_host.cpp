@@ -1298,12 +1298,65 @@ MVT_EXPORT int mvt_synth(const char *path, int w, int h, double fps,
   return rc;
 }
 
+// Packet-level inspection of a container (demux only, no decode): per
+// packet stream_index, dts/pts in seconds (NaN when unset), and the
+// keyframe flag.  The mechanical oracle for the cut's splice invariants
+// (monotonic dts per stream, keyframe-anchored video segment starts,
+// audio/video interleaving) — what one would assert about a real
+// `ffmpeg -f concat -c copy` output (reference mechanism
+// ffmpeg_executor.cpp:94-118), validated here without the binary.
+MVT_EXPORT long mvt_inspect_packets(const char *path, int32_t *out_stream,
+                                    double *out_dts, double *out_pts,
+                                    int32_t *out_key, long max_packets,
+                                    char *err, int errlen) {
+  av_log_set_level(AV_LOG_ERROR);
+  AVFormatContext *in = nullptr;
+  if (avformat_open_input(&in, path, nullptr, nullptr) < 0) {
+    set_err(err, errlen, std::string("open failed: ") + path);
+    return -1;
+  }
+  if (avformat_find_stream_info(in, nullptr) < 0) {
+    avformat_close_input(&in);
+    set_err(err, errlen, "find_stream_info failed");
+    return -1;
+  }
+  AVPacket *pkt = av_packet_alloc();
+  long n = 0;
+  while (n < max_packets && av_read_frame(in, pkt) >= 0) {
+    const double tb = av_q2d(in->streams[pkt->stream_index]->time_base);
+    out_stream[n] = pkt->stream_index;
+    out_dts[n] = (pkt->dts == AV_NOPTS_VALUE) ? NAN : pkt->dts * tb;
+    out_pts[n] = (pkt->pts == AV_NOPTS_VALUE) ? NAN : pkt->pts * tb;
+    out_key[n] = (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+    ++n;
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  avformat_close_input(&in);
+  return n;
+}
+
+// Per-stream codec types (0 video, 1 audio, 2 other), for interpreting
+// mvt_inspect_packets stream indices.  Returns the stream count.
+MVT_EXPORT int mvt_stream_types(MvtHandle *h, int32_t *out_types,
+                                int max_streams) {
+  if (!h) return -1;
+  const int n = static_cast<int>(h->fmt->nb_streams);
+  for (int i = 0; i < n && i < max_streams; ++i) {
+    const AVMediaType t = h->fmt->streams[i]->codecpar->codec_type;
+    out_types[i] = (t == AVMEDIA_TYPE_VIDEO)   ? 0
+                   : (t == AVMEDIA_TYPE_AUDIO) ? 1
+                                               : 2;
+  }
+  return n;
+}
+
 MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
 
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 7; }
+MVT_EXPORT int mvt_abi_version() { return 8; }
 
 // Frame-skip modulo phase of the handle's decode position (testing aid).
 MVT_EXPORT int mvt_skip_phase(MvtHandle *h) { return h ? h->skip_phase : -1; }

@@ -72,6 +72,124 @@ class TestNativeCutEdges:
             assert r.duration > 1.0  # 8 x 0.2s + keyframe preroll
 
 
+class TestCutOutputInvariants:
+    """Mechanical validation of the cut's stream/timestamp invariants —
+    what one would assert about a real `ffmpeg -f concat -c copy` output
+    (reference mechanism ffmpeg_executor.cpp:94-118), checked via
+    demux-only packet inspection since this box has no ffmpeg binary."""
+
+    GOP = 25  # 1s keyframe interval at 25fps
+
+    @pytest.fixture(scope="class")
+    def av_cut(self, tmp_path_factory):
+        import numpy as np
+
+        d = tmp_path_factory.mktemp("cutinv")
+        src = str(d / "src.mp4")
+        native.synthesize(src, width=320, height=240, fps=25.0,
+                          duration=14.0, codec="libx264", gop=self.GOP,
+                          motion_windows=((1.0, 3.0), (6.0, 8.0)),
+                          with_audio=True)
+        out = str(d / "out.mp4")
+        segments = [(1.0, 3.5), (6.0, 8.5), (11.0, 12.0)]
+        native.cut(src, out, segments)
+        packets = native.inspect_packets(out)
+        return src, out, segments, packets, np
+
+    def test_monotonic_dts_per_stream(self, av_cut):
+        _, _, _, (stream, dts, _, _), np = av_cut
+        for st in sorted(set(stream.tolist())):
+            d = dts[stream == st]
+            d = d[~np.isnan(d)]
+            assert len(d) > 10, f"stream {st} nearly empty"
+            assert (np.diff(d) >= 0).all(), \
+                f"stream {st} dts not monotonic"
+
+    def test_video_splices_start_on_keyframes(self, av_cut):
+        """Every segment splice begins at a keyframe (concat+copy can
+        only cut on keyframes): the first video packet is key, and every
+        video dts jump larger than a GOP's worth of frames lands on one."""
+        _, _, _, (stream, dts, _, key), np = av_cut
+        v = stream == 0
+        vd, vk = dts[v], key[v]
+        ok = ~np.isnan(vd)
+        vd, vk = vd[ok], vk[ok]
+        assert vk[0] == 1, "output must start on a keyframe"
+        gaps = np.diff(vd)
+        frame_dt = np.median(gaps)
+        splices = np.nonzero(gaps > 3 * frame_dt)[0]
+        # mvt_cut rebases each segment onto a contiguous timeline, so
+        # splices may be seamless in dts; when they ARE visible, they
+        # must be keyframe-anchored.  Keyframe count always bounds below
+        # by the segment count (each inpoint seeks to a keyframe).
+        for i in splices:
+            assert vk[i + 1] == 1, \
+                f"splice at packet {i + 1} (dts {vd[i + 1]:.2f}) not key"
+        assert int(vk.sum()) >= 3, "one keyframe per spliced segment"
+
+    def test_segment_count_and_duration_within_keyframe_tolerance(
+            self, av_cut):
+        src, out, segments, _, np = av_cut
+        want = sum(e - s for s, e in segments)
+        tol = len(segments) * (self.GOP / 25.0)  # 1 GOP per inpoint
+        with native.VideoReader(out) as r:
+            got = r.duration
+        assert want - 0.5 <= got <= want + tol + 0.5, (got, want, tol)
+
+    def test_audio_video_interleaving_preserved(self, av_cut):
+        """Audio and video stay interleaved on the shared output
+        timeline: at any video packet, the most recent audio dts is
+        within one segment-splice tolerance (never an un-interleaved
+        tail of one stream)."""
+        _, _, _, (stream, dts, _, _), np = av_cut
+        last_audio = None
+        max_skew = 0.0
+        for st, d in zip(stream.tolist(), dts.tolist()):
+            if np.isnan(d):
+                continue
+            if st == 1:
+                last_audio = d
+            elif st == 0 and last_audio is not None:
+                max_skew = max(max_skew, abs(d - last_audio))
+        assert last_audio is not None, "no audio packets in output"
+        assert max_skew < 2.0, f"a/v interleave skew {max_skew:.2f}s"
+
+    def test_all_input_streams_carried(self, av_cut):
+        src, out, _, (stream, _, _, _), np = av_cut
+        with native.VideoReader(src) as r:
+            src_types = r.stream_types()
+        with native.VideoReader(out) as r:
+            out_types = r.stream_types()
+        assert out_types == src_types == [0, 1]
+        assert set(stream.tolist()) == {0, 1}
+
+    def test_pipeline_cut_output_passes_invariants(self, tmp_path):
+        """End-to-end: the pipeline's own cut output (audio clip, two
+        motion windows) satisfies the same packet invariants."""
+        import numpy as np
+        from mvtrim_tpu.core.config import Config
+        from mvtrim_tpu.pipeline.pipeline import ProcessingPipeline
+        from mvtrim_tpu.utils.timing import TimingCollector
+
+        src = str(tmp_path / "psrc.mp4")
+        native.synthesize(src, width=320, height=240, fps=25.0,
+                          duration=12.0, codec="libx264", gop=25,
+                          motion_windows=((1.0, 3.0), (7.0, 9.0)),
+                          with_audio=True)
+        out = str(tmp_path / "pout.mp4")
+        cfg = Config(scan_backend="oracle", max_gap_sec=1.5)
+        assert ProcessingPipeline(src, out, cfg=cfg).run() == 0
+        TimingCollector.clear()
+        stream, dts, _, key = native.inspect_packets(out)
+        assert set(stream.tolist()) == {0, 1}
+        for st in (0, 1):
+            d = dts[stream == st]
+            d = d[~np.isnan(d)]
+            assert (np.diff(d) >= 0).all(), f"stream {st} dts"
+        vk = key[stream == 0]
+        assert vk[0] == 1
+
+
 class TestConcatMemfd:
     def test_memfd_concat_delivery(self):
         """The concat list rides an anonymous memfd exposed as
