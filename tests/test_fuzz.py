@@ -3,8 +3,11 @@ kernel path must match the oracle bit for bit.
 
 The targeted tests pin known semantics; this sweep guards the corners
 nobody thought to write a case for (odd grid sizes, extreme masks,
-degenerate thresholds, OOB motion vectors).
+degenerate thresholds, OOB motion vectors).  MVT_FUZZ_N scales the
+trial counts (see CLAUDE.md "Fuzzing").
 """
+
+import os
 
 import numpy as np
 import pytest
@@ -14,6 +17,8 @@ from mvtrim_tpu.core.types import GridGeometry
 from mvtrim_tpu.ops import mv_vote
 from mvtrim_tpu.ops.cluster import make_cluster_op_xla, pad_votes
 from mvtrim_tpu.ops.sweep import make_vote_sweep_op
+
+FUZZ_N = int(os.environ.get("MVT_FUZZ_N", "6"))
 
 
 def random_geometry(rng):
@@ -92,6 +97,46 @@ class TestFuzz:
                 assert bool(motion[i, ki]) == (
                     expect >= oracle.effective_clusters_needed(
                         int(clusts[ki])))
+
+    @pytest.mark.parametrize("seed", range(max(4, FUZZ_N)))
+    def test_sad_threshold_sweep_vs_oracle(self, seed):
+        """Random SAD thresholds / cluster counts / block sizes through
+        the SAD device op vs the NumPy oracle — the pixel-domain path
+        has no C++ reference, so the oracle IS its semantics contract."""
+        from mvtrim_tpu.models.sad_detector import sad_oracle_counts
+        from mvtrim_tpu.ops import sad as sad_ops
+
+        rng = np.random.default_rng(3000 + seed)
+        block = int(rng.choice([8, 16]))
+        gw = int(rng.integers(6, 24))
+        gh = int(rng.integers(6, 20))
+        margin = int(rng.integers(0, 3))
+        geom = GridGeometry(width=gw * block, height=gh * block,
+                            gw=gw, gh=gh, y_min=margin, y_max=gh - margin)
+        thr = float(rng.choice([0.5, 2.0, 7.3, 12.0, 30.0, 200.0]))
+        clust = int(rng.integers(0, 4))
+        n = int(rng.integers(2, 9))
+        h = geom.padded_gh * block
+        w = geom.padded_gw * block
+        luma = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+        # correlated frames so some diffs land near the threshold
+        for i in range(1, n):
+            if rng.random() < 0.5:
+                luma[i] = np.clip(
+                    luma[i - 1].astype(np.int16)
+                    + rng.integers(-int(thr) - 2, int(thr) + 3,
+                                   size=(h, w)), 0, 255).astype(np.uint8)
+        op = sad_ops.make_sad_op_xla(
+            geom, sad_threshold=thr, block_size=block,
+            clusters_needed=clust)
+        counts, motion = op(luma)
+        expect = sad_oracle_counts(luma, geom, sad_threshold=thr,
+                                   block_size=block)
+        np.testing.assert_array_equal(np.asarray(counts), expect,
+                                      err_msg=str((seed, geom, thr)))
+        np.testing.assert_array_equal(
+            np.asarray(motion),
+            expect >= oracle.effective_clusters_needed(clust))
 
     def test_segmentation_random(self, rng):
         for _ in range(30):

@@ -184,46 +184,90 @@ class TestConcatListParity:
         assert ours == ref
 
 
+# Differential-fuzz breadth knob: MVT_FUZZ_N scales the randomized seed
+# count (default 6 keeps CI fast; MVT_FUZZ_N=50 runs the wide sweep —
+# see CLAUDE.md "Fuzzing").
+FUZZ_N = int(os.environ.get("MVT_FUZZ_N", "6"))
+
+
+def _random_knobs(seed: int) -> dict:
+    import numpy as np
+
+    rng = np.random.default_rng(1000 + seed)
+    return {
+        "MV_THRESHOLD_SQ": str(float(rng.choice(
+            [1.0, 4.0, 9.0, 16.0, 25.0, 64.0]))),
+        "VECTORS_NEEDED": str(int(rng.integers(1, 6))),
+        "CLUSTERS_NEEDED": str(int(rng.integers(1, 5))),
+        "MAX_GAP_SEC": str(round(float(rng.uniform(0.5, 6.0)), 2)),
+        "PADDING_SEC": str(round(float(rng.uniform(0.0, 2.0)), 2)),
+        "TARGET_FPS": str(int(rng.choice([0, 5, 7, 10]))),
+        "CHUNK_DURATION_SEC": str(int(rng.choice([4, 7, 30]))),
+        "MIN_SAVINGS_PCT": str(int(rng.choice([0, 5, 50]))),
+        # >= 0.07 keeps margin >= 1 on the smallest grid here: the
+        # margin-0 neighbor read is UB in the reference
+        "VERTICAL_MASK": str(round(float(rng.uniform(0.07, 0.25)), 3)),
+    }
+
+
+def _fuzz_one(reference_bin, clips, tmp_path, knobs, our_extra):
+    binary, shim = reference_bin
+    _, ref = harness.run_reference(
+        binary, shim, clips["two_windows"],
+        str(tmp_path / "ref_out.mp4"),
+        str(tmp_path / "ref_concat.txt"), knobs)
+    our_knobs = dict(knobs)
+    our_knobs["MVT_JAX_PLATFORM"] = "cpu"  # device path, CPU-backed
+    our_knobs["MVT_LOG"] = "0"
+    our_knobs.update(our_extra)
+    _, ours, _ = harness.run_ours(
+        clips["two_windows"], str(tmp_path / "our_out.mp4"),
+        str(tmp_path / "our_concat.txt"), our_knobs)
+    # ref None = the reference found no motion and never invoked a
+    # cut; ours must agree exactly (None == None), and when both cut
+    # the concat lists must be byte-identical
+    assert ours == ref, (knobs, our_extra)
+
+
 class TestRandomizedParity:
     """Differential fuzz: random knob combinations through the compiled
     reference and OUR DEVICE PATH (default bits scan -> word-domain
     cluster op on the CPU backend via MVT_JAX_PLATFORM — the same jit
     program TPUs run), asserting byte-identical concat lists.  The fixed
     CONFIGS above use the oracle backend; this class pins the device
-    kernels themselves to the reference across the knob space."""
+    kernels themselves to the reference across the knob space.
+    MVT_FUZZ_N widens the sweep (see CLAUDE.md)."""
 
-    @pytest.mark.parametrize("seed", range(6))
+    @pytest.mark.parametrize("seed", range(FUZZ_N))
     def test_random_knobs_device_path(self, reference_bin, clips,
                                       tmp_path, seed):
-        import numpy as np
+        _fuzz_one(reference_bin, clips, tmp_path, _random_knobs(seed), {})
 
-        rng = np.random.default_rng(1000 + seed)
-        knobs = {
-            "MV_THRESHOLD_SQ": str(float(rng.choice(
-                [1.0, 4.0, 9.0, 16.0, 25.0, 64.0]))),
-            "VECTORS_NEEDED": str(int(rng.integers(1, 6))),
-            "CLUSTERS_NEEDED": str(int(rng.integers(1, 5))),
-            "MAX_GAP_SEC": str(round(float(rng.uniform(0.5, 6.0)), 2)),
-            "PADDING_SEC": str(round(float(rng.uniform(0.0, 2.0)), 2)),
-            "TARGET_FPS": str(int(rng.choice([0, 5, 7, 10]))),
-            "CHUNK_DURATION_SEC": str(int(rng.choice([4, 7, 30]))),
-            "MIN_SAVINGS_PCT": str(int(rng.choice([0, 5, 50]))),
-            # >= 0.07 keeps margin >= 1 on the smallest grid here: the
-            # margin-0 neighbor read is UB in the reference
-            "VERTICAL_MASK": str(round(float(rng.uniform(0.07, 0.25)), 3)),
-        }
-        binary, shim = reference_bin
-        _, ref = harness.run_reference(
-            binary, shim, clips["two_windows"],
-            str(tmp_path / "ref_out.mp4"),
-            str(tmp_path / "ref_concat.txt"), knobs)
-        our_knobs = dict(knobs)
-        our_knobs["MVT_JAX_PLATFORM"] = "cpu"  # device path, CPU-backed
-        our_knobs["MVT_LOG"] = "0"
-        _, ours, _ = harness.run_ours(
-            clips["two_windows"], str(tmp_path / "our_out.mp4"),
-            str(tmp_path / "our_concat.txt"), our_knobs)
-        # ref None = the reference found no motion and never invoked a
-        # cut; ours must agree exactly (None == None), and when both cut
-        # the concat lists must be byte-identical
-        assert ours == ref, knobs
+
+class TestRandomizedParityMvRaw:
+    """The same differential fuzz routed through MVT_SCAN_INPUT=mv_raw:
+    on-device thresholding + scatter (ops/mv_vote) must match the
+    reference across the knob space too — including seeds that force the
+    MV-capacity overflow full-chunk restart (tiny MVT_MV_CAPACITY)."""
+
+    @pytest.mark.parametrize("seed", range(max(2, FUZZ_N // 2)))
+    def test_random_knobs_mv_raw(self, reference_bin, clips, tmp_path,
+                                 seed):
+        extra = {"MVT_SCAN_INPUT": "mv_raw"}
+        if seed % 2 == 1:
+            extra["MVT_MV_CAPACITY"] = "64"  # force overflow restarts
+        _fuzz_one(reference_bin, clips, tmp_path,
+                  _random_knobs(7000 + seed), extra)
+
+
+class TestRandomizedParityCapResume:
+    """Fuzz with the frame cap forced tiny: every chunk cap-resumes many
+    times and the carried skip phase must stay reference-exact across
+    the knob space (incl. TARGET_FPS draws)."""
+
+    @pytest.mark.parametrize("seed", range(max(2, FUZZ_N // 2)))
+    def test_random_knobs_tiny_cap(self, reference_bin, clips, tmp_path,
+                                   seed):
+        _fuzz_one(reference_bin, clips, tmp_path,
+                  _random_knobs(9000 + seed),
+                  {"MVT_CHUNK_FRAMES_CAP": "4"})
