@@ -70,9 +70,12 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         return jnp.sum(diff_i32.reshape(gh_p, bs, w_p), axis=1)
 
     def cols_f32(row_sum_i32):
+        # HIGHEST: Mosaic's default f32 matmul is ONE bf16 pass — row
+        # sums up to 4080 would be input-rounded on hardware (ops/sad.py)
         sad = jax.lax.dot_general(
             row_sum_i32.astype(jnp.float32), col_indicator(jnp.float32),
             (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         return sad.astype(jnp.int32)
 
@@ -93,10 +96,11 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         prev_bf = variant in ("mxbf", "mxbfroll", "mxbfv")
 
         def cols_from_rs_f32(rs_f32, acc_ref, *, use_roll=False):
-            # rs values <= 4080 are f32-exact; one f32 matmul finishes
+            # HIGHEST keeps rs values <= 4080 exact (see ops/sad.py)
             sad = jax.lax.dot_general(
                 rs_f32, col_indicator(jnp.float32),
                 (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32).astype(jnp.int32)
             if use_roll:
                 from mvtrim_tpu.ops.cluster import cluster_map_kernel
@@ -292,7 +296,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
                            jnp.int32 if prev_i32 else jnp.uint8),
                 pltpu.VMEM((gh_p, gw_p), jnp.int32)],
         )
-    elif variant == "prod":
+    elif variant in ("prod", "prodhp"):
         # The REAL production kernel (ops/sad.make_sad_kernel — the
         # exact kernel body models/sad_detector.py dispatches), chained
         # over (iters, nb) in one launch with per-frame counts written
@@ -310,7 +314,9 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
                 f"(1 carry + {F}-frame steps): use --frames "
                 f"{((b - 1) // F) * F + 1}")
         nb = (b - 1) // F
-        kernel = sad_ops.make_sad_kernel(geom, bs, bound, F, step_axis=1)
+        kernel = sad_ops.make_sad_kernel(
+            geom, bs, bound, F, step_axis=1,
+            col_mode="highest" if variant == "prodhp" else "hilo")
 
         sweep = pl.pallas_call(
             kernel,
@@ -334,6 +340,67 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
             # host-side pre-split layout: carries [k,h,w], rest
             # [k*(b-1),h,w] (built once in main; no in-jit slice copies)
             carries, rest = stacked
+            return sweep(carries, rest)[:, 0, 0]
+
+        return run
+    elif variant == "ctrl":
+        # Stream-bound control (VERDICT r2 directive 1, SAD edition):
+        # the production kernel's EXACT launch structure — same grid
+        # (iters, nb), same carry + F-frame input blocks, same per-frame
+        # [F,1,1] output blocks, same uint8 scratch — with trivial math
+        # (bit-0 sum per frame via two MXU ones-matmuls; the carry's sum
+        # is folded into each block's first frame so every input block
+        # keeps a data dependency).  Its GB/s is the practical HBM
+        # ceiling of the SAD launch configuration on this chip.
+        F = sad_ops.sad_frames_per_step(geom, bs)
+        if (b - 1) % F:
+            raise SystemExit(
+                f"ctrl variant needs (frames-1) % {F} == 0: use --frames "
+                f"{((b - 1) // F) * F + 1}")
+        nb = (b - 1) // F
+
+        def bit0_sum(x_u8):
+            v = (x_u8.astype(jnp.int32) & 1).astype(jnp.float32)
+            rows = jax.lax.dot_general(
+                jnp.ones((1, h_p), jnp.float32), v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [1, w_p]
+            # HIGHEST: rows values (<= h_p) are not bf16-exact and
+            # Mosaic's default f32 matmul rounds inputs to bf16
+            return jax.lax.dot_general(
+                rows, jnp.ones((w_p, 1), jnp.float32),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # [1, 1]
+
+        def kernel(carry_ref, frames_ref, counts_ref, prev_ref):
+            for fi in range(F):
+                s = bit0_sum(frames_ref[fi])
+                if fi == 0:
+                    s = s + bit0_sum(carry_ref[0])
+                counts_ref[fi] = s.astype(jnp.int32)
+            prev_ref[:] = frames_ref[F - 1]
+
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(iters, nb),
+            in_specs=[pl.BlockSpec((1, h_p, w_p),
+                                   lambda it, j: (it % k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((F, h_p, w_p),
+                                   lambda it, j: ((it % k) * nb + j, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((F, 1, 1), lambda it, j: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb * F, 1, 1), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        @jax.jit
+        def run(stacked):
+            carries, rest = stacked          # same split inputs as prod
             return sweep(carries, rest)[:, 0, 0]
 
         return run
@@ -427,7 +494,7 @@ def main() -> int:
     prod_inputs = prod_expected = None
     for variant in args.variants.split(","):
         variant = variant.strip()
-        if variant == "prod" and prod_inputs is None:
+        if variant in ("prod", "prodhp", "ctrl") and prod_inputs is None:
             # pre-split host-side like the product op (carries [k,h,w],
             # rest [k*(b-1),h,w]); the last-written output buffer is
             # (iters-1) % k — diffed per frame against the oracle
@@ -442,7 +509,7 @@ def main() -> int:
             prod_expected = np.concatenate(chunks)
         try:
             run = build_variant(variant, geom, cfg, k=k, b=b, iters=iters)
-            if variant == "prod":
+            if variant in ("prod", "prodhp", "ctrl"):
                 arg = prod_inputs
             else:
                 if stacked is None:
@@ -459,8 +526,16 @@ def main() -> int:
                   file=sys.stderr)
             continue
         fps = analyzed / dt
-        if variant == "prod":
+        if variant in ("prod", "prodhp"):
             ok = np.array_equal(out, prod_expected)
+        elif variant == "ctrl":
+            # per-frame bit-0 sums of the last-written buffer, with the
+            # carry's sum folded into each block's first frame
+            F = sad_ops.sad_frames_per_step(geom, cfg.block_size)
+            last = (iters - 1) % k
+            e = (stack[last, 1:].astype(np.int64) & 1).sum(axis=(1, 2))
+            e[::F] += int((stack[last, 0] & 1).sum())
+            ok = np.array_equal(out.astype(np.int64), e)
         else:
             ok = int(out) == expected
         valid, implied, pct = bench_mod._audit(

@@ -20,6 +20,11 @@ roofline gate):
               popcount fold, via ops/cluster.word_cluster_counts_T).
 * ``tswar`` — plain per-word SWAR control (no CSA fold) for the +3%
               CSA comparison; ``tu32`` — neutral uint32-shift probe.
+* ``tctrl`` — STREAM-BOUND control: identical launch structure, trivial
+              math (bit-0 mask + MXU ones-matmul).  Measures the
+              practical HBM ceiling of this pallas/grid configuration;
+              kernel GB/s / tctrl GB/s is the efficiency vs that
+              ceiling (VERDICT r2 directive 1).
 
 Usage:
     python benchmarks/word_bench.py [--variants base,lmxu,tslim,tswar]
@@ -247,6 +252,48 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
 
         return run, "transposed"
 
+    elif variant == "tctrl":
+        # Stream-bound control (VERDICT r2 directive 1): identical
+        # launch structure to the transposed kernels — same grid
+        # (nb, iters), same [1, lanes, block_b] rotating input blocks,
+        # same [1, b] resident accumulator — with the cheapest
+        # full-data-dependency math expressible (bit-0 mask + MXU
+        # ones-matmul).  Measures the max HBM GB/s this exact
+        # pallas/grid configuration achieves; kernel-vs-control is the
+        # efficiency number against the PRACTICAL ceiling.
+        def kernel(words_ref, acc_ref):
+            it = pl.program_id(1)
+            wT = words_ref[0]                          # [lanes, block_b]
+            ones = jnp.ones((1, lanes), jnp.float32)
+            counts = jax.lax.dot_general(
+                ones, (wT & 1).astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+
+            @pl.when(it == 0)
+            def _init():
+                acc_ref[:] = counts
+
+            @pl.when(it != 0)
+            def _acc():
+                acc_ref[:] = acc_ref[:] + counts
+
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(nb, iters),
+            in_specs=[pl.BlockSpec((1, lanes, block_b),
+                                   lambda jb, it: (it % k, 0, jb),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, block_b), lambda jb, it: (0, jb),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, b), jnp.int32),
+        )
+
+        # per-frame entries stay < 2^31 (<= lanes*iters); the cross-
+        # frame total would overflow int32, so sum host-side in int64
+        run = jax.jit(sweep)
+        return run, "control"
+
     raise SystemExit(f"unknown variant {variant}")
 
 
@@ -297,6 +344,8 @@ def main() -> int:
 
     stacked = stackedT = None
     word_bytes = lanes * 4
+    expected_ctrl = bench_mod._expected_total(
+        (flat & 1).sum(axis=(1, 2)), k, iters)
     results = {}
     for variant in args.variants.split(","):
         variant = variant.strip()
@@ -311,19 +360,27 @@ def main() -> int:
                 stackedT = jax.device_put(
                     np.ascontiguousarray(flat.transpose(0, 2, 1)))
             arg = stackedT
+
+        def fetch(out):
+            # control returns the full [1, b] accumulator (per-frame
+            # odd-word sums; the cross-frame total needs int64)
+            if layout == "control":
+                return int(np.asarray(out).sum(dtype=np.int64))
+            return int(out)
+
         try:
             t0 = time.perf_counter()
-            total = int(run(arg))          # compile + first pass
+            total = fetch(run(arg))        # compile + first pass
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
-            total = int(run(arg))
+            total = fetch(run(arg))
             dt = time.perf_counter() - t0
         except Exception as e:
             print(f"{variant}: FAILED {type(e).__name__}: {e}",
                   file=sys.stderr)
             continue
         fps = b * iters / dt
-        ok = total == expected
+        ok = total == (expected_ctrl if layout == "control" else expected)
         valid, implied, pct = bench_mod._audit(
             f"words/{variant}", fps, word_bytes, roofline, ok)
         results[variant] = {"frames_per_sec": round(fps),

@@ -83,7 +83,7 @@ def make_sad_op_xla(geom: GridGeometry, *, sad_threshold: float,
 
 
 def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
-                    bound: int):
+                    bound: int, *, col_mode: str = "hilo"):
     """Cluster count for one |cur-prev| int32 frame diff — the SAD
     kernel's per-frame math (shared by the product op and the
     benchmarks/sad_bench.py shootout so the bench measures the real
@@ -94,8 +94,27 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
     f32 accumulation keeps row sums (<= block_size*255) exact.
     Measured faster than VPU sublane reshape-sums.  Column blocks as an
     f32 matmul (lane-dim reshapes are not legal): S[c, g] = 1 if
-    column c belongs to block-col g; row sums <= block_size*255 are
-    f32-exact — so the MXU path stays bit-exact end to end.
+    column c belongs to block-col g.
+
+    The column matmul CANNOT run at default f32 precision: Mosaic
+    lowers a default-precision f32 matmul as a SINGLE bf16xbf16 MXU
+    pass, so the f32 row sums (<= block_size*255, up to 12 significant
+    bits) would be rounded to bf16 on hardware — measured on a v5e via
+    a 1153.0-operand probe (1153 rounds to 1152; interpret mode
+    computes true f32 and cannot catch it — only
+    test_tpu_smoke.py::test_sad_kernel_near_threshold_exact_on_device
+    does).  Two exact modes, selectable via ``col_mode``:
+
+    * ``hilo`` (default): split row sums into 256*hi + lo with hi <= 15
+      and lo <= 255 — both bf16-exact — and finish with ONE stacked
+      default-precision bf16 matmul [2*gh_p, W_p] @ S (2x the lossy
+      matmul's FLOPs; the split itself is three exact VPU f32 ops since
+      /256 is a power of two and the values are integers).  Measured
+      212.0k 1080p frames/s vs the pre-fix lossy kernel's 224.5k the
+      same session (-5.6%).
+    * ``highest``: precision=HIGHEST multi-pass decomposition — the
+      obviously-correct cross-check, measured 183.0k (-18%) in the same
+      session; hilo ships.
     """
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
     h_p, w_p = gh_p * block_size, gw_p * block_size
@@ -108,12 +127,27 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # [gh_p, W_p]
     cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
-    c_ind = (cols // block_size ==
-             jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
-             ).astype(jnp.float32)                       # [W_p, gw_p]
-    sad = jax.lax.dot_general(
-        row_sum, c_ind, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [gh_p, gw_p]
+    if col_mode == "hilo":
+        hi = jnp.floor(row_sum * (1.0 / 256.0))          # <= 15, exact
+        lo = row_sum - 256.0 * hi                        # <= 255, exact
+        both = jnp.concatenate([hi, lo], axis=0).astype(
+            jnp.bfloat16)                                # [2*gh_p, W_p]
+        c_ind = (cols // block_size ==
+                 jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
+                 ).astype(jnp.bfloat16)                  # [W_p, gw_p]
+        out = jax.lax.dot_general(
+            both, c_ind, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [2*gh_p, gw_p]
+        sad = 256.0 * out[:gh_p] + out[gh_p:]
+    else:
+        assert col_mode == "highest", col_mode
+        c_ind = (cols // block_size ==
+                 jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
+                 ).astype(jnp.float32)                   # [W_p, gw_p]
+        sad = jax.lax.dot_general(
+            row_sum, c_ind, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # [gh_p, gw_p]
     return _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
 
 
@@ -132,13 +166,15 @@ def sad_frames_per_step(geom: GridGeometry, block_size: int,
 
 
 def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,
-                    F: int, *, step_axis: int = 0):
+                    F: int, *, step_axis: int = 0,
+                    col_mode: str = "hilo"):
     """Build the production SAD pallas kernel body: F frames per grid
     step (in-block consecutive diffs + one against the VMEM scratch
     carry — one HBM read per frame).  ``step_axis`` is which grid axis
     walks the frame blocks (the product op uses axis 0; the bench's
     chained sweep puts its repeat axis first and the frame walk on
-    axis 1)."""
+    axis 1); ``col_mode`` selects the exact column-reduction variant
+    (see sad_step_counts)."""
 
     def kernel(carry_ref, frames_ref, counts_ref, prev_ref):
         j = pl.program_id(step_axis)
@@ -151,7 +187,7 @@ def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,
         for fi in range(F):
             cur = frames_ref[fi].astype(jnp.int32)       # [H_p, W_p]
             n = sad_step_counts(jnp.abs(cur - prev), geom, block_size,
-                                bound)
+                                bound, col_mode=col_mode)
             counts_ref[fi] = n.reshape(1, 1)
             prev = cur
         prev_ref[:] = frames_ref[F - 1]

@@ -45,9 +45,9 @@ def _tpu_env():
     return env
 
 
-def _run_py(code: str, timeout: float = 900.0):
+def _run_py(code: str, timeout: float = 1800.0):
     # remote compiles are usually 20-140s but have been observed north
-    # of 500s on busy days — the bound must cover one cold compile
+    # of 960s on degraded days — the bound must cover one cold compile
     return subprocess.run([sys.executable, "-c", code], env=_tpu_env(),
                           capture_output=True, text=True, timeout=timeout)
 
@@ -114,6 +114,55 @@ print(json.dumps({"ok": bool((motion == expect).all())}))
     r = _run_py(code)
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1]) == {"ok": True}
+
+
+def test_sad_kernel_near_threshold_exact_on_device():
+    """Adversarial MXU-precision regression: every 16x16 block's SAD sits
+    EXACTLY at the activation bound, built from row sums of 257 — a value
+    bf16 cannot represent.  Mosaic lowers default-precision f32 matmuls
+    as a single bf16 pass (inputs rounded: 257 -> 256, measured on a v5e
+    via a 1153.0-operand probe), which would compute block SAD 4096 <
+    bound 4112 and flip EVERY block inactive; ops/sad.py's column matmul
+    carries precision=HIGHEST to stay bit-exact.  Interpret mode and the
+    CPU backend compute true f32 and cannot catch a regression here —
+    only this hardware run does."""
+    code = """
+import json
+import numpy as np
+import jax
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected an accelerator, got {dev}"
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.models.sad_detector import SADDetector, sad_oracle_counts
+from mvtrim_tpu.core import oracle
+from mvtrim_tpu.ops.sad import sad_threshold_sum
+
+cfg = Config(sad_threshold=16.0625)   # bound = ceil(16.0625*256) = 4112
+assert sad_threshold_sum(cfg.sad_threshold, cfg.block_size) == 4112
+det = SADDetector(640, 480, cfg)
+assert det.backend == "pallas", det.backend
+luma = np.zeros((3, 480, 640), dtype=np.uint8)
+# frame 1: in every block row, one |diff|=255 and one |diff|=2 pixel
+# -> row_sum 257 (not bf16-representable), block SAD 16*257 = 4112
+luma[1, :, 0::16] = 255
+luma[1, :, 1::16] = 2
+# frame 2 equals frame 1 -> diff 0, no motion
+luma[2] = luma[1]
+motion = np.asarray(det.scan_luma(luma))
+counts = sad_oracle_counts(luma, det.geom,
+                           sad_threshold=cfg.sad_threshold,
+                           block_size=cfg.block_size)
+need = oracle.effective_clusters_needed(cfg.clusters_needed)
+expect = np.zeros((3,), bool)
+expect[1:] = counts >= need
+assert expect[1] and not expect[2], (counts, expect)  # test is sharp
+print(json.dumps({"ok": bool((motion == expect).all()),
+                  "motion": motion.tolist()}))
+"""
+    r = _run_py(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["ok"], rec
 
 
 def test_pallas_cluster_kernel_on_device(tiny_clip, tmp_path):
