@@ -99,6 +99,13 @@ class Config:
     compile_cache_dir: str = ""      # persistent jit-compile cache directory
                                      # ("" = off); collapses cold-process
                                      # warmup(jit) to a cache read
+    cut_cpuset: str = ""             # pin cut work to these CPUs ("0-3,8"
+                                     # grammar).  Analog of the reference
+                                     # wrapping its ffmpeg child in
+                                     # `taskset -c` (pipeline.cpp:500-515):
+                                     # external children get the affinity
+                                     # via preexec, the in-process native
+                                     # remux via cut-thread affinity
     chunk_frames_cap: int = 0        # max frames per native scan call
                                      # (0 = auto).  Saturated calls resume
                                      # from the exact stream position with
@@ -141,6 +148,7 @@ class Config:
             mv_capacity=_env_int("MVT_MV_CAPACITY", 8192),
             rss_limit_mb=_env_float("MVT_RSS_LIMIT_MB", 0.0),
             compile_cache_dir=_env_str("MVT_COMPILE_CACHE", ""),
+            cut_cpuset=_env_str("MVT_CUT_CPUSET", ""),
             chunk_frames_cap=_env_int("MVT_CHUNK_FRAMES_CAP", 0),
         )
 

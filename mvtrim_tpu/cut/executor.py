@@ -18,6 +18,7 @@ so segment boundaries are bit-identical across both paths.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import queue
 import subprocess
@@ -30,6 +31,51 @@ from ..core.config import Config
 from ..core.types import TimeSegment
 from ..io import native
 from ..utils import logging as log
+from ..utils.system import parse_cpuset_list
+
+
+def _cut_cpus(cfg: Config) -> set[int] | None:
+    """Resolve MVT_CUT_CPUSET to a CPU set, or None when unset/unusable.
+
+    Analog of the reference pinning its ffmpeg child with `taskset -c`
+    (pipeline.cpp:500-515).  An unparseable spec warns and runs unpinned —
+    a bad cpuset must not turn every cut into a failure.
+    """
+    if not cfg.cut_cpuset or not hasattr(os, "sched_setaffinity"):
+        return None
+    try:
+        cpus = set(parse_cpuset_list(cfg.cut_cpuset))
+    except ValueError:
+        log.warn(f"MVT_CUT_CPUSET unparseable: {cfg.cut_cpuset!r} — "
+                 "cut runs unpinned")
+        return None
+    return cpus or None
+
+
+@contextlib.contextmanager
+def _thread_affinity(cpus: set[int] | None):
+    """Pin the CALLING THREAD to `cpus` for the duration (restores after).
+
+    sched_setaffinity(0, ...) targets the calling thread on Linux, so
+    pinning here bounds the native remux (which runs GIL-released inside
+    this thread) without touching the scanning streams — the same
+    isolation the reference gets by confining its ffmpeg child to the
+    stream's cpuset.
+    """
+    if cpus is None:
+        yield
+        return
+    prev = os.sched_getaffinity(0)
+    try:
+        os.sched_setaffinity(0, cpus)
+    except OSError as e:
+        log.warn(f"cut cpuset {sorted(cpus)} rejected ({e}) — unpinned")
+        yield
+        return
+    try:
+        yield
+    finally:
+        os.sched_setaffinity(0, prev)
 
 
 @dataclasses.dataclass
@@ -65,11 +111,14 @@ def execute_cut(input_path: str, output_path: str, segments,
         log.warn("No segments to cut", stream_id)
         return 0
     abs_input = os.path.abspath(input_path)
+    cpus = _cut_cpus(cfg)
     try:
         if cfg.ffmpeg_bin:
-            _external_cut(cfg.ffmpeg_bin, abs_input, output_path, segs)
+            _external_cut(cfg.ffmpeg_bin, abs_input, output_path, segs,
+                          cpus=cpus)
         else:
-            native.cut(abs_input, output_path, segs)
+            with _thread_affinity(cpus):
+                native.cut(abs_input, output_path, segs)
     except Exception as e:  # noqa: BLE001 — cut failure is logged, not fatal
         # reference behavior: log the error and continue (pipeline.cpp:549-556)
         log.error(f"Cut failed: {e}", stream_id)
@@ -99,8 +148,13 @@ def _concat_list_fd(text: str):
 
 
 def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
-                  segs) -> None:
-    """Reference-exact external command over a concat list memfd."""
+                  segs, cpus: set[int] | None = None) -> None:
+    """Reference-exact external command over a concat list memfd.
+
+    When a cut cpuset is configured the child is confined via a preexec
+    sched_setaffinity — the syscall `taskset -c <list>` itself makes
+    (reference pipeline.cpp:500-515), without the extra wrapper process.
+    """
     lines = []
     for start, end in segs:
         lines.append(f"file '{abs_input}'\n")
@@ -118,7 +172,12 @@ def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
             "-movflags", "+faststart",
             output_path,
         ]
-        res = subprocess.run(cmd, capture_output=True, text=True)
+        preexec = None
+        if cpus is not None:
+            def preexec():  # runs in the child before exec, like taskset
+                os.sched_setaffinity(0, cpus)
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             preexec_fn=preexec)
         if res.returncode != 0:
             raise RuntimeError(
                 f"ffmpeg exited {res.returncode}: {res.stderr.strip()[:500]}")

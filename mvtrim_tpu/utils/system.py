@@ -22,19 +22,26 @@ def _read_first_line(path: str) -> str | None:
         return None
 
 
-def _parse_cpuset(spec: str) -> int:
-    """Count CPUs in a cpuset list like '0-3,8,10-11' (system.cpp:49-80)."""
-    count = 0
+def parse_cpuset_list(spec: str) -> list[int]:
+    """Expand a cpuset list like '0-3,8,10-11' into sorted CPU ids
+    (same grammar the reference parses, system.cpp:49-80, and that
+    `taskset -c` accepts)."""
+    cpus: set[int] = set()
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
         if "-" in part:
             lo, hi = part.split("-", 1)
-            count += int(hi) - int(lo) + 1
+            cpus.update(range(int(lo), int(hi) + 1))
         else:
-            count += 1
-    return count
+            cpus.add(int(part))
+    return sorted(cpus)
+
+
+def _parse_cpuset(spec: str) -> int:
+    """Count CPUs in a cpuset list (system.cpp:49-80)."""
+    return len(parse_cpuset_list(spec))
 
 
 def detect_cpu_limit() -> int:

@@ -15,4 +15,8 @@ if [ -n "$list" ]; then
   [ -n "${MVT_CONCAT_DUMP_DIR:-}" ] && \
     cp "$list" "$MVT_CONCAT_DUMP_DIR/$(basename "$out").concat"
 fi
+# Affinity probe: record which CPUs this child was confined to
+# (tests the MVT_CUT_CPUSET preexec pinning).
+[ -n "${MVT_AFFINITY_DUMP:-}" ] && \
+  grep Cpus_allowed_list /proc/self/status > "$MVT_AFFINITY_DUMP"
 exit 0

@@ -211,3 +211,61 @@ class TestConcatMemfd:
         finally:
             if fd is not None:
                 os.close(fd)
+
+
+class TestCutCpuset:
+    """MVT_CUT_CPUSET — the reference's taskset-wrapped ffmpeg child
+    (pipeline.cpp:500-515) rebuilt as sched_setaffinity on both cut paths."""
+
+    def test_parse_cpuset_list(self):
+        from mvtrim_tpu.utils.system import parse_cpuset_list
+        assert parse_cpuset_list("0-3,8,10-11") == [0, 1, 2, 3, 8, 10, 11]
+        assert parse_cpuset_list(" 2 , 0-1 ") == [0, 1, 2]
+        assert parse_cpuset_list("") == []
+        with pytest.raises(ValueError):
+            parse_cpuset_list("zero")
+
+    def test_external_child_confined(self, clip, tmp_path):
+        """The fake-ffmpeg child must report Cpus_allowed_list == the knob."""
+        from mvtrim_tpu.core.config import Config
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dump = str(tmp_path / "aff.txt")
+        cpu = sorted(os.sched_getaffinity(0))[0]
+        os.environ["MVT_AFFINITY_DUMP"] = dump
+        try:
+            cfg = Config(ffmpeg_bin=os.path.join(repo, "parity",
+                                                 "fake_ffmpeg.sh"),
+                         cut_cpuset=str(cpu))
+            rc = execute_cut(clip, str(tmp_path / "o.mp4"),
+                             [TimeSegment(1.0, 3.0)], cfg=cfg)
+        finally:
+            del os.environ["MVT_AFFINITY_DUMP"]
+        assert rc == 0
+        assert open(dump).read().split()[-1] == str(cpu)
+
+    def test_native_path_pinned_and_restored(self, clip, tmp_path):
+        """Native remux runs under the cpuset; caller affinity restored."""
+        from mvtrim_tpu.core.config import Config
+        before = os.sched_getaffinity(0)
+        cpu = sorted(before)[0]
+        out = str(tmp_path / "n.mp4")
+        cfg = Config(cut_cpuset=str(cpu))
+        rc = execute_cut(clip, out, [TimeSegment(1.0, 3.0)], cfg=cfg)
+        assert rc == 0
+        assert os.sched_getaffinity(0) == before
+        assert native.VideoReader(out).duration > 0
+
+    def test_bad_cpuset_warns_and_runs_unpinned(self, clip, tmp_path):
+        from mvtrim_tpu.core.config import Config
+        out = str(tmp_path / "b.mp4")
+        rc = execute_cut(clip, out, [TimeSegment(1.0, 3.0)],
+                         cfg=Config(cut_cpuset="not-a-cpu"))
+        assert rc == 0 and os.path.exists(out)
+
+    def test_out_of_range_cpuset_native_falls_back(self, clip, tmp_path):
+        """CPUs that don't exist on this host: warn, cut still succeeds."""
+        from mvtrim_tpu.core.config import Config
+        out = str(tmp_path / "r.mp4")
+        rc = execute_cut(clip, out, [TimeSegment(1.0, 3.0)],
+                         cfg=Config(cut_cpuset="4090-4093"))
+        assert rc == 0 and os.path.exists(out)
