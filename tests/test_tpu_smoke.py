@@ -123,9 +123,16 @@ def test_sad_kernel_near_threshold_exact_on_device():
     as a single bf16 pass (inputs rounded: 257 -> 256, measured on a v5e
     via a 1153.0-operand probe), which would compute block SAD 4096 <
     bound 4112 and flip EVERY block inactive; ops/sad.py's column matmul
-    carries precision=HIGHEST to stay bit-exact.  Interpret mode and the
-    CPU backend compute true f32 and cannot catch a regression here —
-    only this hardware run does."""
+    splits the row sums into bf16-exact hi/lo halves (col_mode="hilo")
+    to stay bit-exact.  Interpret mode and the CPU backend compute true
+    f32 and cannot catch a regression here — only this hardware run
+    does.
+
+    The row sums that must reach the column matmul unrounded are the
+    FIRST matmul's outputs, r_ind [gh_p, H_p] @ |diff| [H_p, W_p]: a
+    per-COLUMN sum over the 16 image rows of a block.  The adversarial
+    pattern therefore stripes along rows (axis 1), one 255 and one 2
+    row per 16-row block, so every column's row sum is 257."""
     code = """
 import json
 import numpy as np
@@ -142,10 +149,12 @@ assert sad_threshold_sum(cfg.sad_threshold, cfg.block_size) == 4112
 det = SADDetector(640, 480, cfg)
 assert det.backend == "pallas", det.backend
 luma = np.zeros((3, 480, 640), dtype=np.uint8)
-# frame 1: in every block row, one |diff|=255 and one |diff|=2 pixel
-# -> row_sum 257 (not bf16-representable), block SAD 16*257 = 4112
-luma[1, :, 0::16] = 255
-luma[1, :, 1::16] = 2
+# frame 1: in every 16-row block, one all-255 row and one all-2 row
+# -> every column's over-rows sum is 257 (not bf16-representable; a
+# lossy column matmul rounds it to 256 -> block SAD 4096 < 4112),
+# exact block SAD = 16 columns * 257 = 4112 = bound
+luma[1, 0::16, :] = 255
+luma[1, 1::16, :] = 2
 # frame 2 equals frame 1 -> diff 0, no motion
 luma[2] = luma[1]
 motion = np.asarray(det.scan_luma(luma))
