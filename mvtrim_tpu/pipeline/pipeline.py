@@ -376,7 +376,11 @@ class ProcessingPipeline:
                     # TARGET_FPS phase active.
                     resume = False
                     cap = cfg.mv_capacity
+                    emitted = 0       # frames queued from this chunk
+                    skip_dup = 0      # duplicates to drop after restart
+                    mv_base = timings[widx].frames_with_mvs
                     while True:
+                        raw_n = -1
                         if scan_input == "bits":
                             data, pts = reader.scan_bits(
                                 task.start, task.end,
@@ -418,21 +422,33 @@ class ProcessingPipeline:
                                 frame_skip=frame_skip,
                                 max_frames=max_frames, max_mv=cap,
                                 timing=timings[widx], resume=resume)
-                            if len(pts) and (counts < 0).any():
+                            raw_n = len(pts)
+                            if raw_n and (counts < 0).any():
                                 # capacity overflow: restart the WHOLE
                                 # chunk from a fresh seek with a capacity
                                 # that fits every frame, so the decision
-                                # is over the COMPLETE MV list.  Frames
-                                # already queued from this chunk are
-                                # re-emitted with identical decisions and
-                                # deduped by merge_timestamps — exact,
+                                # is over the COMPLETE MV list — exact,
                                 # and no device recompile for a rare path
                                 # (the feeder decides oversized frames on
-                                # the host oracle).
+                                # the host oracle).  Decode is
+                                # deterministic, so the restart replays
+                                # frames already queued from this chunk
+                                # identically: drop those duplicates
+                                # before emitting (stats stay exact, no
+                                # duplicate dispatch) and rewind the
+                                # native frames_with_mvs counter so the
+                                # re-decode counts each frame once.
                                 cap = 1 << int(np.ceil(np.log2(
                                     -counts.min())))
                                 resume = False
+                                skip_dup = emitted
+                                timings[widx].frames_with_mvs = mv_base
                                 continue
+                            if skip_dup:
+                                k = min(skip_dup, raw_n)
+                                mvs, counts, pts = \
+                                    mvs[k:], counts[k:], pts[k:]
+                                skip_dup -= k
                             tag = "mv" if cap == cfg.mv_capacity \
                                 else "mv_host"
                             item = (tag, (mvs, counts), pts)
@@ -443,10 +459,14 @@ class ProcessingPipeline:
                                 max_frames=max_frames,
                                 timing=timings[widx], resume=resume)
                             item = ("luma", data, pts)
-                        if len(pts) == 0:
+                        if raw_n < 0:
+                            raw_n = len(pts)
+                        if raw_n == 0:
                             break
-                        results.put(item)
-                        if len(pts) < max_frames:
+                        if len(pts):       # can be empty post-dedup
+                            emitted += len(pts)
+                            results.put(item)
+                        if raw_n < max_frames:
                             break
                         resume = True
                 reader.close()

@@ -179,12 +179,66 @@ class TestPipelineParity:
 
     def test_mv_raw_overflow_rescan_exact(self, clip, tmp_path):
         """A capacity far below real MV counts forces the overflow
-        re-decode + host-oracle path; the cut must be unchanged."""
+        re-decode + host-oracle path; the cut must be unchanged, and the
+        restart must not double-count the re-decoded frames in the
+        frames_scanned / frames_with_mvs stats (the replayed duplicates
+        are dropped before emission)."""
         ref = self._run(clip, str(tmp_path / "ref.mp4"),
-                        scan_input="grids")
+                        scan_input="grids",
+                        metrics_json=str(tmp_path / "ref.jsonl"))
         ovf = self._run(clip, str(tmp_path / "ovf.mp4"),
-                        scan_input="mv_raw", mv_capacity=8)
+                        scan_input="mv_raw", mv_capacity=8,
+                        metrics_json=str(tmp_path / "ovf.jsonl"))
         assert ovf == ref
+        ref_rec = json.loads(
+            open(tmp_path / "ref.jsonl").read().splitlines()[-1])
+        ovf_rec = json.loads(
+            open(tmp_path / "ovf.jsonl").read().splitlines()[-1])
+        for key in ("frames_scanned", "frames_with_mvs", "motion_frames"):
+            assert ovf_rec[key] == ref_rec[key], (key, ovf_rec, ref_rec)
+
+    def test_mv_raw_overflow_after_cap_resume_exact(self, clip, tmp_path,
+                                                    monkeypatch):
+        """Tiny frame cap + a capacity only the peak-MV frame exceeds:
+        chunk parts are queued BEFORE a later part overflows, so the
+        capacity restart replays frames that were already emitted.  The
+        replayed duplicates must be dropped — identical cut AND exact
+        (not inflated) frame stats.  scan_mvs is instrumented to prove
+        the mid-chunk restart actually fired (a first-part overflow
+        would make this test a duplicate of the one above)."""
+        with native.VideoReader(clip, native.MVT_MODE_MV) as r:
+            _, counts, _ = r.scan_mvs(0.0, 1e9, max_mv=1 << 16,
+                                      max_frames=4096)
+        cap = int(counts.max()) - 1
+        # the first two 16-frame parts (static lead-in) must fit, or the
+        # overflow hits part 0 and the scenario degenerates
+        assert counts[:32].max() <= cap, (counts[:32].max(), cap)
+
+        events = []
+        orig = native.VideoReader.scan_mvs
+
+        def traced(self, *a, **kw):
+            mvs, cnt, pts = orig(self, *a, **kw)
+            events.append((bool(kw.get("resume")),
+                           len(pts) > 0 and bool((cnt < 0).any())))
+            return mvs, cnt, pts
+
+        monkeypatch.setattr(native.VideoReader, "scan_mvs", traced)
+        ref = self._run(clip, str(tmp_path / "ref.mp4"),
+                        scan_input="grids",
+                        metrics_json=str(tmp_path / "ref.jsonl"))
+        ovf = self._run(clip, str(tmp_path / "ovf.mp4"),
+                        scan_input="mv_raw", mv_capacity=cap,
+                        chunk_frames_cap=16,
+                        metrics_json=str(tmp_path / "ovf.jsonl"))
+        assert any(resume and overflowed for resume, overflowed in events)
+        assert ovf == ref
+        ref_rec = json.loads(
+            open(tmp_path / "ref.jsonl").read().splitlines()[-1])
+        ovf_rec = json.loads(
+            open(tmp_path / "ovf.jsonl").read().splitlines()[-1])
+        for key in ("frames_scanned", "frames_with_mvs", "motion_frames"):
+            assert ovf_rec[key] == ref_rec[key], (key, ovf_rec, ref_rec)
 
     @pytest.mark.parametrize("knobs", [
         dict(width=328, height=200, vectors_needed=1, vertical_mask=0.0),
