@@ -49,7 +49,14 @@ def _cut_cpus(cfg: Config) -> set[int] | None:
         log.warn(f"MVT_CUT_CPUSET unparseable: {cfg.cut_cpuset!r} — "
                  "cut runs unpinned")
         return None
-    return cpus or None
+    if not cpus:
+        # a spec that parses to nothing (e.g. "," or whitespace) is as
+        # misconfigured as an unparseable one — warn, don't silently
+        # drop the operator's isolation intent
+        log.warn(f"MVT_CUT_CPUSET empty: {cfg.cut_cpuset!r} — "
+                 "cut runs unpinned")
+        return None
+    return cpus
 
 
 @contextlib.contextmanager

@@ -369,11 +369,15 @@ class VideoReader:
 
     def stream_types(self) -> list[int]:
         """Per-stream codec types: 0 video, 1 audio, 2 other."""
-        types = np.zeros((64,), np.int32)
-        n = self._lib.mvt_stream_types(self._h, types.ctypes.data, 64)
+        # size the buffer from the container's actual stream count —
+        # a fixed cap would silently truncate exotic many-stream files
+        # (mvt_stream_types writes at most max_streams entries)
+        cap = max(1, self.stream_counts()[0])
+        types = np.zeros((cap,), np.int32)
+        n = self._lib.mvt_stream_types(self._h, types.ctypes.data, cap)
         if n < 0:
             raise RuntimeError(f"mvt_stream_types failed on {self.path}")
-        return types[:n].tolist()
+        return types[:min(n, cap)].tolist()
 
     def skip_phase(self) -> int:
         """Frame-skip modulo phase at the handle's current decode

@@ -47,9 +47,17 @@ def build_mesh(n_devices: int | None = None,
                 f"{[str(d) for d in devices]}. Pass allow_cpu_fallback="
                 f"True only for virtual-mesh dryruns/tests.")
         devices = jax.devices("cpu")
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but the CPU "
+                f"fallback platform also has only {len(devices)} "
+                f"devices: {[str(d) for d in devices]}. Set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} "
+                f"for a virtual mesh.")
     n = n_devices or len(devices)
-    assert n <= len(devices), (n, len(devices))
-    assert n % sweep == 0, (n, sweep)
+    if n % sweep != 0:
+        raise ValueError(
+            f"mesh size {n} is not divisible by sweep={sweep}")
     dev_grid = np.asarray(devices[:n]).reshape(n // sweep, sweep)
     return Mesh(dev_grid, ("data", "sweep"))
 

@@ -262,6 +262,18 @@ class TestCutCpuset:
                          cfg=Config(cut_cpuset="not-a-cpu"))
         assert rc == 0 and os.path.exists(out)
 
+    def test_empty_cpuset_warns_and_runs_unpinned(self, clip, tmp_path,
+                                                  capsys):
+        """A spec that parses to NOTHING (',') is as misconfigured as an
+        unparseable one: the cut must succeed unpinned AND warn, so the
+        operator learns the isolation intent was dropped."""
+        from mvtrim_tpu.core.config import Config
+        out = str(tmp_path / "e.mp4")
+        rc = execute_cut(clip, out, [TimeSegment(1.0, 3.0)],
+                         cfg=Config(cut_cpuset=","))
+        assert rc == 0 and os.path.exists(out)
+        assert "MVT_CUT_CPUSET empty" in capsys.readouterr().out
+
     def test_out_of_range_cpuset_native_falls_back(self, clip, tmp_path):
         """CPUs that don't exist on this host: warn, cut still succeeds."""
         from mvtrim_tpu.core.config import Config

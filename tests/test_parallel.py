@@ -46,11 +46,23 @@ class TestMesh:
 
     def test_cpu_fallback_is_explicit_opt_in(self):
         # On the CPU test backend the fallback re-resolves to the same
-        # 8 devices, so an oversized request still fails (the assert),
-        # but a satisfiable one succeeds — the knob only gates the
-        # platform switch, never relaxes the size check.
+        # 8 devices, so an oversized request still fails loudly, but a
+        # satisfiable one succeeds — the knob only gates the platform
+        # switch, never relaxes the size check.
         mesh = build_mesh(8, allow_cpu_fallback=True)
         assert mesh.devices.size == 8
+
+    def test_oversized_fallback_fails_with_inventory(self):
+        """Even with the CPU fallback opted in, an unsatisfiable size
+        raises with the inventory and the virtual-mesh hint — not a bare
+        assert (which python -O would strip)."""
+        with pytest.raises(RuntimeError,
+                           match="CPU fallback platform also has only 8"):
+            build_mesh(16, allow_cpu_fallback=True)
+
+    def test_indivisible_sweep_raises(self):
+        with pytest.raises(ValueError, match="not divisible by sweep"):
+            build_mesh(8, sweep=3)
 
 
 class TestShardedScan:
