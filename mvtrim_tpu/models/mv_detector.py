@@ -178,6 +178,26 @@ class MVClusterDetector:
                 self.cfg.clusters_needed)
             return lambda: motion
 
+        return self._words_dispatch(
+            lambda lo, hi: cluster_ops.repack_bits_words(
+                bits[lo:hi], self.geom), n)
+
+    def scan_bits(self, bits: np.ndarray) -> np.ndarray:
+        """Host entry: packed masks uint8 [N, gh, gwb] -> motion bool [N]."""
+        return self.scan_bits_async(bits)()
+
+    def _words_dispatch(self, get_rows, n: int):
+        """Shared batch/dispatch/resolve loop over word-layout rows —
+        the single place the bits and words scan inputs pad, lay out
+        (transposed: words on sublanes, frames on lanes — the layout the
+        fastest kernel wants), place, and dispatch batches.
+
+        ``get_rows(lo, hi) -> int32 [hi-lo, used]`` supplies each
+        batch's word rows (scan_bits_async repacks per batch so the
+        repack overlaps device work; scan_words_async slices the
+        native-emitted layout).  Zero-pad rows/columns decide False and
+        are sliced off in resolve.
+        """
         db = self.device_batch
         _, used, lanes = cluster_ops.word_geometry(self.geom)
         op = self._build_bits_op()
@@ -185,16 +205,13 @@ class MVClusterDetector:
         futures = []
         for lo in range(0, n, db):
             hi = min(lo + db, n)
+            rows = get_rows(lo, hi)
             if transposed:
-                # words on sublanes, frames on lanes (the layout the
-                # fastest kernel wants); zero pad columns decide False
                 batch = np.zeros((lanes, db), np.int32)
-                batch[:used, :hi - lo] = cluster_ops.repack_bits_words(
-                    bits[lo:hi], self.geom).T
+                batch[:used, :hi - lo] = rows.T
             else:
                 batch = np.zeros((db, lanes), np.int32)
-                batch[:hi - lo, :used] = cluster_ops.repack_bits_words(
-                    bits[lo:hi], self.geom)
+                batch[:hi - lo, :used] = rows
             if self.device is not None:
                 batch = jax.device_put(batch, self.device)
             _, motion = op(jnp.asarray(batch))
@@ -207,10 +224,6 @@ class MVClusterDetector:
             return out
 
         return resolve
-
-    def scan_bits(self, bits: np.ndarray) -> np.ndarray:
-        """Host entry: packed masks uint8 [N, gh, gwb] -> motion bool [N]."""
-        return self.scan_bits_async(bits)()
 
     def scan_words_async(self, words: np.ndarray):
         """Dispatch word-layout activity masks int32 [N, gh*gww] (the
@@ -225,37 +238,14 @@ class MVClusterDetector:
         n = words.shape[0]
         if n == 0:
             return lambda: np.zeros((0,), bool)
-        _, used, lanes = cluster_ops.word_geometry(self.geom)
+        used = cluster_ops.word_geometry(self.geom)[1]
         assert words.shape[1] == used, (words.shape, used)
         if self.backend == "oracle":
             gwb = (self.geom.gw + 7) // 8
             bits = words.view(np.uint8).reshape(n, self.geom.gh, -1)[
                 :, :, :gwb]
             return self.scan_bits_async(np.ascontiguousarray(bits))
-        db = self.device_batch
-        op = self._build_bits_op()
-        transposed = self._bits_transposed
-        futures = []
-        for lo in range(0, n, db):
-            hi = min(lo + db, n)
-            if transposed:
-                batch = np.zeros((lanes, db), np.int32)
-                batch[:used, :hi - lo] = words[lo:hi].T
-            else:
-                batch = np.zeros((db, lanes), np.int32)
-                batch[:hi - lo, :used] = words[lo:hi]
-            if self.device is not None:
-                batch = jax.device_put(batch, self.device)
-            _, motion = op(jnp.asarray(batch))
-            futures.append((lo, hi, motion))
-
-        def resolve():
-            out = np.zeros((n,), bool)
-            for lo, hi, motion in futures:
-                out[lo:hi] = np.asarray(motion)[:hi - lo]
-            return out
-
-        return resolve
+        return self._words_dispatch(lambda lo, hi: words[lo:hi], n)
 
     def scan_words(self, words: np.ndarray) -> np.ndarray:
         """Host entry: word-layout masks int32 [N, gh*gww] -> motion [N]."""

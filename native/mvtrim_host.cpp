@@ -406,12 +406,91 @@ long scan_loop(MvtHandle *h, double start, double end, int frame_skip,
   return n_emitted;
 }
 
+// Single-threshold MV vote loop shared by the grids/bits/words scatters.
+// Byte-identical to the reference phase-1 loop (motion_scanner.cpp:
+// 242-268): integer (dst-src)^2 magnitude vs double threshold (strict <,
+// skip), arithmetic-shift grid mapping, x in [0,gw), y in [y_min,y_max),
+// saturating uint8 increment.
+inline void vote_scatter(const AVMotionVector *mvs, int count,
+                         double threshold_sq, int block_shift, int gw,
+                         int y_min, int y_max, uint8_t *grid) {
+  for (int i = 0; i < count; ++i) {
+    const AVMotionVector *mv = &mvs[i];
+    int dx = mv->dst_x - mv->src_x;
+    int dy = mv->dst_y - mv->src_y;
+    int mag_sq = dx * dx + dy * dy;
+    if (mag_sq < threshold_sq) continue;
+    int gx = mv->dst_x >> block_shift;
+    int gy = mv->dst_y >> block_shift;
+    if (gx >= 0 && gx < gw && gy >= y_min && gy < y_max) {
+      uint8_t &cell = grid[static_cast<size_t>(gy) * gw + gx];
+      if (cell < 255) cell++;
+    }
+  }
+}
+
+// Threshold the vote grid and pack the activity mask little-endian along
+// x, `row_bytes` output bytes per row (gwb for mvt_scan_bits, gww*4 for
+// mvt_scan_words — byte j of a row is bit-identical between the two for
+// j < gwb, zero beyond; `bits` must be pre-zeroed).
+inline void pack_mask_rows(const uint8_t *grid, int gw, int gh,
+                           int vectors_needed, uint8_t *bits,
+                           int row_bytes) {
+  for (int y = 0; y < gh; ++y) {
+    const uint8_t *row = grid + static_cast<size_t>(y) * gw;
+    uint8_t *brow = bits + static_cast<size_t>(y) * row_bytes;
+    for (int x = 0; x < gw; ++x) {
+      if (row[x] >= vectors_needed)
+        brow[x >> 3] |= static_cast<uint8_t>(1u << (x & 7));
+    }
+  }
+}
+
+// Degenerate config (vectors_needed <= 0 on a frame without MV side
+// data): zero votes still satisfy >= 0, so set exactly the gw valid
+// cells per row; padding bits/bytes stay zero (`bits` pre-zeroed).
+inline void fill_degenerate_mask(uint8_t *bits, int gw, int gh,
+                                 int row_bytes) {
+  for (int y = 0; y < gh; ++y) {
+    uint8_t *brow = bits + static_cast<size_t>(y) * row_bytes;
+    std::memset(brow, 0xFF, static_cast<size_t>(gw / 8));
+    if (gw & 7)
+      brow[gw / 8] = static_cast<uint8_t>((1u << (gw & 7)) - 1u);
+  }
+}
+
+// Shared emit body of the packed activity-mask scatters (mvt_scan_bits /
+// mvt_scan_words); the only degree of freedom is the output row stride.
+inline void emit_packed_mask(AVFrame *f, double pts, long slot,
+                             uint8_t *out, size_t bytes_per_frame,
+                             int row_bytes, double threshold_sq,
+                             int block_shift, int gw, int gh, int y_min,
+                             int y_max, int vectors_needed,
+                             std::vector<uint8_t> &grid, double *out_pts,
+                             long long *timing_us) {
+  uint8_t *bits = out + static_cast<size_t>(slot) * bytes_per_frame;
+  std::memset(bits, 0, bytes_per_frame);
+  out_pts[slot] = pts;
+
+  AVFrameSideData *sd =
+      av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+  if (sd) {
+    if (timing_us) timing_us[3]++;  // frames that carried MV side data
+    std::memset(grid.data(), 0, grid.size());
+    vote_scatter(reinterpret_cast<const AVMotionVector *>(sd->data),
+                 static_cast<int>(sd->size / sizeof(AVMotionVector)),
+                 threshold_sq, block_shift, gw, y_min, y_max, grid.data());
+    pack_mask_rows(grid.data(), gw, gh, vectors_needed, bits, row_bytes);
+  } else if (vectors_needed <= 0) {
+    fill_degenerate_mask(bits, gw, gh, row_bytes);
+  }
+}
+
 }  // namespace
 
-// Scatter MV side data into a dense uint8 vote grid.  Byte-identical to the
-// reference phase-1 loop (motion_scanner.cpp:242-268): integer (dst-src)^2
-// magnitude vs double threshold (strict <, skip), arithmetic-shift grid
-// mapping, x in [0,gw), y in [y_min,y_max), saturating uint8 increment.
+// Scatter MV side data into a dense uint8 vote grid (the shared
+// vote_scatter loop above — byte-identical to the reference phase-1
+// loop, motion_scanner.cpp:242-268).
 // Frames without MV side data (I-frames) emit all-zero grids, which the
 // device cluster kernel maps to "no motion" — same decision as the
 // reference's early `return false` (motion_scanner.cpp:219-221).
@@ -433,21 +512,9 @@ MVT_EXPORT long mvt_scan_grids(MvtHandle *h, double start, double end,
             av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
         if (!sd) return;
         if (timing_us) timing_us[3]++;  // frames that carried MV side data
-        const auto *mvs = reinterpret_cast<const AVMotionVector *>(sd->data);
-        const int count = static_cast<int>(sd->size / sizeof(AVMotionVector));
-        for (int i = 0; i < count; ++i) {
-          const AVMotionVector *mv = &mvs[i];
-          int dx = mv->dst_x - mv->src_x;
-          int dy = mv->dst_y - mv->src_y;
-          int mag_sq = dx * dx + dy * dy;
-          if (mag_sq < threshold_sq) continue;
-          int gx = mv->dst_x >> block_shift;
-          int gy = mv->dst_y >> block_shift;
-          if (gx >= 0 && gx < gw && gy >= y_min && gy < y_max) {
-            uint8_t &cell = grid[static_cast<size_t>(gy) * gw + gx];
-            if (cell < 255) cell++;
-          }
-        }
+        vote_scatter(reinterpret_cast<const AVMotionVector *>(sd->data),
+                     static_cast<int>(sd->size / sizeof(AVMotionVector)),
+                     threshold_sq, block_shift, gw, y_min, y_max, grid);
       },
       resume);
 }
@@ -475,49 +542,9 @@ MVT_EXPORT long mvt_scan_bits(MvtHandle *h, double start, double end,
   return scan_loop(
       h, start, end, frame_skip, max_frames, timing_us,
       [&](AVFrame *f, double pts, long slot) {
-        uint8_t *bits = out_bits + static_cast<size_t>(slot) * bits_per_frame;
-        std::memset(bits, 0, bits_per_frame);
-        out_pts[slot] = pts;
-
-        AVFrameSideData *sd =
-            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
-        if (sd) {
-          if (timing_us) timing_us[3]++;
-          std::memset(grid.data(), 0, grid_cells);
-          const auto *mvs =
-              reinterpret_cast<const AVMotionVector *>(sd->data);
-          const int count =
-              static_cast<int>(sd->size / sizeof(AVMotionVector));
-          for (int i = 0; i < count; ++i) {
-            const AVMotionVector *mv = &mvs[i];
-            int dx = mv->dst_x - mv->src_x;
-            int dy = mv->dst_y - mv->src_y;
-            int mag_sq = dx * dx + dy * dy;
-            if (mag_sq < threshold_sq) continue;
-            int gx = mv->dst_x >> block_shift;
-            int gy = mv->dst_y >> block_shift;
-            if (gx >= 0 && gx < gw && gy >= y_min && gy < y_max) {
-              uint8_t &cell = grid[static_cast<size_t>(gy) * gw + gx];
-              if (cell < 255) cell++;
-            }
-          }
-          for (int y = 0; y < gh; ++y) {
-            const uint8_t *row = grid.data() + static_cast<size_t>(y) * gw;
-            uint8_t *brow = bits + static_cast<size_t>(y) * gwb;
-            for (int x = 0; x < gw; ++x) {
-              if (row[x] >= vectors_needed)
-                brow[x >> 3] |= static_cast<uint8_t>(1u << (x & 7));
-            }
-          }
-        } else if (vectors_needed <= 0) {
-          // degenerate config: zero votes still satisfy >= 0
-          std::memset(bits, 0xFF, bits_per_frame);
-          if (gw & 7) {
-            const uint8_t tail =
-                static_cast<uint8_t>((1u << (gw & 7)) - 1u);
-            for (int y = 0; y < gh; ++y) bits[y * gwb + gwb - 1] = tail;
-          }
-        }
+        emit_packed_mask(f, pts, slot, out_bits, bits_per_frame, gwb,
+                         threshold_sq, block_shift, gw, gh, y_min, y_max,
+                         vectors_needed, grid, out_pts, timing_us);
       },
       resume);
 }
@@ -549,52 +576,11 @@ MVT_EXPORT long mvt_scan_words(MvtHandle *h, double start, double end,
   return scan_loop(
       h, start, end, frame_skip, max_frames, timing_us,
       [&](AVFrame *f, double pts, long slot) {
-        uint8_t *bits = reinterpret_cast<uint8_t *>(out_words) +
-                        static_cast<size_t>(slot) * bytes_per_frame;
-        std::memset(bits, 0, bytes_per_frame);
-        out_pts[slot] = pts;
-
-        AVFrameSideData *sd =
-            av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
-        if (sd) {
-          if (timing_us) timing_us[3]++;
-          std::memset(grid.data(), 0, grid_cells);
-          const auto *mvs =
-              reinterpret_cast<const AVMotionVector *>(sd->data);
-          const int count =
-              static_cast<int>(sd->size / sizeof(AVMotionVector));
-          for (int i = 0; i < count; ++i) {
-            const AVMotionVector *mv = &mvs[i];
-            int dx = mv->dst_x - mv->src_x;
-            int dy = mv->dst_y - mv->src_y;
-            int mag_sq = dx * dx + dy * dy;
-            if (mag_sq < threshold_sq) continue;
-            int gx = mv->dst_x >> block_shift;
-            int gy = mv->dst_y >> block_shift;
-            if (gx >= 0 && gx < gw && gy >= y_min && gy < y_max) {
-              uint8_t &cell = grid[static_cast<size_t>(gy) * gw + gx];
-              if (cell < 255) cell++;
-            }
-          }
-          for (int y = 0; y < gh; ++y) {
-            const uint8_t *row = grid.data() + static_cast<size_t>(y) * gw;
-            uint8_t *brow = bits + static_cast<size_t>(y) * row_bytes;
-            for (int x = 0; x < gw; ++x) {
-              if (row[x] >= vectors_needed)
-                brow[x >> 3] |= static_cast<uint8_t>(1u << (x & 7));
-            }
-          }
-        } else if (vectors_needed <= 0) {
-          // degenerate config: zero votes still satisfy >= 0 — set
-          // exactly the gw valid cells per row (same rule as
-          // mvt_scan_bits, continued across the word-padding bytes)
-          for (int y = 0; y < gh; ++y) {
-            uint8_t *brow = bits + static_cast<size_t>(y) * row_bytes;
-            std::memset(brow, 0xFF, static_cast<size_t>(gw / 8));
-            if (gw & 7)
-              brow[gw / 8] = static_cast<uint8_t>((1u << (gw & 7)) - 1u);
-          }
-        }
+        emit_packed_mask(f, pts, slot,
+                         reinterpret_cast<uint8_t *>(out_words),
+                         bytes_per_frame, row_bytes, threshold_sq,
+                         block_shift, gw, gh, y_min, y_max,
+                         vectors_needed, grid, out_pts, timing_us);
       },
       resume);
 }
