@@ -406,6 +406,14 @@ def main() -> int:
     K = 8
     B = int(os.environ.get("MVT_BENCH_B", 8192))
     ITERS = int(os.environ.get("MVT_BENCH_ITERS", 4096))
+    # Headline / control window: the tunnel charges a FIXED ~28ms per
+    # dispatch (measured: an iters=8 launch takes 28.5ms wall); at the
+    # 4096-iter window (~107ms launch) that deflates every number ~25%
+    # and compresses kernel-vs-control ratios.  The headline candidate,
+    # the stream controls, and the 4K pair use a 12x window (~0.7-1.3s
+    # launch, fixed cost <4%); secondaries keep the short window and are
+    # labeled as such in PERFORMANCE.md.
+    ITERS_HEAD = int(os.environ.get("MVT_BENCH_ITERS_HEAD", 12 * ITERS))
     grids = rng.integers(0, 6, size=(K, B, geom.gh, geom.gw),
                          dtype=np.uint8)
     # oracle ground truth per buffer (motion = clusters >= needed)
@@ -460,8 +468,10 @@ def main() -> int:
         return stacked_T
 
     def cand_words_T():
-        dt, total = _sweep_bench_words_T(geom, cfg, get_stacked_T(), ITERS)
-        return B / dt, total == _expected_total(motion_per_buf, K, ITERS)
+        dt, total = _sweep_bench_words_T(geom, cfg, get_stacked_T(),
+                                         ITERS_HEAD)
+        return B / dt, total == _expected_total(motion_per_buf, K,
+                                                ITERS_HEAD)
 
     def cand_words_pallas():
         dt, total = _sweep_bench_packed(geom, cfg, stacked_words, ITERS,
@@ -517,9 +527,9 @@ def main() -> int:
     control = None
     try:
         odd_per_buf = (flatw & 1).sum(axis=(1, 2))
-        dt_c, total_c = _sweep_control_T(get_stacked_T(), ITERS)
+        dt_c, total_c = _sweep_control_T(get_stacked_T(), ITERS_HEAD)
         fps_c = B / dt_c
-        ok_c = total_c == _expected_total(odd_per_buf, K, ITERS)
+        ok_c = total_c == _expected_total(odd_per_buf, K, ITERS_HEAD)
         valid_c, gbps_c, pct_c = _audit("words-T stream control", fps_c,
                                         word_bytes, roofline, ok_c)
         if valid_c:
@@ -597,17 +607,18 @@ def main() -> int:
             for g in grids4k]
         stacked4k_T = jax.device_put(
             np.ascontiguousarray(flat4k.transpose(0, 2, 1)))
-        dt, total = _sweep_bench_words_T(geom4k, cfg, stacked4k_T, ITERS)
+        dt, total = _sweep_bench_words_T(geom4k, cfg, stacked4k_T,
+                                         ITERS_HEAD)
         fps4k = B4 / dt
-        ok = total == _expected_total(motion4k, K, ITERS)
+        ok = total == _expected_total(motion4k, K, ITERS_HEAD)
         _, gbps4k, _ = _audit("words-T pallas 4K", fps4k, lanes4k * 4,
                               roofline, ok)
         # same-session 4K stream control: if the kernel/control RATIO is
         # stable across sessions, the absolute 4K spread (98-106M f/s
         # across r2 sessions) is platform/tunnel variance, not ours
         odd4k = (flat4k & 1).sum(axis=(1, 2))
-        dt_c, total_c = _sweep_control_T(stacked4k_T, ITERS)
-        ok_c = total_c == _expected_total(odd4k, K, ITERS)
+        dt_c, total_c = _sweep_control_T(stacked4k_T, ITERS_HEAD)
+        ok_c = total_c == _expected_total(odd4k, K, ITERS_HEAD)
         _, gbps4kc, _ = _audit("words-T 4K stream control", B4 / dt_c,
                                lanes4k * 4, roofline, ok_c)
         print(f"4K kernel/control ratio: {gbps4k / gbps4kc:.3f}",

@@ -419,7 +419,10 @@ def main() -> int:
     ap.add_argument("--variants", default="v0,mxcol,mxfull,strip")
     ap.add_argument("--buffers", type=int, default=4)
     ap.add_argument("--frames", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=256)
+    # fixed ~28ms dispatch cost through the tunnel: 256 iters (~160ms
+    # launch at 200k f/s) deflated numbers ~18%; 2048 ≈ 1.3s launch ->
+    # fixed cost ~2%.
+    ap.add_argument("--iters", type=int, default=2048)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     args = ap.parse_args()

@@ -129,7 +129,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
 
         return run, "lane"
 
-    elif variant in ("tswar", "tu32"):
+    elif variant in ("tswar", "tu32", "tpopc", "tcsapop"):
         # tswar: plain per-word SWAR popcount WITHOUT the CSA fold the
         #   production math now includes — the control for the CSA
         #   comparison (tslim vs tswar: +1-3% across sessions; 317.7M
@@ -138,6 +138,9 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
         # tu32: logical shifts via uint32 bitcast (drops the arithmetic-
         #   shift mask ops) — measured neutral; kept as a probe of
         #   Mosaic u32 op support.
+        # tpopc: the 13-op SWAR replaced by lax.population_count (one
+        #   hardware op if Mosaic lowers it natively).
+        # tcsapop: the production CSA fold + population_count.
         masks_np = (tuple(m[:, None] for m in _word_masks(geom)))[:1]
 
         def kernel(words_ref, center_ref, acc_ref):
@@ -165,11 +168,32 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
                 v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
                 return (v * 0x01010101) >> 24
 
-            ones = jnp.ones((1, lanes), jnp.float32)
-            counts = jax.lax.dot_general(
-                ones, swar(cl_).astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(jnp.int32)
+            def popc(v):
+                return jax.lax.population_count(
+                    jax.lax.bitcast_convert_type(v, jnp.uint32)
+                ).astype(jnp.int32)
+
+            dims = (((1,), (0,)), ((), ()))
+            if variant == "tcsapop":
+                third = lanes // 3
+                a, b_, c = (cl_[0:third], cl_[third:2 * third],
+                            cl_[2 * third:])
+                t = a ^ b_
+                s, cy = t ^ c, (a & b_) | (t & c)
+                ones = jnp.ones((1, third), jnp.float32)
+                c1 = jax.lax.dot_general(
+                    ones, popc(s).astype(jnp.float32), dims,
+                    preferred_element_type=jnp.float32)
+                c2 = jax.lax.dot_general(
+                    ones, popc(cy).astype(jnp.float32), dims,
+                    preferred_element_type=jnp.float32)
+                counts = (c1 + 2.0 * c2).astype(jnp.int32)
+            else:
+                fold = popc if variant == "tpopc" else swar
+                ones = jnp.ones((1, lanes), jnp.float32)
+                counts = jax.lax.dot_general(
+                    ones, fold(cl_).astype(jnp.float32), dims,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
             motion = (counts >= clusters_needed).astype(jnp.int32)
 
             @pl.when(it == 0)
@@ -302,7 +326,11 @@ def main() -> int:
     ap.add_argument("--variants", default="base,lmxu,tslim,tswar")
     ap.add_argument("--buffers", type=int, default=8)
     ap.add_argument("--frames", type=int, default=8192)
-    ap.add_argument("--iters", type=int, default=1024)
+    # the tunnel charges a fixed ~28ms per dispatch; short windows both
+    # deflate absolute GB/s and COMPRESS variant ratios (at 1024 iters
+    # the ~54ms launch is half overhead).  32768 iters ≈ 0.7-0.9s launch
+    # -> fixed cost <4%.
+    ap.add_argument("--iters", type=int, default=32768)
     ap.add_argument("--block", type=int, default=1024)
     args = ap.parse_args()
 
