@@ -16,10 +16,11 @@ roofline gate):
               reduction as ones[1,lanes] @ v on the MXU (per-word
               popcounts <= 32, sums <= gh*gw — f32-exact).  This is the
               production math (ops/cluster.word_cluster_counts_T).
-* ``tslim`` — the full production math (slim edge masks + CSA
-              popcount fold, via ops/cluster.word_cluster_counts_T).
-* ``tswar`` — plain per-word SWAR control (no CSA fold) for the +3%
-              CSA comparison; ``tu32`` — neutral uint32-shift probe.
+* ``tslim`` — the full production math (slim edge masks +
+              lax.population_count reduce, via
+              ops/cluster.word_cluster_counts_T).
+* ``tswar`` — per-word 13-op SWAR popcount (the pre-popcount
+              production fold); ``tu32`` — neutral uint32-shift probe.
 * ``tctrl`` — STREAM-BOUND control: identical launch structure, trivial
               math (bit-0 mask + MXU ones-matmul).  Measures the
               practical HBM ceiling of this pallas/grid configuration;
@@ -130,17 +131,17 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
         return run, "lane"
 
     elif variant in ("tswar", "tu32", "tpopc", "tcsapop"):
-        # tswar: plain per-word SWAR popcount WITHOUT the CSA fold the
-        #   production math now includes — the control for the CSA
-        #   comparison (tslim vs tswar: +1-3% across sessions; 317.7M
-        #   vs 308.4M when CSA was first probed, 311.6M vs 308.0M on
-        #   the relabeled-harness confirm run).
+        # tswar: per-word 13-op SWAR popcount — the production fold
+        #   until round 3 (a CSA fold over it was worth +1-3%).
         # tu32: logical shifts via uint32 bitcast (drops the arithmetic-
         #   shift mask ops) — measured neutral; kept as a probe of
         #   Mosaic u32 op support.
-        # tpopc: the 13-op SWAR replaced by lax.population_count (one
-        #   hardware op if Mosaic lowers it natively).
-        # tcsapop: the production CSA fold + population_count.
+        # tpopc: SWAR replaced by lax.population_count — Mosaic lowers
+        #   it natively; measured 461.3M vs tslim(SWAR+CSA) 406.1M and
+        #   tctrl 470.1M in one session, so it became the production
+        #   fold (tslim now measures it via the product op).
+        # tcsapop: CSA fold + population_count — 449.6M, the fold stops
+        #   paying once popcount is one hardware op.
         masks_np = (tuple(m[:, None] for m in _word_masks(geom)))[:1]
 
         def kernel(words_ref, center_ref, acc_ref):

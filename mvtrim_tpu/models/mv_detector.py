@@ -121,8 +121,8 @@ class MVClusterDetector:
 
     def _bits_backend(self) -> str:
         """Word-domain kernel choice: the Pallas kernel (bitwise
-        neighbors + SWAR popcount on 32-cell int32 lanes, ~6x the XLA
-        build on v5e) wherever a real accelerator backs jax; the XLA
+        neighbors + hardware popcount on 32-cell int32 lanes, ~4-6x the
+        XLA build on v5e) wherever a real accelerator backs jax; the XLA
         build on the CPU backend (Pallas TPU kernels don't run there
         outside interpret mode)."""
         if self.backend == "pallas":

@@ -431,7 +431,7 @@ def word_cluster_counts_T(wT, geom: GridGeometry, masks, roll0):
     Same rule as word_cluster_counts with every lane rotate replaced by
     a sublane rotate (cheap vector shifts instead of cross-lane
     shuffles) and the final popcount reduction as an f32 ones-matmul on
-    the MXU (per-word byte-sums <= 32, frame totals <= gh*gw < 2^24 —
+    the MXU (per-word popcounts <= 32, frame totals <= gh*gw < 2^24 —
     f32-exact).  Measured 1.47x the lane-major kernel on v5e
     (benchmarks/word_bench.py).  ``roll0`` must rotate axis 0; masks
     are [L, 1] columns; ``not_first``/``not_last`` may be None when
@@ -440,9 +440,13 @@ def word_cluster_counts_T(wT, geom: GridGeometry, masks, roll0):
     neighbors) or lands outside the center mask — the edge masks are
     provably redundant.
 
-    The popcount fold needs no ``& 0xFF``: v's bytes are <= 8, so the
-    mod-2^32 product's bytes are the exact partial sums (top byte
-    <= 32 < 128 — no carries, sign bit clear, arithmetic >>24 exact).
+    The per-word popcount is ``lax.population_count`` — Mosaic lowers
+    it natively, measured +13.6% over the 13-op SWAR chain (+ CSA
+    fold) it replaced at honest windows (benchmarks/word_bench.py
+    tpopc vs tslim: 461.3M vs 406.1M f/s, 98.1% vs 86.4% of the
+    stream-bound control; tcsapop at 449.6M showed the CSA fold stops
+    paying once popcount is one hardware op).  The bitcast to uint32
+    sidesteps signed semantics; counts are exact by definition.
     """
     center, not_first, not_last = masks
     lanes = wT.shape[0]
@@ -458,36 +462,11 @@ def word_cluster_counts_T(wT, geom: GridGeometry, masks, roll0):
         down = down & not_last
     cl = wT & (left | right | up | down) & center
 
-    def swar(v):
-        v = v - ((v >> 1) & 0x55555555)
-        v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
-        v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
-        return (v * 0x01010101) >> 24
-
-    dims = (((1,), (0,)), ((), ()))
-    third = lanes // 3
-    if lanes % 3 == 0 and third % 8 == 0:
-        # One carry-save-adder level over the sublane axis: three slices
-        # fold to (sum, carry) in 5 bitops, so only 2/3 of the words pay
-        # the 13-op SWAR; popcount(a)+popcount(b)+popcount(c) ==
-        # popcount(s) + 2*popcount(cy) exactly.  Weighted totals stay
-        # < 2^24 (f32-exact).  Measured +1-3% at 1080p across
-        # sessions (benchmarks/word_bench.py, tslim vs tswar).
-        a, b, c = cl[0:third], cl[third:2 * third], cl[2 * third:]
-        t = a ^ b
-        s = t ^ c                                 # weight 1
-        cy = (a & b) | (t & c)                    # weight 2
-        ones = jnp.ones((1, third), jnp.float32)
-        c1 = jax.lax.dot_general(
-            ones, swar(s).astype(jnp.float32), dims,
-            preferred_element_type=jnp.float32)
-        c2 = jax.lax.dot_general(
-            ones, swar(cy).astype(jnp.float32), dims,
-            preferred_element_type=jnp.float32)
-        return (c1 + 2.0 * c2).astype(jnp.int32)
+    pop = jax.lax.population_count(
+        jax.lax.bitcast_convert_type(cl, jnp.uint32)).astype(jnp.int32)
     ones = jnp.ones((1, lanes), jnp.float32)
     return jax.lax.dot_general(
-        ones, swar(cl).astype(jnp.float32), dims,
+        ones, pop.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)
 
 

@@ -281,10 +281,10 @@ class TestWordClusterOps:
         np.testing.assert_array_equal(np.asarray(motion), expect >= need)
 
     @pytest.mark.parametrize("dims,vm", [
-        ((1920, 1080), 0.05),   # gw=120: not a multiple of 32; CSA path
-        ((3840, 2160), 0.05),   # 4K: lanes=1152, CSA path at third=384
-        ((360, 240), 0.0),      # margin-0 zero-fill rows; SWAR fallback
-        ((200, 144), 0.05),     # tiny, gw=13 < one word; SWAR fallback
+        ((1920, 1080), 0.05),   # gw=120: not a multiple of 32; slim masks
+        ((3840, 2160), 0.05),   # 4K: lanes=1152
+        ((360, 240), 0.0),      # margin-0 zero-fill rows
+        ((200, 144), 0.05),     # tiny, gw=13 < one word
     ])
     def test_words_transposed_matches_oracle(self, rng, dims, vm):
         """The transposed pallas kernel (words on sublanes, frames on
