@@ -278,45 +278,17 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
         return run, "transposed"
 
     elif variant == "tctrl":
-        # Stream-bound control (VERDICT r2 directive 1): identical
-        # launch structure to the transposed kernels — same grid
-        # (nb, iters), same [1, lanes, block_b] rotating input blocks,
-        # same [1, b] resident accumulator — with the cheapest
-        # full-data-dependency math expressible (bit-0 mask + MXU
-        # ones-matmul).  Measures the max HBM GB/s this exact
+        # Stream-bound control (VERDICT r2 directive 1): the SHARED
+        # builder in bench.py — one place owns the control methodology
+        # (grid order, rotating blocks, resident accumulator, bit-0 +
+        # MXU ones-matmul math).  Measures the max HBM GB/s this exact
         # pallas/grid configuration achieves; kernel-vs-control is the
-        # efficiency number against the PRACTICAL ceiling.
-        def kernel(words_ref, acc_ref):
-            it = pl.program_id(1)
-            wT = words_ref[0]                          # [lanes, block_b]
-            ones = jnp.ones((1, lanes), jnp.float32)
-            counts = jax.lax.dot_general(
-                ones, (wT & 1).astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(jnp.int32)
-
-            @pl.when(it == 0)
-            def _init():
-                acc_ref[:] = counts
-
-            @pl.when(it != 0)
-            def _acc():
-                acc_ref[:] = acc_ref[:] + counts
-
-        sweep = pl.pallas_call(
-            kernel,
-            grid=(nb, iters),
-            in_specs=[pl.BlockSpec((1, lanes, block_b),
-                                   lambda jb, it: (it % k, 0, jb),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, block_b), lambda jb, it: (0, jb),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, b), jnp.int32),
-        )
-
-        # per-frame entries stay < 2^31 (<= lanes*iters); the cross-
-        # frame total would overflow int32, so sum host-side in int64
-        run = jax.jit(sweep)
+        # efficiency number against the PRACTICAL ceiling.  Per-frame
+        # entries stay < 2^31 (<= lanes*iters); the cross-frame total
+        # would overflow int32, so main() sums host-side in int64.
+        import bench as bench_mod
+        run = jax.jit(bench_mod.build_control_sweep_T(
+            k, lanes, b, block_b, iters))
         return run, "control"
 
     raise SystemExit(f"unknown variant {variant}")

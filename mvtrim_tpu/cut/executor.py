@@ -56,7 +56,20 @@ def _cut_cpus(cfg: Config) -> set[int] | None:
         log.warn(f"MVT_CUT_CPUSET empty: {cfg.cut_cpuset!r} — "
                  "cut runs unpinned")
         return None
-    return cpus
+    # sched_setaffinity rejects CPUs outside the process's allowed mask
+    # (offline ids, cgroup-restricted ids) with EINVAL — pin to the valid
+    # subset instead of letting one stale id fail every cut
+    avail = os.sched_getaffinity(0)
+    usable = cpus & avail
+    if not usable:
+        log.warn(f"MVT_CUT_CPUSET {sorted(cpus)} has no CPU available to "
+                 f"this process (allowed: {sorted(avail)}) — cut runs "
+                 "unpinned")
+        return None
+    if usable != cpus:
+        log.warn(f"MVT_CUT_CPUSET: CPUs {sorted(cpus - avail)} not "
+                 f"available to this process — pinning to {sorted(usable)}")
+    return usable
 
 
 @contextlib.contextmanager
@@ -158,9 +171,13 @@ def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
                   segs, cpus: set[int] | None = None) -> None:
     """Reference-exact external command over a concat list memfd.
 
-    When a cut cpuset is configured the child is confined via a preexec
-    sched_setaffinity — the syscall `taskset -c <list>` itself makes
-    (reference pipeline.cpp:500-515), without the extra wrapper process.
+    When a cut cpuset is configured the child is confined by pinning the
+    CALLING THREAD around the spawn: fork/exec children inherit the
+    spawning thread's affinity mask, so this lands the same
+    sched_setaffinity `taskset -c <list>` makes in the reference
+    (pipeline.cpp:500-515) — without a preexec_fn, which the subprocess
+    docs flag as deadlock-prone in threaded processes (the batch daemon
+    spawns cuts while decode threads are live).
     """
     lines = []
     for start, end in segs:
@@ -179,12 +196,8 @@ def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
             "-movflags", "+faststart",
             output_path,
         ]
-        preexec = None
-        if cpus is not None:
-            def preexec():  # runs in the child before exec, like taskset
-                os.sched_setaffinity(0, cpus)
-        res = subprocess.run(cmd, capture_output=True, text=True,
-                             preexec_fn=preexec)
+        with _thread_affinity(cpus):
+            res = subprocess.run(cmd, capture_output=True, text=True)
         if res.returncode != 0:
             raise RuntimeError(
                 f"ffmpeg exited {res.returncode}: {res.stderr.strip()[:500]}")

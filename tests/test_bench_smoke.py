@@ -42,3 +42,8 @@ def test_bench_emits_headline_json():
     assert rec.get("audit_failed") is None, rec
     assert rec["value"] > 0
     assert rec["impl"] == "xla-words"
+    # ADVICE r2: candidates that failed/skipped ABOVE the published one
+    # must be machine-visible in the metric of record — on CPU both
+    # pallas candidates skip, so the key must be present and name them
+    failed = {f["impl"] for f in rec["failed_candidates"]}
+    assert failed == {"pallas-words-T", "pallas-words"}, rec

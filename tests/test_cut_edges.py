@@ -281,3 +281,28 @@ class TestCutCpuset:
         rc = execute_cut(clip, out, [TimeSegment(1.0, 3.0)],
                          cfg=Config(cut_cpuset="4090-4093"))
         assert rc == 0 and os.path.exists(out)
+
+    def test_out_of_range_cpuset_external_falls_back(self, clip, tmp_path,
+                                                     capsys):
+        """A parseable-but-nonexistent cpuset must not fail EVERY external
+        cut (it previously raised EINVAL in the child's preexec): warn,
+        run unpinned, succeed."""
+        from mvtrim_tpu.core.config import Config
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = Config(ffmpeg_bin=os.path.join(repo, "parity",
+                                             "fake_ffmpeg.sh"),
+                     cut_cpuset="4090-4093")
+        rc = execute_cut(clip, str(tmp_path / "x.mp4"),
+                         [TimeSegment(1.0, 3.0)], cfg=cfg)
+        assert rc == 0
+        assert "no CPU available" in capsys.readouterr().out
+
+    def test_partially_valid_cpuset_pins_to_valid_subset(self, capsys):
+        """Stale ids in an otherwise valid set degrade to the usable
+        subset instead of EINVAL-ing the cut."""
+        from mvtrim_tpu.core.config import Config
+        from mvtrim_tpu.cut.executor import _cut_cpus
+        cpu = sorted(os.sched_getaffinity(0))[0]
+        got = _cut_cpus(Config(cut_cpuset=f"{cpu},4091"))
+        assert got == {cpu}
+        assert "not available" in capsys.readouterr().out
