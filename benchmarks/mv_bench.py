@@ -1,0 +1,359 @@
+"""Audited fused raw-MV kernel benchmark + variant shootout.
+
+Same validity-by-construction methodology as bench.py / sad_bench.py:
+ONE pallas launch whose grid spans all passes, rotating over K resident
+device buffers via index maps, per-frame cluster counts written to HBM
+every step, host-fetched after the full sequential grid and diffed
+frame-by-frame against the NumPy oracle (core/oracle.vote_grid +
+count_clusters), with the implied HBM GB/s gated against the chip
+roofline.
+
+Motivation: bench.py's fused-MV secondary times 20 whole-op dispatches
+through the tunnel — at 1024 frames/dispatch that measurement is
+dominated by the fixed ~28ms dispatch cost plus transfer, i.e. it
+bounds the *dispatch path*, not the kernel (the same artifact the
+round-3 window-length correction found for the cluster/SAD kernels).
+This harness measures the kernel itself and diagnoses where its time
+goes:
+
+    prod     the exact production step (ops/mv_vote._mv_frame_votes +
+             _cluster_map + 2D reduce), --fps frames per grid step
+    rollclu  production votes, roll-based cluster map
+             (ops/cluster.cluster_map_kernel) instead of pad/shift
+    bclu     --fps frames per step, per-frame vote matmuls stacked into
+             one [F, GH, GW] grid, ONE batched roll-based cluster map +
+             batched reduction per step (amortizes tiny-grid op count)
+    noclu    votes only; per-frame count = sum of votes (= kept MVs,
+             exact in f32) — isolates the cluster-map cost
+    ctrl     stream-bound control: same launch structure/blocks, per
+             frame just i32 sums of the four MV streams + the count —
+             the practical floor/ceiling of this launch configuration
+    ctrlmm   same, reductions via bf16 ones-matmul (near-zero VPU work)
+    prodsub / ctrlsub
+             the RETIRED round-2 layout, kept as regression evidence:
+             dst_x shipped a second time as a sublane-major [M, 1]
+             stream so the rhs one-hot could be built [M, GW] for an NN
+             dot.  That block is lane-padded 128x in VMEM and its DMA
+             writes M strided 4-byte rows (~1.5us/block) — ctrl==prod==
+             655k f/s with it vs 2.65M without: the DMA, not compute,
+             was the kernel's floor.
+
+Usage:
+    python benchmarks/mv_bench.py [--variants prod,bclu,noclu,ctrl]
+                                  [--fps F] [--buffers K] [--frames B]
+                                  [--iters N] [--m M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_variant(variant, geom, cfg, *, k, b, m, iters, fps):
+    """Returns jitted fn(dst_x, dst_y, src_x, src_y, dst_x_sub, counts)
+    -> per-frame int32 counts [B] for the last-written buffer."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mvtrim_tpu.ops import mv_vote
+    from mvtrim_tpu.ops.cluster import (_cluster_map, cluster_map_kernel)
+
+    bound = mv_vote.threshold_bound(cfg.mv_threshold_sq)
+    vec = cfg.vectors_needed
+    F = fps or 1
+    if b % F:
+        raise SystemExit(f"--frames {b} must be divisible by F={F}")
+    nb = b // F
+    # *sub variants ship dst_x a SECOND time as a sublane-major [M, 1]
+    # stream (whose VMEM block is lane-padded 128x and whose DMA writes
+    # M strided 4-byte rows) — the retired round-2 layout
+    use_sub = variant in ("ctrlsub", "prodsub")
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+
+    def frame_votes(refs, fi):
+        """The exact production vote step (lane-major NT one-hot dot)."""
+        dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, _, count = refs
+        return mv_vote._mv_frame_votes(
+            dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi], src_y_ref[fi],
+            count(fi), geom, bound, cfg.block_shift)
+
+    def votes_sub(refs, fi):
+        """Retired layout: rhs one-hot built [M, GW] from the sublane
+        stream, NN dot."""
+        dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, sub_ref, count = refs
+        dst_x, dst_y = dst_x_ref[fi], dst_y_ref[fi]          # [1, M]
+        dx = dst_x - src_x_ref[fi]
+        dy = dst_y - src_y_ref[fi]
+        mag = dx * dx + dy * dy
+        gx = jax.lax.shift_right_arithmetic(dst_x, cfg.block_shift)
+        gy = jax.lax.shift_right_arithmetic(dst_y, cfg.block_shift)
+        gx_sub = jax.lax.shift_right_arithmetic(sub_ref[fi],
+                                                cfg.block_shift)  # [M, 1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+        keep = ((idx < count(fi))
+                & (mag >= jnp.int32(bound))
+                & (gx >= 0) & (gx < geom.gw)
+                & (gy >= geom.y_min) & (gy < geom.y_max))    # [1, M]
+        rows_y = jax.lax.broadcasted_iota(jnp.int32, (gh_p, m), 0)
+        cols_x = jax.lax.broadcasted_iota(jnp.int32, (m, gw_p), 1)
+        one_y = ((rows_y == gy) & keep).astype(jnp.float32)  # [GH_p, M]
+        one_x = (cols_x == gx_sub).astype(jnp.float32)       # [M, GW_p]
+        return jax.lax.dot_general(
+            one_y, one_x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [GH_p, GW_p]
+
+    def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,
+               *rest):
+        if use_sub:
+            sub_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+            sub_ref = None
+        it = pl.program_id(0)
+        j = pl.program_id(1)
+        base = (it % k) * b + j * F
+
+        def count(fi):
+            return count_ref[base + fi]
+
+        refs = (dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, sub_ref, count)
+
+        def mm_sum(v_ref, fi):
+            """Exact cheap reduction of [1, M] i32 via bf16 ones-matmul:
+            mask to 8 bits (bf16-exact), f32 accumulation."""
+            v = (v_ref[fi] & 255).astype(jnp.bfloat16)       # [1, M]
+            return jax.lax.dot_general(
+                v, jnp.ones((m, 1), jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [1, 1]
+
+        if variant in ("ctrl", "ctrlsub"):
+            for fi in range(F):
+                s = (jnp.sum(dst_x_ref[fi], axis=1, keepdims=True)
+                     + jnp.sum(dst_y_ref[fi], axis=1, keepdims=True)
+                     + jnp.sum(src_x_ref[fi], axis=1, keepdims=True)
+                     + jnp.sum(src_y_ref[fi], axis=1, keepdims=True)
+                     + count(fi).reshape(1, 1))
+                if use_sub:
+                    s = s + jnp.sum(sub_ref[fi], axis=0, keepdims=True)
+                out_ref[fi] = s.reshape(1, 1)
+        elif variant == "ctrlmm":
+            # 4 lane-major streams only, reductions on the MXU: the
+            # launch-structure floor with near-zero VPU work
+            for fi in range(F):
+                s = (mm_sum(dst_x_ref, fi) + mm_sum(dst_y_ref, fi)
+                     + mm_sum(src_x_ref, fi) + mm_sum(src_y_ref, fi))
+                out_ref[fi] = (s.astype(jnp.int32)
+                               + count(fi)).reshape(1, 1)
+        elif variant == "noclu":
+            for fi in range(F):
+                v = frame_votes(refs, fi)                 # [GH, GW] f32
+                s = jnp.sum(v, axis=1, keepdims=True)     # [GH, 1]
+                out_ref[fi] = jnp.sum(s, axis=0, keepdims=True
+                                      ).astype(jnp.int32).reshape(1, 1)
+        elif variant == "bclu":
+            grids = jnp.stack(
+                [frame_votes(refs, fi).astype(jnp.int32)
+                 for fi in range(F)], axis=0)             # [F, GH, GW]
+            cl = cluster_map_kernel(grids, geom, vec).astype(jnp.int32)
+            rows = jnp.sum(cl, axis=2)                    # [F, GH]
+            out_ref[:] = jnp.sum(rows, axis=1, keepdims=True
+                                 ).reshape(F, 1, 1)
+        else:
+            assert variant in ("prod", "rollclu", "prodsub"), variant
+            body = cluster_map_kernel if variant == "rollclu" else (
+                _cluster_map)
+            mk = votes_sub if variant == "prodsub" else frame_votes
+            for fi in range(F):
+                v = mk(refs, fi).astype(jnp.int32)
+                cl = body(v, geom, vec).astype(jnp.int32)
+                rows = jnp.sum(cl, axis=1, keepdims=True)  # [GH, 1]
+                out_ref[fi] = jnp.sum(rows, axis=0, keepdims=True
+                                      ).reshape(1, 1)
+
+    mv_spec = pl.BlockSpec((F, 1, m), lambda it, j, *_: ((it % k) * nb + j,
+                                                         0, 0),
+                           memory_space=pltpu.VMEM)
+    sub_spec = pl.BlockSpec((F, m, 1), lambda it, j, *_: ((it % k) * nb + j,
+                                                          0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [mv_spec] * 4 + ([sub_spec] if use_sub else [])
+    sweep = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(iters, nb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((F, 1, 1), lambda it, j, *_: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def run(dst_x, dst_y, src_x, src_y, sub, counts):
+        args = (counts, dst_x, dst_y, src_x, src_y)
+        if use_sub:
+            args = args + (sub,)
+        return sweep(*args)[:, 0, 0]
+
+    return run
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="ctrl,noclu,prod,bclu")
+    ap.add_argument("--fps", type=int, default=None,
+                    help="frames per grid step (default 1, the product op)")
+    ap.add_argument("--buffers", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--m", type=int, default=2048)
+    # fixed ~28ms dispatch cost: keep the launch >= ~0.7s of device work
+    ap.add_argument("--iters", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+
+    from mvtrim_tpu.core.config import Config
+    from mvtrim_tpu.core.types import GridGeometry
+    from mvtrim_tpu.core import oracle
+    from mvtrim_tpu.core.oracle import count_clusters_batch
+    from mvtrim_tpu.ops import mv_vote
+    import bench as bench_mod
+
+    dev = jax.devices()[0]
+    roofline = bench_mod._roofline_gbps(dev)
+    cfg = Config()
+    geom = GridGeometry.build(1920, 1080, cfg)
+    k, b, m, iters = args.buffers, args.frames, args.m, args.iters
+    bound = mv_vote.threshold_bound(cfg.mv_threshold_sq)
+    # 4 lane-major int32 streams (the *sub legacy variants add a fifth,
+    # sublane-major dst_x copy — accounted per-variant below)
+    bytes_per_frame = 4 * m * 4
+    print(f"device: {dev} | grid {geom.gw}x{geom.gh} | M={m} "
+          f"({bytes_per_frame} B/frame) | K={k} B={b} iters={iters} "
+          f"fps={args.fps or 1}", file=sys.stderr)
+
+    rng = np.random.default_rng(7)
+    dst_x = rng.integers(-32, 1920 + 32, size=(k, b, m)).astype(np.int32)
+    dst_y = rng.integers(-32, 1080 + 32, size=(k, b, m)).astype(np.int32)
+    src_x = (dst_x - rng.integers(-8, 9, size=(k, b, m))).astype(np.int32)
+    src_y = (dst_y - rng.integers(-8, 9, size=(k, b, m))).astype(np.int32)
+    counts = rng.integers(0, m + 1, size=(k, b)).astype(np.int32)
+
+    # ---- host-side expectations (vectorized; cross-checked vs oracle) ----
+    last = (iters - 1) % k
+    dx = dst_x.astype(np.int64) - src_x
+    dy = dst_y.astype(np.int64) - src_y
+    mag = dx * dx + dy * dy
+    gx = dst_x >> cfg.block_shift
+    gy = dst_y >> cfg.block_shift
+    idx_ok = np.arange(m)[None, None, :] < counts[:, :, None]
+    keep = (idx_ok & (mag >= bound) & (gx >= 0) & (gx < geom.gw)
+            & (gy >= geom.y_min) & (gy < geom.y_max))
+    kept_counts = keep.sum(axis=2).astype(np.int64)       # [K, B]
+
+    flat = (np.arange(b)[:, None] * (geom.gh * geom.gw)
+            + gy[last] * geom.gw + gx[last])
+    votes = np.bincount(flat[keep[last]].ravel(),
+                        minlength=b * geom.gh * geom.gw
+                        ).reshape(b, geom.gh, geom.gw)
+    votes = np.minimum(votes, 255)
+    expected_clusters = count_clusters_batch(
+        votes, vectors_needed=cfg.vectors_needed,
+        y_min=geom.y_min, y_max=geom.y_max).astype(np.int64)
+
+    # cross-check the vectorized restatement against the real oracle
+    for fi in (0, 1, b - 1):
+        n = int(counts[last, fi])
+        mvs = np.stack([dst_x[last, fi, :n], dst_y[last, fi, :n],
+                        src_x[last, fi, :n], src_y[last, fi, :n]], axis=1)
+        g = oracle.vote_grid(mvs, geom.gw, geom.gh,
+                             threshold_sq=cfg.mv_threshold_sq,
+                             block_shift=cfg.block_shift,
+                             y_min=geom.y_min, y_max=geom.y_max)
+        assert expected_clusters[fi] == oracle.count_clusters(
+            g, vectors_needed=cfg.vectors_needed,
+            y_min=geom.y_min, y_max=geom.y_max), f"oracle mismatch {fi}"
+
+    ctrl_expected = (dst_x[last].astype(np.int64).sum(axis=1)
+                     + dst_y[last].astype(np.int64).sum(axis=1)
+                     + src_x[last].astype(np.int64).sum(axis=1)
+                     + src_y[last].astype(np.int64).sum(axis=1)
+                     + counts[last])
+    # ctrlsub reads dst_x twice (the second, sublane-major copy)
+    ctrlsub_expected = ctrl_expected + dst_x[last].astype(np.int64).sum(axis=1)
+    ctrlmm_expected = sum((a[last].astype(np.int64) & 255).sum(axis=1)
+                          for a in (dst_x, dst_y, src_x, src_y)
+                          ) + counts[last]
+
+    flat3 = lambda a: jax.device_put(
+        np.ascontiguousarray(a.reshape(k * b, 1, m)))
+    d_args = (flat3(dst_x), flat3(dst_y), flat3(src_x), flat3(src_y),
+              jax.device_put(np.ascontiguousarray(
+                  dst_x.reshape(k * b, m, 1))),
+              jax.device_put(counts.reshape(k * b)))
+
+    analyzed = b * iters
+    results = {}
+    for variant in args.variants.split(","):
+        variant = variant.strip()
+        try:
+            run = build_variant(variant, geom, cfg, k=k, b=b, m=m,
+                                iters=iters, fps=args.fps)
+            t0 = time.perf_counter()
+            out = np.asarray(run(*d_args))       # compile + first pass
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = np.asarray(run(*d_args))
+            dt = time.perf_counter() - t0
+        except Exception as e:
+            print(f"{variant}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        out64 = out.astype(np.int64)
+        if variant in ("ctrl", "ctrlsub"):
+            # device sums are int32; compare modulo 2^32
+            exp = ctrlsub_expected if variant == "ctrlsub" else ctrl_expected
+            ok = np.array_equal(out64 & 0xFFFFFFFF, exp & 0xFFFFFFFF)
+        elif variant == "ctrlmm":
+            ok = np.array_equal(out64, ctrlmm_expected)
+        elif variant == "noclu":
+            ok = np.array_equal(out64, kept_counts[last])
+        else:
+            ok = np.array_equal(out64, expected_clusters)
+        fps_meas = analyzed / dt
+        # *sub legacy variants stream a fifth, sublane-major dst_x copy
+        bpf = 5 * m * 4 if variant in (
+            "ctrlsub", "prodsub") else bytes_per_frame
+        valid, implied, pct = bench_mod._audit(
+            f"mv/{variant}", fps_meas, bpf, roofline, ok)
+        results[variant] = {"frames_per_sec": round(fps_meas),
+                            "implied_gbps": round(implied, 1),
+                            "pct_roofline": round(pct, 1),
+                            "audited": bool(valid),
+                            "compile_s": round(compile_s, 1)}
+
+    print(json.dumps({"metric": "mv_fused_frames_per_sec",
+                      "m": m, "bytes_per_frame": bytes_per_frame,
+                      "fps_per_step": args.fps or 1,
+                      "roofline_gbps": roofline,
+                      "variants": results}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

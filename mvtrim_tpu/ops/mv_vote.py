@@ -5,19 +5,26 @@ with a TPU-native formulation: the scatter of MVs into the [gh, gw] grid is
 an **outer product of two one-hot matrices on the MXU**:
 
     votes[y, x] = sum_k keep_k * 1(gy_k == y) * 1(gx_k == x)
-                = A @ B     with  A[y, k] = keep_k * 1(gy_k == y)   # [GH, M]
-                                  B[k, x] = 1(gx_k == x)            # [M, GW]
+                = A @ Bt^T   with  A[y, k] = keep_k * 1(gy_k == y)  # [GH, M]
+                                   Bt[x, k] = 1(gx_k == x)          # [GW, M]
 
 so thresholding + scatter + cluster detection run fused on-device with one
 HBM read of the MV fields per frame.
 
-Layout discipline (measured on v5e): the one-hots are built *inside* the
-kernel in the layout the dot wants — A lane-major over k (from [1, M]
-fields), B sublane-major over k (from [M, 1] fields) — so no transposes or
-HBM materialization happen; and they are float32, not bfloat16 (the bf16
-one-hot path lowers ~10-25x slower in Mosaic for these shapes).  dst_x is
-passed in both layouts; that costs 8KB of VMEM per frame and saves a
-relayout.
+Layout discipline (measured on v5e, benchmarks/mv_bench.py): BOTH one-hots
+are built *inside* the kernel **lane-major over k** (broadcast from the
+[1, M] field rows) and contracted with an NT ``dot_general`` (contracting
+dims (1,), (1,)) — Mosaic takes the transposed rhs natively.  They are
+float32, not bfloat16 (the bf16 one-hot path lowers ~10-25x slower in
+Mosaic for these shapes).  The round-3 shootout caught the earlier design
+— which passed dst_x in a SECOND, sublane-major [M, 1] copy so the rhs
+one-hot could be built [M, GW] for a plain NN dot — costing 2.46x: a
+[M, 1] VMEM block is lane-padded 128x (1MB for 8KB of data at M=2048)
+and its HBM->VMEM DMA writes M strided 4-byte rows, ~1.5us per block —
+that DMA, not compute, was the old kernel's floor (ctrl == prod with it;
+audited same-session numbers at M=2048: prodsub 687k frames/s vs prod
+1.69M, with the votes-only path at 2.04M and the launch-structure
+stream control at 3.27M — see benchmarks/mv_bench.py).
 
 Exactness notes:
 
@@ -61,15 +68,18 @@ def threshold_bound(threshold_sq: float) -> int:
     return int(math.ceil(threshold_sq))
 
 
-def _mv_frame_votes(dst_x, dst_y, src_x, src_y, dst_x_sub, count,
+def _mv_frame_votes(dst_x, dst_y, src_x, src_y, count,
                     geom: GridGeometry, bound: int, block_shift: int,
                     idx_offset: int = 0):
     """Fused per-frame vote accumulation.
 
-    dst_x/dst_y/src_x/src_y are [1, M] int32 (lane-major), dst_x_sub is the
-    same dst_x data as [M, 1] (sublane-major), count is a scalar int32.
-    ``idx_offset`` shifts the validity iota when the caller feeds an
-    M-chunk of a larger MV list.  Returns f32 votes [GH_p, GW_p].
+    dst_x/dst_y/src_x/src_y are [1, M] int32 (lane-major), count is a
+    scalar int32.  ``idx_offset`` shifts the validity iota when the caller
+    feeds an M-chunk of a larger MV list.  Returns f32 votes [GH_p, GW_p].
+
+    Both one-hots are built lane-major over k and contracted with an NT
+    dot_general — see the module docstring for why no sublane-major
+    operand may be introduced here (4.0x, measured).
     """
     m = dst_x.shape[-1]
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
@@ -79,7 +89,6 @@ def _mv_frame_votes(dst_x, dst_y, src_x, src_y, dst_x_sub, count,
     mag = dx * dx + dy * dy
     gx = jax.lax.shift_right_arithmetic(dst_x, block_shift)      # [1, M]
     gy = jax.lax.shift_right_arithmetic(dst_y, block_shift)      # [1, M]
-    gx_sub = jax.lax.shift_right_arithmetic(dst_x_sub, block_shift)  # [M, 1]
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) + idx_offset
     keep = ((idx < count)
@@ -88,13 +97,13 @@ def _mv_frame_votes(dst_x, dst_y, src_x, src_y, dst_x_sub, count,
             & (gy >= geom.y_min) & (gy < geom.y_max))            # [1, M]
 
     rows_y = jax.lax.broadcasted_iota(jnp.int32, (gh_p, m), 0)
-    cols_x = jax.lax.broadcasted_iota(jnp.int32, (m, gw_p), 1)
+    rows_x = jax.lax.broadcasted_iota(jnp.int32, (gw_p, m), 0)
     one_y = ((rows_y == gy) & keep).astype(jnp.float32)          # [GH_p, M]
-    one_x = (cols_x == gx_sub).astype(jnp.float32)               # [M, GW_p]
+    one_xt = (rows_x == gx).astype(jnp.float32)                  # [GW_p, M]
 
     return jax.lax.dot_general(
-        one_y, one_x,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        one_y, one_xt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                            # [GH_p, GW_p]
 
@@ -108,8 +117,7 @@ def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
 
     def frame(dst_x, dst_y, src_x, src_y, count):
         votes = _mv_frame_votes(dst_x[None, :], dst_y[None, :],
-                                src_x[None, :], src_y[None, :],
-                                dst_x[:, None], count,
+                                src_x[None, :], src_y[None, :], count,
                                 geom, bound, block_shift)
         return _cluster_body(votes.astype(jnp.int32), geom, vectors_needed)
 
@@ -124,17 +132,18 @@ def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
 def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                               block_shift: int, vectors_needed: int,
                               clusters_needed: int, interpret: bool = False,
-                              m_chunk: int = 2048, frames_per_step: int = 1):
+                              m_chunk: int = 2048, frames_per_step: int = 16):
     """Pallas implementation: ``frames_per_step`` frames per grid step,
     everything in VMEM.
 
     The MV count array rides as a scalar-prefetch arg (SMEM) so the keep
     mask is computed without an extra VMEM stream.  Multi-frame steps
-    measured NEUTRAL here (F=1/8/16: 227k/226k/233k frames/s at M=2048 —
-    unlike the SAD kernel, this one is compute-bound on the one-hot
-    construction + matmul, and pipelined dispatch already hides the
-    per-step cost), so the default stays 1; the parameter is kept for
-    sweeps.  MV capacities larger than ``m_chunk`` are
+    amortize the per-step pipeline cost (audited sweep at M=2048,
+    benchmarks/mv_bench.py: F=1/4/8/16/32 = 1.69/3.15/3.63/4.00M
+    frames/s with F=32 flat) — an earlier "F is neutral" reading was an
+    artifact of the retired sublane-stream DMA floor (see module
+    docstring); the default is 16 (the knee; 512KB of double-buffered
+    stream blocks).  MV capacities larger than ``m_chunk`` are
     accumulated via a fori_loop so the one-hot operands fit VMEM at any
     geometry (4K + M=16384 in one shot exceeds the ~16MB limit; a
     static unroll keeps every chunk resident and fails too).  2048 is
@@ -146,12 +155,11 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     F = max(1, frames_per_step)
 
     def frame_votes(count, fi, dst_x_ref, dst_y_ref, src_x_ref,
-                    src_y_ref, dst_x_sub_ref, m):
+                    src_y_ref, m):
         if m <= m_chunk:
             return _mv_frame_votes(
                 dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
-                src_y_ref[fi], dst_x_sub_ref[fi], count, geom, bound,
-                block_shift)
+                src_y_ref[fi], count, geom, bound, block_shift)
 
         # fori_loop (not a static unroll): one chunk's one-hot operands
         # live at a time, or the scheduler keeps them all resident and
@@ -163,8 +171,7 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
             sl = pl.ds(off, m_chunk)
             return votes + _mv_frame_votes(
                 dst_x_ref[fi, :, sl], dst_y_ref[fi, :, sl],
-                src_x_ref[fi, :, sl], src_y_ref[fi, :, sl],
-                dst_x_sub_ref[fi, sl, :], count,
+                src_x_ref[fi, :, sl], src_y_ref[fi, :, sl], count,
                 geom, bound, block_shift, idx_offset=off)
 
         return jax.lax.fori_loop(
@@ -172,14 +179,13 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
             jnp.zeros((geom.padded_gh, geom.padded_gw), jnp.float32))
 
     def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,
-               dst_x_sub_ref, counts_ref):
+               counts_ref):
         j = pl.program_id(0)
         m = dst_x_ref.shape[-1]
         for fi in range(F):
             votes = frame_votes(
                 count_ref[j * F + fi], fi,
-                dst_x_ref, dst_y_ref, src_x_ref,
-                src_y_ref, dst_x_sub_ref, m)
+                dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, m)
             cluster = _cluster_map(votes.astype(jnp.int32), geom,
                                    vectors_needed).astype(jnp.int32)
             # keep every reduction step >=2D: [GH,GW]->[1,GW]->[1,1]
@@ -212,14 +218,12 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
         lane = lambda a: a.reshape(bp, 1, m)
         mv_spec = pl.BlockSpec((F, 1, m), lambda j, *_: (j, 0, 0),
                                memory_space=pltpu.VMEM)
-        sub_spec = pl.BlockSpec((F, m, 1), lambda j, *_: (j, 0, 0),
-                                memory_space=pltpu.VMEM)
         n = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nb,),
-                in_specs=[mv_spec] * 4 + [sub_spec],
+                in_specs=[mv_spec] * 4,
                 out_specs=pl.BlockSpec((F, 1, 1), lambda j, *_: (j, 0, 0),
                                        memory_space=pltpu.VMEM),
             ),
@@ -227,8 +231,7 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(counts, lane(dst_x), lane(dst_y), lane(src_x), lane(src_y),
-          dst_x.reshape(bp, m, 1))
+        )(counts, lane(dst_x), lane(dst_y), lane(src_x), lane(src_y))
         n = n[:b, 0, 0]
         return n, n >= jnp.int32(max(1, clusters_needed))
 
