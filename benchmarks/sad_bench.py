@@ -33,6 +33,28 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_PROD_MODES = {"": "hilo", "hp": "highest", "dc": "dcfirst",
+               "vr": "vpurow"}
+
+
+def parse_prod(variant):
+    """``prod[hp|dc|vr][f<F>]`` -> (col_mode, F_override or None), else
+    None.  The suffix picks the exact column-reduction mode
+    (ops/sad.sad_step_counts) and optionally overrides frames-per-step
+    for launch-ceiling probes."""
+    if not variant.startswith("prod"):
+        return None
+    rest = variant[4:]
+    f_override = None
+    if "f" in rest:
+        rest, _, digits = rest.partition("f")
+        if not digits.isdigit():
+            return None
+        f_override = int(digits)
+    mode = _PROD_MODES.get(rest)
+    return None if mode is None else (mode, f_override)
+
+
 def build_variant(variant, geom, cfg, *, k, b, iters):
     """Returns a jitted fn(stacked) -> device motion total (int32)."""
     import jax
@@ -296,8 +318,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
                            jnp.int32 if prev_i32 else jnp.uint8),
                 pltpu.VMEM((gh_p, gw_p), jnp.int32)],
         )
-    elif variant in ("prod", "prodhp", "proddc") or (
-            variant.startswith("prodf") and variant[5:].isdigit()):
+    elif parse_prod(variant) is not None:
         # The REAL production kernel (ops/sad.make_sad_kernel — the
         # exact kernel body models/sad_detector.py dispatches), chained
         # over (iters, nb) in one launch with per-frame counts written
@@ -308,10 +329,8 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         # early transport cannot fake a result.  (An earlier fori_loop+
         # switch formulation over jit-captured resident buffers blew the
         # remote-compile request-size limit: HTTP 413.)
-        # prodf<F> overrides the VMEM-aware frames-per-step (ceiling
-        # probes; the product op always uses sad_frames_per_step)
-        F = (int(variant[5:]) if variant.startswith("prodf")
-             else sad_ops.sad_frames_per_step(geom, bs))
+        col_mode, f_override = parse_prod(variant)
+        F = f_override or sad_ops.sad_frames_per_step(geom, bs)
         if (b - 1) % F:
             raise SystemExit(
                 f"prod variant needs (frames-1) % {F} == 0 "
@@ -319,9 +338,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
                 f"{((b - 1) // F) * F + 1}")
         nb = (b - 1) // F
         kernel = sad_ops.make_sad_kernel(
-            geom, bs, bound, F, step_axis=1,
-            col_mode={"prodhp": "highest", "proddc": "dcfirst"}.get(
-                variant, "hilo"))
+            geom, bs, bound, F, step_axis=1, col_mode=col_mode)
 
         sweep = pl.pallas_call(
             kernel,
@@ -504,9 +521,7 @@ def main() -> int:
     prod_inputs = prod_expected = None
     for variant in args.variants.split(","):
         variant = variant.strip()
-        is_prod = (variant in ("prod", "prodhp", "proddc")
-                   or (variant.startswith("prodf")
-                       and variant[5:].isdigit()))
+        is_prod = parse_prod(variant) is not None
         is_ctrl = (variant == "ctrl" or (variant.startswith("ctrlf")
                                          and variant[5:].isdigit()))
         if (is_prod or is_ctrl) and prod_inputs is None:

@@ -155,17 +155,36 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
             preferred_element_type=jnp.float32)          # [gh_p, 2*gw_p]
         sad = 256.0 * out[:, :gw_p] + out[:, gw_p:]
         return _cluster_from_grid(sad.astype(jnp.int32), geom, bound)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
-    r_ind = (rows // block_size ==
-             jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
-             ).astype(jnp.bfloat16)                      # [gh_p, H_p]
-    row_sum = jax.lax.dot_general(
-        r_ind, diff_i32.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [gh_p, W_p]
-    if col_mode == "hilo":
-        hi = jnp.floor(row_sum * (1.0 / 256.0))          # <= 15, exact
-        lo = row_sum - 256.0 * hi                        # <= 255, exact
+    if col_mode == "vpurow":
+        # Row reduction on the VPU: split the SUBLANE dim (legal —
+        # only lane-dim reshapes have no Mosaic lowering) and sum the
+        # block_size sublanes per block-row in exact int32, leaving the
+        # MXU only the 16x-smaller hi/lo column matmul.  MEASURED A
+        # CLEAR LOSS on v5e (165k/143k frames/s at F=4/F=8 vs the MXU
+        # row matmul's 251k/261k, same session): Mosaic's sublane
+        # reshape-sums cost far more than the dense row-indicator
+        # matmul, despite the latter's ~M_pad(128)·H_p·W_p slot-cycles
+        # ≈ the frame's own HBM time — the MXU pass overlaps the
+        # stream; the VPU pass doesn't.  Kept for the shootout
+        # (sad_bench ``prodvr``); never the default.
+        row_sum = jnp.sum(
+            diff_i32.reshape(gh_p, block_size, w_p), axis=1)
+        hi_i = jax.lax.shift_right_logical(row_sum, 8)   # <= 15, exact
+        lo_i = jnp.bitwise_and(row_sum, 255)             # <= 255, exact
+        hi, lo = hi_i.astype(jnp.float32), lo_i.astype(jnp.float32)
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
+        r_ind = (rows // block_size ==
+                 jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
+                 ).astype(jnp.bfloat16)                  # [gh_p, H_p]
+        row_sum = jax.lax.dot_general(
+            r_ind, diff_i32.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [gh_p, W_p]
+    if col_mode in ("hilo", "vpurow"):
+        if col_mode == "hilo":
+            hi = jnp.floor(row_sum * (1.0 / 256.0))      # <= 15, exact
+            lo = row_sum - 256.0 * hi                    # <= 255, exact
         both = jnp.concatenate([hi, lo], axis=0).astype(
             jnp.bfloat16)                                # [2*gh_p, W_p]
         c_ind = (cols // block_size ==
@@ -188,17 +207,21 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
 
 
 def sad_frames_per_step(geom: GridGeometry, block_size: int,
-                        requested: int = 4) -> int:
-    """VMEM-aware frames-per-step: the frames block is double-buffered
-    AND the kernel's per-frame int32/bf16 diff temporaries live on the
-    same scoped-VMEM stack (~6x frame_bytes in flight), so cap the
-    frames block at ~12MB: F=4 at 1080p's 2.4MB frames, F=1 at 4K's
-    ~8.9MB (F=2 at 4K measured 101.09M > the 100M scoped limit).
-    Shared by the product op and benchmarks/sad_bench.py's prod variant
-    so the bench measures the kernel the detector actually builds."""
+                        requested: int = 8) -> int:
+    """VMEM-aware frames-per-step against the kernel's 100MB scoped
+    budget: the frames block is double-buffered (2·F·fb) and the carry
+    block, u8 scratch, and per-frame int32/bf16 diff temporaries cost a
+    further ~8·fb on the same scoped-VMEM stack, so
+    F <= (budget/fb - 8) / 2.  Anchors: F=8 at 1080p's 2.36MB frames
+    compiles and runs (audited 260.8-261.7k frames/s, +4% over F=4 —
+    benchmarks/sad_bench.py prodf8); F=2 at 4K's ~8.9MB measured
+    101.09MB > the 100MB limit, so 4K stays F=1.  Shared by the product
+    op and the bench's prod variant so the bench measures the kernel
+    the detector actually builds."""
     frame_bytes = (geom.padded_gh * block_size) * (geom.padded_gw *
                                                    block_size)
-    return max(1, min(requested, 12 * 1024 * 1024 // frame_bytes))
+    budget_frames = (100 * 1024 * 1024 // frame_bytes - 8) // 2
+    return max(1, min(requested, budget_frames))
 
 
 def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,
@@ -234,7 +257,7 @@ def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,
 def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
                        block_size: int, clusters_needed: int,
                        height: int, width: int, interpret: bool = False,
-                       frames_per_step: int = 4):
+                       frames_per_step: int = 8):
     """Pallas: ``frames_per_step`` frames per grid step (in-block
     consecutive diffs + one against the VMEM scratch carry — one HBM
     read per frame), block reductions via two block-indicator matmuls

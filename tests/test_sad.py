@@ -66,6 +66,30 @@ class TestSADKernels:
         cp, _ = op_p(luma)
         np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
 
+    @pytest.mark.parametrize(
+        "col_mode", ["hilo", "highest", "dcfirst", "vpurow"])
+    def test_col_modes_match_oracle(self, rng, col_mode):
+        """Every exact column-reduction mode of the per-frame SAD math
+        (ops/sad.sad_step_counts — the body both the product kernel and
+        the sad_bench shootout dispatch) is oracle-exact.  CPU/interpret
+        compute true f32, so the bf16 *rounding* hazards these modes
+        exist to avoid are only provable on hardware
+        (test_tpu_smoke.py::test_sad_kernel_near_threshold_exact_on_device);
+        this pins the reshape/split/matmul plumbing itself."""
+        import jax.numpy as jnp
+
+        luma = self.random_luma(rng, n=4)
+        bound = sad_ops.sad_threshold_sum(CFG.sad_threshold, CFG.block_size)
+        expect = sad_oracle_counts(
+            luma, GEOM, sad_threshold=CFG.sad_threshold,
+            block_size=CFG.block_size)
+        x = luma.astype(np.int32)
+        for i, e in enumerate(expect):
+            diff = jnp.abs(jnp.asarray(x[i + 1] - x[i]))
+            got = int(sad_ops.sad_step_counts(
+                diff, GEOM, CFG.block_size, bound, col_mode=col_mode))
+            assert got == e, (col_mode, i, got, e)
+
     @pytest.mark.parametrize("fps_n", [1, 2, 3, 4])
     def test_pallas_frames_per_step_parity(self, rng, fps_n):
         """The multi-frame-step kernel is exact at every F, including
