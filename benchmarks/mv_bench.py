@@ -34,9 +34,10 @@ goes:
              dst_x shipped a second time as a sublane-major [M, 1]
              stream so the rhs one-hot could be built [M, GW] for an NN
              dot.  That block is lane-padded 128x in VMEM and its DMA
-             writes M strided 4-byte rows (~1.5us/block) — ctrl==prod==
-             655k f/s with it vs 2.65M without: the DMA, not compute,
-             was the kernel's floor.
+             writes M strided 4-byte rows (~1.5us/block) — audited
+             sweep at M=2048, F=1: prodsub 687k frames/s == its own
+             ctrlsub, vs prod 1.69M (ctrl 3.27M): the DMA, not
+             compute, was the kernel's floor.
 
 Usage:
     python benchmarks/mv_bench.py [--variants prod,bclu,noclu,ctrl]

@@ -173,6 +173,15 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
         lo_i = jnp.bitwise_and(row_sum, 255)             # <= 255, exact
         hi, lo = hi_i.astype(jnp.float32), lo_i.astype(jnp.float32)
     else:
+        # One dense [gh_p, H_p] row-indicator matmul.  Three
+        # restructurings tried to beat it on hardware and all LOST
+        # (v5e, audited): column-first ordering (dcfirst: neutral at
+        # 1080p, -34% at 4K), VPU sublane row-sums (vpurow: 1.6x
+        # slower), and a <=128-block-row STRIP decomposition (each
+        # strip [m_i, m_i*bs] against a static row slice — fewer MACs
+        # under an M-chunking cost model, but measured 38.4k vs 49.7k
+        # 4K frames/s, -23%: two narrow matmuls pipeline worse in
+        # Mosaic than one fat one).  Keep the single dot.
         rows = jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 1)
         r_ind = (rows // block_size ==
                  jax.lax.broadcasted_iota(jnp.int32, (gh_p, h_p), 0)
