@@ -84,10 +84,13 @@ def make_sad_op_xla(geom: GridGeometry, *, sad_threshold: float,
 
 def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
                     bound: int, *, col_mode: str = "hilo"):
-    """Cluster count for one |cur-prev| int32 frame diff — the SAD
-    kernel's per-frame math (shared by the product op and the
+    """Cluster count for one |cur-prev| frame diff — the SAD kernel's
+    per-frame math (shared by the product op and the
     benchmarks/sad_bench.py shootout so the bench measures the real
-    production math).
+    production math).  ``diff_i32`` may be int32 (the product kernel —
+    bf16 diffs measured ~14% slower, see make_sad_kernel) or bfloat16
+    (exact for the matmul col_modes by the <=255 bound); vpurow
+    requires int32 (its sublane partials up to 4080 are not bf16-exact).
 
     Row blocks as a bf16 indicator matmul on the MXU: R[g, r] = 1 if
     row r belongs to block-row g; |diff| <= 255 is bf16-exact and the
@@ -167,6 +170,7 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
         # ≈ the frame's own HBM time — the MXU pass overlaps the
         # stream; the VPU pass doesn't.  Kept for the shootout
         # (sad_bench ``prodvr``); never the default.
+        assert diff_i32.dtype == jnp.int32, diff_i32.dtype
         row_sum = jnp.sum(
             diff_i32.reshape(gh_p, block_size, w_p), axis=1)
         hi_i = jax.lax.shift_right_logical(row_sum, 8)   # <= 15, exact
@@ -244,6 +248,12 @@ def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,
     axis 1); ``col_mode`` selects the exact column-reduction variant
     (see sad_step_counts)."""
 
+    # The diff stays int32 — the fastest legal VPU compute dtype here.
+    # A bf16-diff formulation (bit-exact: u8 diffs <= 255 are bf16-
+    # exact) was tried to halve the full-frame scoped-VMEM temporaries
+    # and DID un-block F=2 at 4K, but the bf16 arithmetic itself costs
+    # ~14% (4K F=1: 42.8k vs 49.7k frames/s), so bf16 F=2 (48.1k) at
+    # best ties int32 F=1 — negative result #4, reverted.
     def kernel(carry_ref, frames_ref, counts_ref, prev_ref):
         j = pl.program_id(step_axis)
 
