@@ -217,13 +217,16 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="ctrl,noclu,prod,bclu")
-    ap.add_argument("--fps", type=int, default=None,
-                    help="frames per grid step (default 1, the product op)")
+    ap.add_argument("--fps", type=int, default=16,
+                    help="frames per grid step (default 16 — tracks the "
+                         "product op's make_mv_cluster_op_pallas default; "
+                         "pass 1 for the per-frame floor)")
     ap.add_argument("--buffers", type=int, default=4)
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--m", type=int, default=2048)
     # fixed ~28ms dispatch cost: keep the launch >= ~0.7s of device work
-    ap.add_argument("--iters", type=int, default=512)
+    # (prod at F=16 runs ~4M frames/s -> 1024 frames x 4096 iters ~= 1s)
+    ap.add_argument("--iters", type=int, default=4096)
     args = ap.parse_args()
 
     import jax
@@ -303,15 +306,17 @@ def main() -> int:
 
     flat3 = lambda a: jax.device_put(
         np.ascontiguousarray(a.reshape(k * b, 1, m)))
+    wanted = [v.strip() for v in args.variants.split(",")]
+    # the fifth, sublane-major dst_x copy (k*b*m*4 bytes over the slow
+    # tunnel) is only read by the retired *sub variants — upload lazily
+    sub = (jax.device_put(np.ascontiguousarray(dst_x.reshape(k * b, m, 1)))
+           if any(v in ("ctrlsub", "prodsub") for v in wanted) else None)
     d_args = (flat3(dst_x), flat3(dst_y), flat3(src_x), flat3(src_y),
-              jax.device_put(np.ascontiguousarray(
-                  dst_x.reshape(k * b, m, 1))),
-              jax.device_put(counts.reshape(k * b)))
+              sub, jax.device_put(counts.reshape(k * b)))
 
     analyzed = b * iters
     results = {}
-    for variant in args.variants.split(","):
-        variant = variant.strip()
+    for variant in wanted:
         try:
             run = build_variant(variant, geom, cfg, k=k, b=b, m=m,
                                 iters=iters, fps=args.fps)

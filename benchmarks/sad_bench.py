@@ -48,11 +48,23 @@ def parse_prod(variant):
     f_override = None
     if "f" in rest:
         rest, _, digits = rest.partition("f")
-        if not digits.isdigit():
+        if not digits.isdigit() or int(digits) < 1:
             return None
         f_override = int(digits)
     mode = _PROD_MODES.get(rest)
     return None if mode is None else (mode, f_override)
+
+
+def parse_ctrl(variant):
+    """``ctrl[f<F>]`` -> (True, F_override or None) when the variant is
+    a stream-bound control (None F_override = use the product formula),
+    else None — mirrors parse_prod."""
+    if variant == "ctrl":
+        return (True, None)
+    if variant.startswith("ctrlf") and variant[5:].isdigit() \
+            and int(variant[5:]) >= 1:
+        return (True, int(variant[5:]))
+    return None
 
 
 def build_variant(variant, geom, cfg, *, k, b, iters):
@@ -330,9 +342,12 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         # switch formulation over jit-captured resident buffers blew the
         # remote-compile request-size limit: HTTP 413.)
         col_mode, f_override = parse_prod(variant)
-        F = f_override or sad_ops.sad_frames_per_step(geom, bs)
+        F = (sad_ops.sad_frames_per_step(geom, bs)
+             if f_override is None else f_override)
         if (b - 1) % F:
-            raise SystemExit(
+            # ValueError (not SystemExit): main's sweep loop catches it,
+            # skips the variant, and keeps already-measured results
+            raise ValueError(
                 f"prod variant needs (frames-1) % {F} == 0 "
                 f"(1 carry + {F}-frame steps): use --frames "
                 f"{((b - 1) // F) * F + 1}")
@@ -365,8 +380,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
             return sweep(carries, rest)[:, 0, 0]
 
         return run
-    elif variant == "ctrl" or (variant.startswith("ctrlf")
-                               and variant[5:].isdigit()):
+    elif parse_ctrl(variant) is not None:
         # Stream-bound control (VERDICT r2 directive 1, SAD edition):
         # the production kernel's EXACT launch structure — same grid
         # (iters, nb), same carry + F-frame input blocks, same per-frame
@@ -375,10 +389,11 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         # is folded into each block's first frame so every input block
         # keeps a data dependency).  Its GB/s is the practical HBM
         # ceiling of the SAD launch configuration on this chip.
-        F = (int(variant[5:]) if variant.startswith("ctrlf")
-             else sad_ops.sad_frames_per_step(geom, bs))
+        f_override = parse_ctrl(variant)[1]
+        F = (sad_ops.sad_frames_per_step(geom, bs)
+             if f_override is None else f_override)
         if (b - 1) % F:
-            raise SystemExit(
+            raise ValueError(
                 f"ctrl variant needs (frames-1) % {F} == 0: use --frames "
                 f"{((b - 1) // F) * F + 1}")
         nb = (b - 1) // F
@@ -522,8 +537,7 @@ def main() -> int:
     for variant in args.variants.split(","):
         variant = variant.strip()
         is_prod = parse_prod(variant) is not None
-        is_ctrl = (variant == "ctrl" or (variant.startswith("ctrlf")
-                                         and variant[5:].isdigit()))
+        is_ctrl = parse_ctrl(variant) is not None
         if (is_prod or is_ctrl) and prod_inputs is None:
             # pre-split host-side like the product op (carries [k,h,w],
             # rest [k*(b-1),h,w]); the last-written output buffer is
@@ -561,8 +575,9 @@ def main() -> int:
         elif is_ctrl:
             # per-frame bit-0 sums of the last-written buffer, with the
             # carry's sum folded into each block's first frame
-            F = (int(variant[5:]) if variant.startswith("ctrlf")
-                 else sad_ops.sad_frames_per_step(geom, cfg.block_size))
+            f_override = parse_ctrl(variant)[1]
+            F = (sad_ops.sad_frames_per_step(geom, cfg.block_size)
+                 if f_override is None else f_override)
             last = (iters - 1) % k
             e = (stack[last, 1:].astype(np.int64) & 1).sum(axis=(1, 2))
             e[::F] += int((stack[last, 0] & 1).sum())

@@ -129,6 +129,20 @@ def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
     return op
 
 
+def mv_frames_per_step(m: int, requested: int = 16) -> int:
+    """VMEM-aware frames-per-step for the fused-MV kernel.
+
+    Each frame streams four [1, m] int32 blocks whose single-sublane
+    tiles pad to 8 sublanes (m*128 bytes/frame), double-buffered
+    against the kernel's 64MB vmem limit with ~16MB reserved for the
+    one-hot/vote working set (bounded by m_chunk via the fori_loop).
+    M=2048 -> F=16 (the audited knee); M=16384 -> F=12 (F=16's stream
+    blocks alone would equal the whole 64MB limit)."""
+    per_frame = 4 * 4 * 8 * m            # 4 streams, i32, 8x sublane pad
+    budget = (64 - 16) * 1024 * 1024
+    return max(1, min(requested, budget // (2 * per_frame)))
+
+
 def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                               block_shift: int, vectors_needed: int,
                               clusters_needed: int, interpret: bool = False,
@@ -142,17 +156,18 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     benchmarks/mv_bench.py: F=1/4/8/16/32 = 1.69/3.15/3.63/4.00M
     frames/s with F=32 flat) — an earlier "F is neutral" reading was an
     artifact of the retired sublane-stream DMA floor (see module
-    docstring); the default is 16 (the knee; 512KB of double-buffered
-    stream blocks).  MV capacities larger than ``m_chunk`` are
-    accumulated via a fori_loop so the one-hot operands fit VMEM at any
-    geometry (4K + M=16384 in one shot exceeds the ~16MB limit; a
-    static unroll keeps every chunk resident and fails too).  2048 is
-    validated across 1080p/4K up to M=16384; oddly, exactly 4 chunks of
-    4096 at 4K trips a Mosaic scheduling limit — keep the chunk small
-    rather than clever.
+    docstring); the default request is 16 (the knee; 512KB of double-
+    buffered stream blocks at M=2048), clamped per call by
+    ``mv_frames_per_step`` once the padded M is known.  MV capacities
+    larger than ``m_chunk`` are accumulated via a fori_loop so the
+    one-hot operands fit VMEM at any geometry (4K + M=16384 in one shot
+    exceeds the ~16MB limit; a static unroll keeps every chunk resident
+    and fails too).  2048 is validated across 1080p/4K up to M=16384;
+    oddly, exactly 4 chunks of 4096 at 4K trips a Mosaic scheduling
+    limit — keep the chunk small rather than clever.
     """
     bound = threshold_bound(threshold_sq)
-    F = max(1, frames_per_step)
+    F_req = max(1, frames_per_step)
 
     def frame_votes(count, fi, dst_x_ref, dst_y_ref, src_x_ref,
                     src_y_ref, m):
@@ -178,19 +193,21 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
             0, m // m_chunk, chunk_body,
             jnp.zeros((geom.padded_gh, geom.padded_gw), jnp.float32))
 
-    def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,
-               counts_ref):
-        j = pl.program_id(0)
-        m = dst_x_ref.shape[-1]
-        for fi in range(F):
-            votes = frame_votes(
-                count_ref[j * F + fi], fi,
-                dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, m)
-            cluster = _cluster_map(votes.astype(jnp.int32), geom,
-                                   vectors_needed).astype(jnp.int32)
-            # keep every reduction step >=2D: [GH,GW]->[1,GW]->[1,1]
-            col_sums = jnp.sum(cluster, axis=0, keepdims=True)
-            counts_ref[fi] = jnp.sum(col_sums, axis=1, keepdims=True)
+    def make_kernel(F):
+        def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,
+                   counts_ref):
+            j = pl.program_id(0)
+            m = dst_x_ref.shape[-1]
+            for fi in range(F):
+                votes = frame_votes(
+                    count_ref[j * F + fi], fi,
+                    dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, m)
+                cluster = _cluster_map(votes.astype(jnp.int32), geom,
+                                       vectors_needed).astype(jnp.int32)
+                # keep every reduction step >=2D: [GH,GW]->[1,GW]->[1,1]
+                col_sums = jnp.sum(cluster, axis=0, keepdims=True)
+                counts_ref[fi] = jnp.sum(col_sums, axis=1, keepdims=True)
+        return kernel
 
     @jax.jit
     def op(dst_x, dst_y, src_x, src_y, counts):
@@ -203,6 +220,7 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
             dst_x, dst_y, src_x, src_y = (padder(a) for a in
                                           (dst_x, dst_y, src_x, src_y))
             m += pad
+        F = mv_frames_per_step(m, F_req)
         nb = -(-b // F)
         if nb * F != b:
             # pad to whole steps: padded frames have count 0 -> idx >=
@@ -219,7 +237,7 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
         mv_spec = pl.BlockSpec((F, 1, m), lambda j, *_: (j, 0, 0),
                                memory_space=pltpu.VMEM)
         n = pl.pallas_call(
-            kernel,
+            make_kernel(F),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nb,),
@@ -235,7 +253,9 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
         n = n[:b, 0, 0]
         return n, n >= jnp.int32(max(1, clusters_needed))
 
-    op.frames_per_step = F
+    # the requested F; the per-call effective value is the VMEM-aware
+    # clamp mv_frames_per_step(padded_m, F_req)
+    op.frames_per_step = F_req
     return op
 
 

@@ -161,6 +161,18 @@ class TestMVFusedKernels:
         assert mv_vote.threshold_bound(-3.0) == -3
 
 
+class TestMVFramesPerStep:
+    def test_vmem_clamp_anchors(self):
+        """The VMEM-aware frames-per-step formula: F=16 at the default
+        M=2048 (the audited knee), clamped at large M where the 8x-
+        sublane-padded [1, M] stream blocks would blow the kernel's
+        64MB limit (F=16 x M=16384 alone equals the whole limit)."""
+        assert mv_vote.mv_frames_per_step(2048) == 16
+        assert mv_vote.mv_frames_per_step(16384) == 12
+        assert mv_vote.mv_frames_per_step(16384, requested=1) == 1
+        assert mv_vote.mv_frames_per_step(1 << 22) == 1  # never 0
+
+
 class TestMVChunkedPath:
     def test_chunked_and_padded_capacity(self, rng):
         """M > m_chunk exercises the fori_loop accumulation; a non-divisible
