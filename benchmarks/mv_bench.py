@@ -73,7 +73,8 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps):
     vec = cfg.vectors_needed
     F = fps or 1
     if b % F:
-        raise SystemExit(f"--frames {b} must be divisible by F={F}")
+        # ValueError: caught per variant by main's sweep loop
+        raise ValueError(f"--frames {b} must be divisible by F={F}")
     nb = b // F
     # *sub variants ship dst_x a SECOND time as a sublane-major [M, 1]
     # stream (whose VMEM block is lane-padded 128x and whose DMA writes
