@@ -698,7 +698,7 @@ def main() -> int:
         print(f"fused MV pallas (M={M}): {Bmv / dt_mv:,.0f} frames/s "
               f"[dispatch-path bound: ~28ms fixed cost per dispatch "
               f"dominates at this batch; kernel-true number is "
-              f"benchmarks/mv_bench.py's audited 4.0M frames/s]",
+              f"benchmarks/mv_bench.py's audited 4.12M frames/s]",
               file=sys.stderr)
     except Exception as e:
         print(f"fused MV bench skipped: {e}", file=sys.stderr)
