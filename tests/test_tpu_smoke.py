@@ -252,3 +252,42 @@ print(json.dumps({
     assert r.returncode == 0, r.stderr[-2000:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec == {"ok_counts": True, "ok_motion": True}
+
+
+def test_mv_op_large_capacity_clamp_on_device():
+    """The fused-MV op at M=16384 — the documented-supported capacity
+    where the VMEM-aware clamp (ops/mv_vote.mv_frames_per_step) must
+    drop frames-per-step 16 -> 12: at F=16 the four 8x-sublane-padded
+    [1, M] stream blocks alone (double-buffered) would equal the whole
+    64MB vmem limit.  Compiles + runs the clamped kernel on the real
+    chip and diffs against the XLA build (first hardware-proved in
+    round 3; kept as a guard because no CPU/interpret test can catch a
+    scoped-VMEM overflow)."""
+    code = """
+import json
+import numpy as np
+import jax
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected an accelerator, got {dev}"
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.ops import mv_vote
+
+cfg = Config()
+geom = GridGeometry.build(1920, 1080, cfg)
+rng = np.random.default_rng(11)
+b, m = 24, 16384
+assert mv_vote.mv_frames_per_step(m) == 12
+mv_list = [rng.integers(-64, 1920, size=(int(rng.integers(100, m)), 4))
+           for _ in range(b)]
+dx, dy, sx, sy, counts, _ = mv_vote.pad_mvs(mv_list, m)
+kw = dict(threshold_sq=cfg.mv_threshold_sq, block_shift=cfg.block_shift,
+          vectors_needed=cfg.vectors_needed,
+          clusters_needed=cfg.clusters_needed)
+n, _ = mv_vote.make_mv_cluster_op_pallas(geom, **kw)(dx, dy, sx, sy, counts)
+nr, _ = mv_vote.make_mv_cluster_op_xla(geom, **kw)(dx, dy, sx, sy, counts)
+print(json.dumps({"ok": bool((np.asarray(n) == np.asarray(nr)).all())}))
+"""
+    r = _run_py(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1]) == {"ok": True}
