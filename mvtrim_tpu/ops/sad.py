@@ -226,11 +226,14 @@ def sad_frames_per_step(geom: GridGeometry, block_size: int,
     block, u8 scratch, and per-frame int32/bf16 diff temporaries cost a
     further ~8·fb on the same scoped-VMEM stack, so
     F <= (budget/fb - 8) / 2.  Anchors: F=8 at 1080p's 2.36MB frames
-    compiles and runs (audited 260.8-261.7k frames/s, +4% over F=4 —
-    benchmarks/sad_bench.py prodf8); F=2 at 4K's ~8.9MB measured
-    101.09MB > the 100MB limit, so 4K stays F=1.  Shared by the product
-    op and the bench's prod variant so the bench measures the kernel
-    the detector actually builds."""
+    compiles and runs (audited 260.8-262.5k frames/s, +4% over F=4 —
+    benchmarks/sad_bench.py prodf8) and is the measured KNEE, not just
+    the VMEM bound: F=16 fits the formula but measured 232.0k (-12%,
+    same session) — 75MB of blocks in flight starves the double
+    buffering.  F=2 at 4K's ~8.9MB measured 101.09MB > the 100MB
+    limit, so 4K stays F=1.  Shared by the product op and the bench's
+    prod variant so the bench measures the kernel the detector
+    actually builds."""
     frame_bytes = (geom.padded_gh * block_size) * (geom.padded_gw *
                                                    block_size)
     budget_frames = (100 * 1024 * 1024 // frame_bytes - 8) // 2
