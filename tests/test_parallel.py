@@ -117,6 +117,32 @@ class TestGraftEntry:
         from __graft_entry__ import dryrun_multichip
         dryrun_multichip(8)
 
+    def test_dryrun_multichip_32_devices(self):
+        """The sharded training-step + archive path generalize past the
+        suite's 8-device mesh: 32 virtual devices in a subprocess (this
+        process's device count is pinned by conftest)."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        # conftest pins 8 devices via JAX_NUM_CPU_DEVICES, which would
+        # override XLA_FLAGS in the child — set both to 32
+        env["JAX_NUM_CPU_DEVICES"] = "32"
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        env["XLA_FLAGS"] = " ".join(
+            flags + ["--xla_force_host_platform_device_count=32"])
+        env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get(
+            "PYTHONPATH", "")
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__ as g; g.dryrun_multichip(32)"],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "dryrun_archive OK" in r.stdout + r.stderr
+
 
 class TestMultiDeviceBatch:
     def test_streams_pinned_to_distinct_devices(self, tmp_path):
