@@ -369,7 +369,12 @@ def word_cluster_counts(w, geom: GridGeometry, masks, roll):
     down = roll(w, lanes - gww) & not_last
     cl = w & (left | right | up | down) & center
 
-    # SWAR popcount per 32-bit word (shifts masked: arithmetic >>)
+    # SWAR popcount per 32-bit word (shifts masked: arithmetic >>).
+    # Deliberately NOT lax.population_count here: this body is the XLA
+    # "runs everywhere" build's math, and XLA-CPU lowers popcount 2.25x
+    # SLOWER than the SWAR chain (measured 1.2M vs 2.7M frames/s) — the
+    # popcount win is Mosaic/TPU-specific (word_cluster_counts_T,
+    # packed_cluster_counts).
     v = cl - ((cl >> 1) & 0x55555555)
     v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
     v = (v + ((v >> 4) & 0x0F0F0F0F)) & 0x0F0F0F0F
