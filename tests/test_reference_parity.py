@@ -260,6 +260,21 @@ class TestRandomizedParityMvRaw:
                   _random_knobs(7000 + seed), extra)
 
 
+class TestRandomizedParityWords:
+    """The same differential fuzz routed through MVT_SCAN_INPUT=words:
+    the native mvt_scan_words repack (GIL-released int32 word-layout
+    emit — the 32+-core feeder path) must produce byte-identical concat
+    lists across the knob space, pinning the native word packing the
+    way the bits fuzz pins the byte packing."""
+
+    @pytest.mark.parametrize("seed", range(max(2, FUZZ_N // 2)))
+    def test_random_knobs_words(self, reference_bin, clips, tmp_path,
+                                seed):
+        _fuzz_one(reference_bin, clips, tmp_path,
+                  _random_knobs(11000 + seed),
+                  {"MVT_SCAN_INPUT": "words"})
+
+
 class TestRandomizedParityCapResume:
     """Fuzz with the frame cap forced tiny: every chunk cap-resumes many
     times and the carried skip phase must stay reference-exact across
