@@ -290,7 +290,12 @@ def packed_cluster_counts(a_i32, geom: GridGeometry, masks, roll,
     if use_popcount:
         # hardware popcount of each byte value (<= 0xFF, non-negative;
         # Mosaic lowers lax.population_count natively — the same switch
-        # that won +13.6% in the word kernel)
+        # that won +13.6% in the word kernel; +10.1% measured here).
+        # At the XLA-TPU level (the mesh archive step's lowering) the
+        # choice measured exactly neutral (9.3M frames/s both ways),
+        # so the default is right for every TPU path; only XLA-CPU
+        # prefers SWAR (see word_cluster_counts), which matters only
+        # for dryruns/tests where throughput is irrelevant.
         v = jax.lax.population_count(cl)
     else:
         # SWAR popcount of each byte value (<= 0xFF) — kept for A/B
