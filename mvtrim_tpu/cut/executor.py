@@ -124,19 +124,38 @@ def quantized_segments(segments) -> list[tuple[float, float]]:
 
 def execute_cut(input_path: str, output_path: str, segments,
                 stream_id: int = -1, cfg: Config | None = None) -> int:
-    """Cut input to output keeping only the given segments. Returns 0/err."""
+    """Cut input to output keeping only the given segments. Returns 0/err.
+
+    The cut is ALWAYS attempted once the savings decision passed — the
+    reference invokes ffmpeg even when every segment is zero-length and
+    the concat list comes out empty (execute_cut writes nothing for
+    end <= start segments, pipeline.cpp:464-470, but still runs the
+    command and logs its failure, :533-556).  Found by the round-3
+    400-seed differential fuzz (PADDING_SEC=0 + isolated motion frames
+    -> all segments zero-length -> the reference cuts with an empty
+    list while we used to skip silently, diverging the captured lists).
+    """
     cfg = cfg or Config.from_env()
-    segs = quantized_segments(segments)
-    if not segs:
-        log.warn("No segments to cut", stream_id)
-        return 0
     abs_input = os.path.abspath(input_path)
     cpus = _cut_cpus(cfg)
     try:
         if cfg.ffmpeg_bin:
-            _external_cut(cfg.ffmpeg_bin, abs_input, output_path, segs,
+            # reference-exact list text: built from the UNQUANTIZED
+            # segments (oracle.concat_list drops end <= start and
+            # formats %.2f — a sub-0.01s segment is WRITTEN with equal
+            # in/outpoints, exactly like the reference)
+            _external_cut(cfg.ffmpeg_bin, output_path,
+                          oracle.concat_list(abs_input, segments),
                           cpus=cpus)
         else:
+            segs = quantized_segments(segments)
+            if not segs:
+                # native analog of the reference's empty-list ffmpeg
+                # run: error logged, no output created, processing
+                # continues (the reference's ffmpeg exits nonzero and
+                # is only logged)
+                raise RuntimeError(
+                    "empty cut list (all segments zero-length)")
             with _thread_affinity(cpus):
                 native.cut(abs_input, output_path, segs)
     except Exception as e:  # noqa: BLE001 — cut failure is logged, not fatal
@@ -167,9 +186,13 @@ def _concat_list_fd(text: str):
         return f.name, None, True
 
 
-def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
-                  segs, cpus: set[int] | None = None) -> None:
+def _external_cut(ffmpeg_bin: str, output_path: str, list_text: str,
+                  cpus: set[int] | None = None) -> None:
     """Reference-exact external command over a concat list memfd.
+
+    ``list_text`` is the exact concat-list bytes (oracle.concat_list —
+    the declared byte-parity surface); it may be empty, in which case
+    ffmpeg runs and fails just like the reference's empty-list run.
 
     When a cut cpuset is configured the child is confined by pinning the
     CALLING THREAD around the spawn: fork/exec children inherit the
@@ -179,12 +202,7 @@ def _external_cut(ffmpeg_bin: str, abs_input: str, output_path: str,
     docs flag as deadlock-prone in threaded processes (the batch daemon
     spawns cuts while decode threads are live).
     """
-    lines = []
-    for start, end in segs:
-        lines.append(f"file '{abs_input}'\n")
-        lines.append(f"inpoint {start:.2f}\n")
-        lines.append(f"outpoint {end:.2f}\n")
-    list_path, fd, unlink = _concat_list_fd("".join(lines))
+    list_path, fd, unlink = _concat_list_fd(list_text)
     try:
         cmd = [
             ffmpeg_bin, "-y", "-hide_banner", "-loglevel", "error",

@@ -31,6 +31,60 @@ class TestQuantization:
         assert quantized_segments([TimeSegment(5.0, 3.0)]) == []
 
 
+class TestDegenerateCutInvocation:
+    """The cut is ALWAYS attempted once the savings gate passed — the
+    reference runs ffmpeg even when every segment is zero-length (its
+    concat writer drops end <= start lines but the command still runs,
+    pipeline.cpp:464-470 + :533-556).  Caught by the round-3 400-seed
+    differential fuzz (seed 333: PADDING_SEC=0 + isolated motion frames
+    -> empty concat list captured from the reference, nothing from us)."""
+
+    def test_external_cut_invoked_with_empty_list(self, tmp_path):
+        import os
+        from mvtrim_tpu.core.config import Config
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dump = str(tmp_path / "dump.txt")
+        os.environ["MVT_CONCAT_DUMP"] = dump
+        try:
+            cfg = Config(ffmpeg_bin=os.path.join(repo, "parity",
+                                                 "fake_ffmpeg.sh"))
+            rc = execute_cut("/tmp/in.mp4", str(tmp_path / "o.mp4"),
+                             [TimeSegment(1.0, 1.0), TimeSegment(3.5, 3.5)],
+                             cfg=cfg)
+        finally:
+            os.environ.pop("MVT_CONCAT_DUMP", None)
+        assert os.path.exists(dump), "ffmpeg was not invoked"
+        assert open(dump).read() == ""          # empty list, like the ref
+        assert rc == 0                          # fake ffmpeg exits 0
+
+    def test_external_list_keeps_subcentisecond_segments(self, tmp_path):
+        """A 0 < duration < 0.01 segment is WRITTEN with equal %.2f
+        in/outpoints — the reference drops only unquantized end <= start."""
+        import os
+        from mvtrim_tpu.core.config import Config
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dump = str(tmp_path / "dump.txt")
+        os.environ["MVT_CONCAT_DUMP"] = dump
+        try:
+            cfg = Config(ffmpeg_bin=os.path.join(repo, "parity",
+                                                 "fake_ffmpeg.sh"))
+            execute_cut("/tmp/in.mp4", str(tmp_path / "o.mp4"),
+                        [TimeSegment(2.006, 2.014)], cfg=cfg)
+        finally:
+            os.environ.pop("MVT_CONCAT_DUMP", None)
+        text = open(dump).read()
+        assert "inpoint 2.01\noutpoint 2.01\n" in text
+
+    def test_native_cut_empty_list_errors_without_output(self, clip,
+                                                         tmp_path):
+        out = str(tmp_path / "o.mp4")
+        rc = execute_cut(clip, out, [TimeSegment(1.0, 1.0)],
+                         cfg=__import__("mvtrim_tpu.core.config",
+                                        fromlist=["Config"]).Config())
+        assert rc == 1                # reference analog: error logged
+        assert not os.path.exists(out)
+
+
 class TestNativeCutEdges:
     def test_segment_past_end_of_video(self, clip, tmp_path):
         # seek beyond EOF: segment contributes nothing but must not corrupt
@@ -57,12 +111,6 @@ class TestNativeCutEdges:
         native.cut(clip, out, [(0.0, dur + 5.0)])  # outpoint beyond end
         with native.VideoReader(out) as r:
             assert abs(r.duration - dur) < 0.5
-
-    def test_executor_empty_segments_noop(self, clip, tmp_path):
-        out = str(tmp_path / "noop.mp4")
-        rc = execute_cut(clip, out, [TimeSegment(3.0, 3.0)])
-        assert rc == 0
-        assert not os.path.exists(out)
 
     def test_many_tiny_segments(self, clip, tmp_path):
         out = str(tmp_path / "tiny.mp4")
