@@ -103,9 +103,11 @@ class Config:
                                      # grammar).  Analog of the reference
                                      # wrapping its ffmpeg child in
                                      # `taskset -c` (pipeline.cpp:500-515):
-                                     # external children get the affinity
-                                     # via preexec, the in-process native
-                                     # remux via cut-thread affinity
+                                     # external children inherit the
+                                     # spawning thread's affinity (no
+                                     # preexec_fn — deadlock-prone in
+                                     # threaded processes), the native
+                                     # remux pins the cut thread
     chunk_frames_cap: int = 0        # max frames per native scan call
                                      # (0 = auto).  Saturated calls resume
                                      # from the exact stream position with

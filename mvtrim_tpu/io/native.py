@@ -450,6 +450,13 @@ def inspect_packets(path: str, max_packets: int = 1 << 20):
     if n < 0:
         raise RuntimeError(f"mvt_inspect_packets({path}): "
                            f"{err.value.decode()}")
+    if n >= max_packets:
+        # the native walk stops at max_packets, so n == max means the
+        # tail went unseen — an invariant oracle must not silently pass
+        # on a prefix (a file with exactly max packets pays a re-run)
+        raise RuntimeError(
+            f"mvt_inspect_packets({path}): output truncated at "
+            f"max_packets={max_packets}; raise the limit")
     return stream[:n], dts[:n], pts[:n], key[:n]
 
 

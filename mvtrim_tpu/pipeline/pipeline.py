@@ -536,15 +536,15 @@ class ProcessingPipeline:
             device_us += (time.perf_counter_ns() - t0) // 1000
             frames_scanned += len(pts)
             if heat_acc is not None:
-                if tag == "bits":
+                if tag in ("bits", "words"):
+                    # words is the same little-endian bit layout viewed
+                    # as int32 lanes — one byte view, shared accumulation
+                    packed = (data if tag == "bits" else
+                              data.view(np.uint8).reshape(
+                                  len(pts), geom.gh, -1))
                     heat_acc += np.unpackbits(
-                        data, axis=2,
+                        packed, axis=2,
                         bitorder="little")[:, :, :geom.gw].sum(
-                            axis=0, dtype=np.int64)
-                elif tag == "words":
-                    heat_acc += np.unpackbits(
-                        data.view(np.uint8).reshape(len(pts), geom.gh, -1),
-                        axis=2, bitorder="little")[:, :, :geom.gw].sum(
                             axis=0, dtype=np.int64)
                 elif tag == "grids":
                     heat_acc += (data >= cfg.vectors_needed).sum(

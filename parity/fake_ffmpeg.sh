@@ -16,7 +16,7 @@ if [ -n "$list" ]; then
     cp "$list" "$MVT_CONCAT_DUMP_DIR/$(basename "$out").concat"
 fi
 # Affinity probe: record which CPUs this child was confined to
-# (tests the MVT_CUT_CPUSET preexec pinning).
+# (tests MVT_CUT_CPUSET pinning, inherited from the spawning thread).
 [ -n "${MVT_AFFINITY_DUMP:-}" ] && \
   grep Cpus_allowed_list /proc/self/status > "$MVT_AFFINITY_DUMP"
 exit 0

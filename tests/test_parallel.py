@@ -134,7 +134,9 @@ class TestGraftEntry:
                  if "xla_force_host_platform_device_count" not in f]
         env["XLA_FLAGS"] = " ".join(
             flags + ["--xla_force_host_platform_device_count=32"])
-        env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get(
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get(
             "PYTHONPATH", "")
         r = subprocess.run(
             [sys.executable, "-c",
