@@ -72,6 +72,17 @@ class BatchProcessor:
         self._results: list[StreamResult] = []
         self._total_files = 0
 
+    def _plan_streams(self, total_files: int, watch: bool) -> int:
+        """Worker-thread count.  In watch mode the initial file count says
+        nothing about future load — the daemon keeps full concurrency for
+        its lifetime (the reference caps by CPUs only,
+        batch_processor.cpp:81-83).  One-shot batches don't spawn workers
+        that could never receive a file."""
+        if watch:
+            return max(1, self.num_streams)
+        return max(1, min(self.num_streams,
+                          total_files or self.num_streams))
+
     # --- main entry (batch_processor.cpp:48-213) ---
 
     def process(self, input_files: list[str], output_dir: str,
@@ -91,8 +102,7 @@ class BatchProcessor:
             self._work.put(f)
         self._total_files = self._work.qsize()
 
-        actual_streams = max(1, min(self.num_streams,
-                                    self._total_files or self.num_streams))
+        actual_streams = self._plan_streams(self._total_files, watch)
         threads_per_stream = self.cfg.threads_per_stream
         if threads_per_stream <= 0:
             threads_per_stream = max(

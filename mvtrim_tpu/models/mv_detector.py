@@ -253,7 +253,9 @@ class MVClusterDetector:
 
     # --- forward over raw MV fields (on-device thresholding path) ---
 
-    def _build_mv_op(self, m: int):
+    def _build_mv_op(self):
+        # one op regardless of MV capacity M: the jitted program retraces
+        # per input shape, nothing here bakes M
         if self._mv_op is None:
             maker = (mv_vote.make_mv_cluster_op_pallas
                      if self.backend == "pallas"
@@ -286,7 +288,7 @@ class MVClusterDetector:
                 f"M={mvs.shape[1]} (max real count {need}); re-scan with "
                 f"a larger max_mv — a truncated list cannot be decided "
                 f"exactly")
-        op = self._build_mv_op(mvs.shape[1])
+        op = self._build_mv_op()
         # pad each dispatch to a power-of-two bucket in [256, device_batch]
         # (zero-count pad frames decide False and are sliced off in
         # resolve): a handful of compiled shapes instead of one, but raw

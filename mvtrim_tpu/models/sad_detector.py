@@ -43,8 +43,11 @@ def sad_oracle_counts(luma: np.ndarray, geom: GridGeometry, *,
 class SADDetector:
     """Per-video pixel-domain detector: luma frames -> motion decisions."""
 
-    def __init__(self, width: int, height: int, cfg: Config | None = None):
+    def __init__(self, width: int, height: int, cfg: Config | None = None,
+                 device=None):
         self.cfg = cfg or Config.from_env()
+        # pin dispatches to one chip (multi-chip batch mode round-robin)
+        self.device = device
         self.geom = GridGeometry.build(width, height, self.cfg)
         self.width = width
         self.height = height
@@ -70,22 +73,33 @@ class SADDetector:
                     self.geom, sad_threshold=self.cfg.sad_threshold,
                     block_size=self.cfg.block_size,
                     clusters_needed=self.cfg.clusters_needed,
-                    height=self.height, width=self.width)
+                    height=self.height, width=self.width,
+                    device=self.device)
             else:
                 self._op = sad_ops.make_sad_op_xla(
                     self.geom, sad_threshold=self.cfg.sad_threshold,
                     block_size=self.cfg.block_size,
-                    clusters_needed=self.cfg.clusters_needed)
+                    clusters_needed=self.cfg.clusters_needed,
+                    device=self.device)
         return self._op
 
-    def scan_luma(self, luma: np.ndarray) -> np.ndarray:
+    def scan_luma(self, luma: np.ndarray,
+                  carry: np.ndarray | None = None) -> np.ndarray:
         """luma uint8 [N, H, W] (one chunk, decode order) -> motion [N].
 
-        motion[0] is always False (no predecessor inside the chunk).
+        Without ``carry``, motion[0] is always False (no predecessor
+        inside the chunk).  ``carry`` is the last ANALYZED frame of the
+        chunk's previous cap-resumed sub-scan ([H, W]): motion[0] is then
+        the real comparison against it, so splitting a chunk at the
+        frame cap never changes decisions (the MVT_CHUNK_FRAMES_CAP
+        contract in core/config.py).  Chunk boundaries themselves stay
+        independent by design — see the module docstring.
         """
         n = luma.shape[0]
         out = np.zeros((n,), bool)
-        if n < 2:
+        off = 0 if carry is None else 1
+        nt = n + off  # virtual sequence: [carry?] + luma
+        if nt < 2:
             return out
         op = self._build_op()
         padded = sad_ops.pad_luma(luma, self.geom, self.cfg.block_size)
@@ -96,15 +110,22 @@ class SADDetector:
         db = max(f, (db // f) * f)
         # window batches of db+1 frames overlapping by one (the carry);
         # one reused buffer (a fresh np.zeros per window costs a full
-        # clear + page faults on the host decode core)
+        # clear + page faults on the host decode core).  Virtual frame v
+        # is carry at v==0 (when given) else padded[v - off]; decisions
+        # for v land at out[v - off].
         batch = np.zeros((db + 1,) + padded.shape[1:], np.uint8)
-        for lo in range(0, n - 1, db):
-            hi = min(lo + db, n - 1)
-            batch[:hi - lo + 1] = padded[lo:hi + 1]
+        for lo in range(0, nt - 1, db):
+            hi = min(lo + db, nt - 1)
+            if off and lo == 0:
+                batch[0] = sad_ops.pad_luma(
+                    carry[None], self.geom, self.cfg.block_size)[0]
+                batch[1:hi + 1] = padded[:hi]
+            else:
+                batch[:hi - lo + 1] = padded[lo - off:hi + 1 - off]
             if hi - lo < db:
                 batch[hi - lo + 1:] = 0
             # host array in: the pallas op splits carry/frames host-side
             # (zero-copy views) before its single H2D put
             _, motion = op(batch)
-            out[lo + 1:hi + 1] = np.asarray(motion)[:hi - lo]
+            out[lo + 1 - off:hi + 1 - off] = np.asarray(motion)[:hi - lo]
         return out

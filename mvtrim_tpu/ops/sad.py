@@ -57,18 +57,19 @@ def _cluster_from_grid(grid_i32, geom: GridGeometry, bound: int):
 
 
 def make_sad_op_xla(geom: GridGeometry, *, sad_threshold: float,
-                    block_size: int, clusters_needed: int):
+                    block_size: int, clusters_needed: int, device=None):
     """luma uint8 [B+1, H_p, W_p] (frame 0 = previous carry) ->
     (cluster counts int32 [B], motion bool [B]).
 
     H_p/W_p must be multiples of block_size (zero-pad; pad pixels diff to
-    zero and cannot activate a block).
+    zero and cannot activate a block).  ``device`` pins the dispatch to
+    one chip (multi-chip batch mode assigns each stream its own).
     """
     bound = sad_threshold_sum(sad_threshold, block_size)
     eff = max(1, clusters_needed)
 
     @jax.jit
-    def op(luma):
+    def op_jit(luma):
         x = luma.astype(jnp.int32)
         diff = jnp.abs(x[1:] - x[:-1])                     # [B, H, W]
         sad = jax.lax.reduce_window(
@@ -78,6 +79,12 @@ def make_sad_op_xla(geom: GridGeometry, *, sad_threshold: float,
             padding="VALID")                               # [B, gh_p, gw_p]
         counts = _cluster_from_grid(sad, geom, bound)
         return counts, counts >= jnp.int32(eff)
+
+    if device is None:
+        return op_jit
+
+    def op(luma):
+        return op_jit(jax.device_put(luma, device))
 
     return op
 
@@ -279,7 +286,7 @@ def make_sad_kernel(geom: GridGeometry, block_size: int, bound: int,
 def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
                        block_size: int, clusters_needed: int,
                        height: int, width: int, interpret: bool = False,
-                       frames_per_step: int = 8):
+                       frames_per_step: int = 8, device=None):
     """Pallas: ``frames_per_step`` frames per grid step (in-block
     consecutive diffs + one against the VMEM scratch carry — one HBM
     read per frame), block reductions via two block-indicator matmuls
@@ -329,8 +336,10 @@ def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
         if nb * F != b:
             rest = np.concatenate(
                 [rest, np.zeros((nb * F - b, h_p, w_p), np.uint8)])
-        counts = np.asarray(device_scan(jnp.asarray(carry),
-                                        jnp.asarray(rest)))[:b]
+        # device_put(x, None) = default placement, same as jnp.asarray;
+        # a non-None device pins the stream's dispatches to its chip
+        counts = np.asarray(device_scan(jax.device_put(carry, device),
+                                        jax.device_put(rest, device)))[:b]
         return counts, counts >= eff
 
     op.device_scan = device_scan

@@ -118,7 +118,15 @@ class ProcessingPipeline:
             import jax.profiler
 
             profiler_cm = jax.profiler.trace(self.cfg.profile_dir)
-            profiler_cm.__enter__()
+            try:
+                profiler_cm.__enter__()
+            except Exception as e:  # noqa: BLE001
+                # the jax profiler is process-global: in batch mode only
+                # one stream can hold the trace — others proceed
+                # unprofiled instead of failing their video
+                log.warn(f"profiler trace unavailable ({e}); "
+                         "continuing unprofiled", sid)
+                profiler_cm = None
         try:
             if mode == "sad":
                 result = self._parallel_scan("sad", fps, width, height)
@@ -202,6 +210,9 @@ class ProcessingPipeline:
             return
         import json
 
+        phases: dict[str, int] = {}
+        for name, us in TimingCollector.entries():
+            phases[name] = phases.get(name, 0) + us
         rec = {
             "input": self.input_path,
             "output": self.output_path,
@@ -215,7 +226,9 @@ class ProcessingPipeline:
             "decision": ("cut" if is_cut else
                          "copy" if is_cut is not None else "no_motion"),
             "wall_sec": (time.perf_counter_ns() - t_total) / 1e9,
-            "phases_us": dict(TimingCollector.entries()),
+            # sum duplicates: the auto mv->sad fallback records each scan
+            # phase twice (a plain dict() would keep only the last)
+            "phases_us": phases,
         }
         try:
             with open(self.cfg.metrics_json, "a") as f:
@@ -250,7 +263,7 @@ class ProcessingPipeline:
             detector = MVClusterDetector(width, height, cfg,
                                          device=self.device)
         else:
-            detector = SADDetector(width, height, cfg)
+            detector = SADDetector(width, height, cfg, device=self.device)
         geom = detector.geom
         frame_skip = cfg.frame_skip(fps)
 
@@ -307,8 +320,11 @@ class ProcessingPipeline:
             detector.scan_bits(
                 np.zeros((1, geom.gh, (geom.gw + 7) // 8), np.uint8))
         elif scan_input == "words":
+            # single source of truth for the word layout the kernel wants
+            from ..ops.cluster import word_geometry
+
             detector.scan_words(
-                np.zeros((1, geom.gh * ((geom.gw + 31) // 32)), np.int32))
+                np.zeros((1, word_geometry(geom)[1]), np.int32))
         elif scan_input == "mv_raw":
             # warm both dispatch buckets frames will land in: the small
             # one (tail chunks) and the one a typical chunk pads to —
@@ -379,6 +395,7 @@ class ProcessingPipeline:
                     emitted = 0       # frames queued from this chunk
                     skip_dup = 0      # duplicates to drop after restart
                     mv_base = timings[widx].frames_with_mvs
+                    luma_carry = None  # last analyzed frame of prior sub-scan
                     while True:
                         raw_n = -1
                         if scan_input == "bits":
@@ -458,7 +475,14 @@ class ProcessingPipeline:
                                 frame_skip=frame_skip,
                                 max_frames=max_frames,
                                 timing=timings[widx], resume=resume)
-                            item = ("luma", data, pts)
+                            # thread the boundary frame across cap-resumed
+                            # sub-scans so the first frame of a resumed
+                            # sub-scan is compared to its REAL predecessor
+                            # (SADDetector would otherwise decide it False
+                            # — the cap must never change decisions)
+                            item = ("luma", (data, luma_carry), pts)
+                            if len(data):
+                                luma_carry = data[-1].copy()
                         if raw_n < 0:
                             raw_n = len(pts)
                         if raw_n == 0:
@@ -528,7 +552,8 @@ class ProcessingPipeline:
                         for i in range(len(pts))], dtype=bool)
                     resolver = (lambda m=motion: m)
                 else:
-                    motion = detector.scan_luma(data)
+                    luma, carry = data
+                    motion = detector.scan_luma(luma, carry=carry)
                     resolver = (lambda m=motion: m)
             except Exception as e:  # noqa: BLE001 — surfaced after drain
                 errors.append(e)

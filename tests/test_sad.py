@@ -132,6 +132,47 @@ class TestSADKernels:
 
 
 class TestSADDetector:
+    def _luma_seq(self, rng, n=12):
+        """320x240 sequence: moving bright square on odd frames < 8
+        (every consecutive pair differs -> motion), static tail (no
+        motion)."""
+        luma = np.zeros((n, 240, 320), np.uint8)
+        base = rng.integers(0, 200, size=(240, 320), dtype=np.uint8)
+        luma[:] = base
+        for i in range(1, min(n, 8), 2):
+            luma[i, 40:120, 20 + i * 12:120 + i * 12] = 255
+        return luma
+
+    def test_carry_matches_single_scan(self, rng):
+        """Splitting a chunk anywhere and threading the boundary frame as
+        ``carry`` reproduces single-scan decisions exactly — the frame
+        cap must never change decisions (the pipeline cap-resume
+        contract).  Without carry the first frame of the resumed part
+        would be forced False."""
+        luma = self._luma_seq(rng)
+        n = len(luma)
+        # device_batch=64 -> window of 8: resumed parts also re-window
+        det = SADDetector(320, 240, Config(device_batch=64))
+        full = det.scan_luma(luma)
+        assert full[1:8].all() and not full[9:].any()  # both regimes
+        for k in (1, 2, 5, 9, n - 1):
+            head = det.scan_luma(luma[:k])
+            tail = det.scan_luma(luma[k:], carry=luma[k - 1])
+            got = np.concatenate([head, tail])
+            np.testing.assert_array_equal(got, full,
+                                          err_msg=f"split at {k}")
+
+    def test_device_pin_same_decisions(self, rng):
+        """Pinning the detector to an explicit device (multi-chip batch
+        round-robin) changes placement only, never decisions."""
+        import jax
+
+        luma = self._luma_seq(rng, n=6)
+        base = SADDetector(320, 240, CFG).scan_luma(luma)
+        pinned = SADDetector(320, 240, CFG,
+                             device=jax.devices()[-1]).scan_luma(luma)
+        np.testing.assert_array_equal(pinned, base)
+
     def test_detects_moving_box(self, intra_clip):
         with native.VideoReader(intra_clip, native.MVT_MODE_LUMA) as r:
             luma, pts = r.scan_luma(0.0, r.duration, max_frames=300)
@@ -166,6 +207,29 @@ class TestPipelineFallback:
                                cfg=Config(pipeline_mode="sad"))
         assert p.run() == 0
         assert os.path.exists(out)
+
+    def test_tiny_frame_cap_identical_cut(self, intra_clip, tmp_path):
+        """MVT_CHUNK_FRAMES_CAP=8 forces ~30 cap-resumes through the
+        SAD path, several inside the motion window.  The luma carry
+        threading must keep the cut AND the per-frame motion count
+        identical to the uncapped run (without it, each resumed
+        sub-scan's first frame was silently decided False)."""
+        import json
+
+        def run(tag, **kw):
+            out = str(tmp_path / f"{tag}.mp4")
+            mj = str(tmp_path / f"{tag}.jsonl")
+            p = ProcessingPipeline(intra_clip, out, cfg=Config(
+                pipeline_mode="sad", metrics_json=mj, **kw))
+            assert p.run() == 0
+            rec = json.loads(open(mj).read().splitlines()[-1])
+            return (p.time_removed, p.saved_pct,
+                    rec["motion_frames"], rec["frames_scanned"])
+
+        ref = run("uncapped")
+        assert ref[2] > 0
+        capped = run("capped", chunk_frames_cap=8)
+        assert capped == ref
 
     def test_mv_mode_finds_nothing_on_intra(self, intra_clip, tmp_path):
         out = str(tmp_path / "mv_none.mp4")

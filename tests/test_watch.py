@@ -36,6 +36,18 @@ def small_clip(tmp_path_factory):
 
 
 class TestWatchMode:
+    def test_watch_keeps_full_concurrency(self):
+        """The initial file count says nothing about a daemon's future
+        load: watch mode keeps every stream worker alive (the reference
+        caps by CPUs only, batch_processor.cpp:81-83); one-shot batches
+        still never spawn workers that cannot receive a file."""
+        bp = BatchProcessor(num_streams=4)
+        want = bp.num_streams  # may be CPU-clamped below 4
+        assert bp._plan_streams(0, watch=True) == want
+        assert bp._plan_streams(1, watch=True) == want
+        assert bp._plan_streams(1, watch=False) == 1
+        assert bp._plan_streams(0, watch=False) == want
+
     def test_new_file_detected_and_processed(self, small_clip, tmp_path):
         in_dir = tmp_path / "in"
         out_dir = tmp_path / "out"
