@@ -66,6 +66,14 @@ class Config:
     clusters_needed: int = 2
     vertical_mask: float = 0.05
 
+    def __post_init__(self):
+        # the reference stores this as uint8 (config.hpp:74 /
+        # `const uint8_t vec_need`, motion_scanner.cpp:272): 256 wraps
+        # to 0, -1 to 255.  from_env() already truncates; mirror it for
+        # programmatic construction so the two surfaces agree.
+        object.__setattr__(self, "vectors_needed",
+                           self.vectors_needed & 0xFF)
+
     # --- segmentation knobs ---
     max_gap_sec: float = 5.0
     padding_sec: float = 0.5

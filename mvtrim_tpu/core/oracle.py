@@ -41,7 +41,12 @@ def vote_grid(mvs: np.ndarray, gw: int, gh: int, *, threshold_sq: float,
         dst_x, dst_y, src_x, src_y = (int(v) for v in row)
         dx = dst_x - src_x
         dy = dst_y - src_y
-        mag_sq = dx * dx + dy * dy
+        # the reference accumulates `int mag_sq` (motion_scanner.cpp:248):
+        # int16-extreme fields (|dx| up to 65535) overflow int32 and wrap
+        # negative in C — and in the int32 device kernels — so the oracle
+        # wraps identically (real codec MVs never get close; only
+        # synthetic fuzz reaches this)
+        mag_sq = ((dx * dx + dy * dy + (1 << 31)) % (1 << 32)) - (1 << 31)
         if mag_sq < threshold_sq:
             continue
         gx = dst_x >> block_shift
@@ -117,7 +122,16 @@ def effective_clusters_needed(clusters_needed: int) -> int:
 def check_frame(mvs: np.ndarray, gw: int, gh: int, *, threshold_sq: float,
                 block_shift: int, y_min: int, y_max: int,
                 vectors_needed: int, clusters_needed: int) -> bool:
-    """Full per-frame motion decision (motion_scanner.cpp:217-295)."""
+    """Full per-frame motion decision (motion_scanner.cpp:217-295).
+
+    An empty MV list means the frame carried no side data (FFmpeg never
+    attaches an empty one): the reference returns false before the vote
+    or cluster phases run (`if (!sd) return false`, :219-221) — load-
+    bearing at vectors_needed == 0, where zero-vote cells would
+    otherwise count as active.
+    """
+    if len(np.asarray(mvs).reshape(-1, 4)) == 0:
+        return False
     grid = vote_grid(mvs, gw, gh, threshold_sq=threshold_sq,
                      block_shift=block_shift, y_min=y_min, y_max=y_max)
     n = count_clusters(grid, vectors_needed=vectors_needed,

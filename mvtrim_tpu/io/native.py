@@ -29,7 +29,9 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # Must match mvt_abi_version() in native/mvtrim_host.cpp.  Calling a stale
 # prebuilt .so with shifted ctypes signatures corrupts the stack silently,
 # so the loader rebuilds (dev checkouts) or refuses on mismatch.
-_ABI_VERSION = 8
+# v9: MV-less frames emit all-zero masks even at VECTORS_NEEDED<=0
+# (reference `!sd -> false` exactness) — a semantic, not signature, bump.
+_ABI_VERSION = 9
 
 
 def _rebuild() -> None:

@@ -124,7 +124,13 @@ def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
     @jax.jit
     def op(dst_x, dst_y, src_x, src_y, counts):
         n = jax.vmap(frame)(dst_x, dst_y, src_x, src_y, counts)
-        return n, n >= jnp.int32(max(1, clusters_needed))
+        # count == 0 <=> the frame carried no MV side data (FFmpeg never
+        # attaches an empty list): the reference decides such frames
+        # False before phase 2 runs (motion_scanner.cpp:219-221), which
+        # the cluster math alone cannot reproduce at vectors_needed == 0
+        # (zero votes satisfy >= 0)
+        return n, ((n >= jnp.int32(max(1, clusters_needed)))
+                   & (counts > 0))
 
     return op
 
@@ -251,7 +257,11 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
             interpret=interpret,
         )(counts, lane(dst_x), lane(dst_y), lane(src_x), lane(src_y))
         n = n[:b, 0, 0]
-        return n, n >= jnp.int32(max(1, clusters_needed))
+        # counts[:b] is pre-pad; count == 0 <=> no MV side data -> the
+        # reference's `!sd` early False (motion_scanner.cpp:219-221),
+        # unreachable from the votes alone at vectors_needed == 0
+        return n, ((n >= jnp.int32(max(1, clusters_needed)))
+                   & (counts[:b] > 0))
 
     # the requested F; the per-call effective value is the VMEM-aware
     # clamp mv_frames_per_step(padded_m, F_req)

@@ -285,6 +285,18 @@ class ProcessingPipeline:
             log.warn(f"Unknown MVT_SCAN_INPUT={scan_input!r}; using bits",
                      sid)
             scan_input = "bits"
+        if kind == "mv" and scan_input == "grids" and \
+                cfg.vectors_needed == 0:
+            # raw vote grids cannot distinguish "no MV side data"
+            # (reference decides False unconditionally,
+            # motion_scanner.cpp:219-221) from "side data but every MV
+            # filtered" (True at vec_need 0 — zero votes satisfy >= 0);
+            # the packed masks carry the distinction natively and are
+            # decision-identical in every other respect
+            log.info("VECTORS_NEEDED=0: vote grids are ambiguous for "
+                     "MV-less frames; using the bits payload "
+                     "(identical decisions)", sid)
+            scan_input = "bits"
         if scan_input == "mv_raw" and cfg.heatmap_path:
             log.warn("MVT_HEATMAP is unavailable with MVT_SCAN_INPUT="
                      "mv_raw (no per-cell grids on host); skipping heatmap",

@@ -446,21 +446,14 @@ inline void pack_mask_rows(const uint8_t *grid, int gw, int gh,
   }
 }
 
-// Degenerate config (vectors_needed <= 0 on a frame without MV side
-// data): zero votes still satisfy >= 0, so set exactly the gw valid
-// cells per row; padding bits/bytes stay zero (`bits` pre-zeroed).
-inline void fill_degenerate_mask(uint8_t *bits, int gw, int gh,
-                                 int row_bytes) {
-  for (int y = 0; y < gh; ++y) {
-    uint8_t *brow = bits + static_cast<size_t>(y) * row_bytes;
-    std::memset(brow, 0xFF, static_cast<size_t>(gw / 8));
-    if (gw & 7)
-      brow[gw / 8] = static_cast<uint8_t>((1u << (gw & 7)) - 1u);
-  }
-}
-
 // Shared emit body of the packed activity-mask scatters (mvt_scan_bits /
 // mvt_scan_words); the only degree of freedom is the output row stride.
+// Frames without MV side data emit all-zero masks: the reference's
+// check_frame returns false before phase 2 ever runs (`if (!sd) return
+// false`, motion_scanner.cpp:219-221), so even under VECTORS_NEEDED=0 —
+// where zero-vote cells of a frame WITH side data satisfy >= 0 and
+// pack_mask_rows sets every valid bit — an MV-less frame must stay
+// all-zero, never "degenerately active".
 inline void emit_packed_mask(AVFrame *f, double pts, long slot,
                              uint8_t *out, size_t bytes_per_frame,
                              int row_bytes, double threshold_sq,
@@ -481,8 +474,6 @@ inline void emit_packed_mask(AVFrame *f, double pts, long slot,
                  static_cast<int>(sd->size / sizeof(AVMotionVector)),
                  threshold_sq, block_shift, gw, y_min, y_max, grid.data());
     pack_mask_rows(grid.data(), gw, gh, vectors_needed, bits, row_bytes);
-  } else if (vectors_needed <= 0) {
-    fill_degenerate_mask(bits, gw, gh, row_bytes);
   }
 }
 
@@ -493,7 +484,12 @@ inline void emit_packed_mask(AVFrame *f, double pts, long slot,
 // loop, motion_scanner.cpp:242-268).
 // Frames without MV side data (I-frames) emit all-zero grids, which the
 // device cluster kernel maps to "no motion" — same decision as the
-// reference's early `return false` (motion_scanner.cpp:219-221).
+// reference's early `return false` (motion_scanner.cpp:219-221) — for
+// every VECTORS_NEEDED >= 1.  At VECTORS_NEEDED == 0 a zero grid is
+// ambiguous (a side-data frame whose MVs all got filtered also zeroes,
+// yet the reference decides it TRUE at vec_need 0): grid consumers
+// cannot be exact there, so the pipeline routes vec_need<=0 decisions
+// through mvt_scan_bits, whose masks carry side-data presence.
 MVT_EXPORT long mvt_scan_grids(MvtHandle *h, double start, double end,
                                double threshold_sq, int block_shift, int gw,
                                int gh, int y_min, int y_max, int frame_skip,
@@ -1342,7 +1338,7 @@ MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 8; }
+MVT_EXPORT int mvt_abi_version() { return 9; }
 
 // Frame-skip modulo phase of the handle's decode position (testing aid).
 MVT_EXPORT int mvt_skip_phase(MvtHandle *h) { return h ? h->skip_phase : -1; }

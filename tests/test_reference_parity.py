@@ -99,6 +99,13 @@ CONFIGS = [
                  id="skip-phase-tiny-cap-long-chunk"),
     pytest.param({"BLOCK_SIZE": "8", "BLOCK_SHIFT": "3",
                   "VECTORS_NEEDED": "1"}, id="8px-grid-cells"),
+    # vec_need 0: zero-vote cells satisfy >= 0, so every side-data frame
+    # is motion — but the reference still decides MV-LESS frames False
+    # (`if (!sd) return false`, motion_scanner.cpp:219-221) before the
+    # threshold is consulted; masks must carry that distinction
+    pytest.param({"VECTORS_NEEDED": "0"}, id="zero-vec-need"),
+    # 256 wraps to 0 through the reference's uint8 config storage
+    pytest.param({"VECTORS_NEEDED": "256"}, id="vec-need-uint8-wrap"),
 ]
 
 
@@ -151,6 +158,30 @@ class TestConcatListParity:
                                  {"VECTORS_NEEDED": "1"}, tmp_path)
         assert ref is not None and ours == ref
 
+    def test_intra_only_zero_vec_need(self, reference_bin, tmp_path):
+        """The sharpest MV-less divergence: an all-I-frame clip at
+        VECTORS_NEEDED=0.  No frame carries side data, so the reference
+        finds NO motion at all — while a naive 'zero votes satisfy >= 0'
+        reading marks EVERY frame motion.  MVT_PIPELINE=mv pins our MV
+        path (the reference has no SAD fallback to compare against)."""
+        from mvtrim_tpu.io import native
+
+        clip = str(tmp_path / "intra.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=10.0, codec="libx264",
+                          motion_windows=((2.0, 4.0),), gop=1)
+        binary, shim = reference_bin
+        _, ref = harness.run_reference(
+            binary, shim, clip, str(tmp_path / "ref_out.mp4"),
+            str(tmp_path / "ref_concat.txt"), {"VECTORS_NEEDED": "0"})
+        _, ours, _ = harness.run_ours(
+            clip, str(tmp_path / "our_out.mp4"),
+            str(tmp_path / "our_concat.txt"),
+            {"VECTORS_NEEDED": "0", "MVT_PIPELINE": "mv",
+             "MVT_SCAN_BACKEND": "oracle", "MVT_LOG": "0"})
+        assert ref is None  # no side data anywhere -> no motion
+        assert ours == ref
+
     def test_batch_mode(self, reference_bin, clips, tmp_path):
         """Directory batch (BASELINE config 4): per-file concat lists from
         the reference's parallel streams + cut queue match ours."""
@@ -197,7 +228,7 @@ def _random_knobs(seed: int) -> dict:
     return {
         "MV_THRESHOLD_SQ": str(float(rng.choice(
             [1.0, 4.0, 9.0, 16.0, 25.0, 64.0]))),
-        "VECTORS_NEEDED": str(int(rng.integers(1, 6))),
+        "VECTORS_NEEDED": str(int(rng.integers(0, 6))),
         "CLUSTERS_NEEDED": str(int(rng.integers(1, 5))),
         "MAX_GAP_SEC": str(round(float(rng.uniform(0.5, 6.0)), 2)),
         "PADDING_SEC": str(round(float(rng.uniform(0.0, 2.0)), 2)),

@@ -66,19 +66,30 @@ class TestNativeScanBits:
                                bitorder="little")
         np.testing.assert_array_equal(bits, expected)
 
-    def test_bits_zero_threshold_all_active(self, clip):
-        """vectors_needed=0: every cell (incl. zero-vote) satisfies >= 0."""
+    def test_bits_zero_threshold_sd_frames_only(self, clip):
+        """vectors_needed=0: on frames WITH MV side data every cell
+        (incl. zero-vote) satisfies >= 0 -> all gw bits set; frames
+        WITHOUT side data stay all-zero — the reference's check_frame
+        returns false before the threshold is ever consulted
+        (motion_scanner.cpp:219-221)."""
         cfg = Config(vectors_needed=0)
+        timing = native.ScanTiming()
         with native.VideoReader(clip) as r:
             geom = MVClusterDetector(r.width, r.height, cfg).geom
             bits, pts = r.scan_bits(
                 0.0, 1.0, threshold_sq=cfg.mv_threshold_sq,
                 block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
                 y_min=geom.y_min, y_max=geom.y_max,
-                vectors_needed=0, max_frames=30)
+                vectors_needed=0, max_frames=30, timing=timing)
         active = np.unpackbits(bits, axis=2,
                                bitorder="little")[:, :, :geom.gw]
-        assert active.all()
+        per_frame = active.reshape(len(pts), -1)
+        full = per_frame.all(axis=1)
+        empty = ~per_frame.any(axis=1)
+        # strict dichotomy: all-ones (side data) or all-zero (none)
+        assert (full | empty).all()
+        assert int(full.sum()) == timing.frames_with_mvs
+        assert full.any() and empty.any()  # clip has both I and inter
         # padding bits past gw stay zero
         tail = np.unpackbits(bits, axis=2, bitorder="little")[:, :, geom.gw:]
         assert not tail.any()
