@@ -66,7 +66,8 @@ def run_archive(input_arg: str, output_arg: str, cfg: Config) -> int:
     log.phase("Archive Scan (mesh-sharded)...")
     try:
         segments, duration, stats = scan_archive(
-            input_arg, cfg, checkpoint=cfg.checkpoint_path or None)
+            input_arg, cfg, decode_workers=cfg.decode_workers,
+            checkpoint=cfg.checkpoint_path or None)
     except (OSError, RuntimeError) as e:
         log.error(f"Archive scan failed: {e}")
         return 1

@@ -590,6 +590,8 @@ def cluster_counts(votes, geom: GridGeometry, *, vectors_needed: int,
     votes = pad_votes(jnp.asarray(votes, dtype=jnp.uint8), geom)
     if backend == "pallas":
         b = votes.shape[0]
+        if b == 0:  # 0 % block_b below would divide by zero
+            return jnp.zeros((0,), jnp.int32)
         block_b = min(64, b)
         while b % block_b:
             block_b -= 1

@@ -15,6 +15,7 @@ scales with mesh size.
 from __future__ import annotations
 
 import math
+import os
 import queue
 import threading
 
@@ -39,21 +40,51 @@ class ScanCheckpoint:
     idempotency is the output-exists skip, batch_processor.cpp:66-69).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, identity: dict | None = None):
         import json
         import os
 
         self.path = path
         self._json = json
         self.done: dict[int, list[float]] = {}
+        seen_header = False
         if os.path.exists(path):
             with open(path) as f:
                 for line in f:
                     line = line.strip()
                     if not line:
                         continue
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        # a kill mid-append leaves one truncated line;
+                        # tolerating it costs one chunk re-scan — far
+                        # better than refusing the resume the sidecar
+                        # exists to provide
+                        continue
+                    if "header" in rec:
+                        seen_header = True
+                        if identity is not None and \
+                                rec["header"] != identity:
+                            raise RuntimeError(
+                                f"checkpoint {path} belongs to a "
+                                f"different scan: sidecar header "
+                                f"{rec['header']!r} != current "
+                                f"{identity!r}; delete the file (or "
+                                f"point MVT_CHECKPOINT elsewhere) to "
+                                f"start fresh")
+                        continue
                     self.done[int(rec["chunk"])] = rec["motion_ts"]
+            if identity is not None and not seen_header and self.done:
+                log.warn(f"checkpoint {path} has no identity header "
+                         "(older format): cannot verify it matches this "
+                         "video/config — resuming anyway")
+        if identity is not None and not seen_header:
+            # stamp fresh (and legacy headerless) sidecars so a future
+            # resume against a different video or config fails loudly
+            # instead of silently merging foreign chunks
+            with open(path, "a") as f:
+                f.write(json.dumps({"header": identity}) + "\n")
 
     def record(self, chunk_id: int, motion_ts: list[float]) -> None:
         with open(self.path, "a") as f:
@@ -83,7 +114,6 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     mesh = mesh or build_mesh()
     data_size = mesh.shape["data"]
     global_batch = frames_per_device * data_size
-    ckpt = ScanCheckpoint(checkpoint) if checkpoint else None
 
     reader = native.VideoReader(input_path)
     duration, fps = reader.duration, reader.fps
@@ -92,6 +122,20 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     geom = GridGeometry.build(width, height, cfg)
     frame_skip = cfg.frame_skip(fps)
     gwb, used, lanes = packed_geometry(geom)
+    # everything that shapes per-chunk motion timestamps or chunk ids:
+    # a sidecar written under any other value must not be resumed from
+    identity = {
+        "input": os.path.abspath(input_path),
+        "duration": round(duration, 6),
+        "chunk_duration_sec": cfg.chunk_duration_sec,
+        "mv_threshold_sq": cfg.mv_threshold_sq,
+        "block_shift": cfg.block_shift,
+        "vectors_needed": cfg.vectors_needed,
+        "clusters_needed": cfg.clusters_needed,
+        "vertical_mask": cfg.vertical_mask,
+        "frame_skip": frame_skip,
+    }
+    ckpt = ScanCheckpoint(checkpoint, identity) if checkpoint else None
 
     step = sharded_bits_scan_step(geom, cfg, mesh)
     bits_sharding = NamedSharding(mesh, P("data", None))
@@ -119,9 +163,10 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
 
     results: queue.Queue = queue.Queue(maxsize=2 * n_workers)
     max_frames = int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64
+    timings = [native.ScanTiming() for _ in range(n_workers)]
     errors: list[Exception] = []
 
-    def worker():
+    def worker(widx: int):
         try:
             r = native.VideoReader(input_path)
             while True:
@@ -145,7 +190,7 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
                         gh=geom.gh, y_min=geom.y_min, y_max=geom.y_max,
                         vectors_needed=cfg.vectors_needed,
                         frame_skip=frame_skip, max_frames=max_frames,
-                        resume=resume)
+                        timing=timings[widx], resume=resume)
                     if len(pts) == 0:
                         break
                     parts_g.append(bits)
@@ -167,7 +212,8 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         finally:
             results.put(None)
 
-    threads = [threading.Thread(target=worker, name=f"archive-{i}")
+    threads = [threading.Thread(target=worker, args=(i,),
+                                name=f"archive-{i}")
                for i in range(n_workers)]
     for th in threads:
         th.start()
@@ -202,8 +248,14 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
                 sel = m[lo:lo + n]
                 chunk_motion[cid].extend(buf_pts[lo:lo + n][sel].tolist())
                 chunk_left[cid] -= n
-                if chunk_left[cid] == 0 and ckpt is not None:
-                    ckpt.record(cid, chunk_motion.pop(cid))
+                if chunk_left[cid] == 0:
+                    # pop even without a checkpoint: the dict would
+                    # otherwise retain a second copy of every motion
+                    # timestamp for the whole (possibly days-long) scan
+                    del chunk_left[cid]
+                    done_ts = chunk_motion.pop(cid)
+                    if ckpt is not None:
+                        ckpt.record(cid, done_ts)
         except Exception as e:  # noqa: BLE001 — drain workers, raise after
             errors.append(e)
         spans.clear()
@@ -219,11 +271,12 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
             continue  # drain only
         cid, grids, pts = item
         frames_scanned += len(pts)
+        if len(pts) == 0:
+            if ckpt is not None:
+                ckpt.record(cid, [])
+            continue
         chunk_left[cid] = len(pts)
         chunk_motion[cid] = []
-        if len(pts) == 0 and ckpt is not None:
-            ckpt.record(cid, [])
-            continue
         off = 0
         while off < len(pts):
             take = min(global_batch - fill, len(pts) - off)
@@ -243,12 +296,25 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     if errors:
         raise RuntimeError(errors[0])
 
+    frames_with_mvs = sum(t.frames_with_mvs for t in timings)
+    if frames_scanned and not frames_with_mvs:
+        # the single-file pipeline auto-falls back to the pixel-domain
+        # SAD detector here; archive mode is a packed-MV-mask scanner
+        # and has no pixel payload, so be LOUD instead of silently
+        # reporting a motionless archive
+        log.warn(
+            f"none of the {frames_scanned} scanned frames carried MV "
+            "side data (intra-only stream, or a codec this FFmpeg "
+            "cannot export MVs for — HEVC needs FFmpeg >= 7): archive "
+            "mode cannot detect motion on this input; use the "
+            "single-file pipeline (MVT_PIPELINE=sad) instead")
     timestamps = oracle.merge_timestamps(motion_ts)
     segments = oracle.segments_from_timestamps(
         timestamps, max_gap_sec=cfg.max_gap_sec,
         padding_sec=cfg.padding_sec, duration=duration)
     stats = {
         "frames_scanned": frames_scanned,
+        "frames_with_mvs": frames_with_mvs,
         "motion_frames": int(timestamps.size),
         "dispatches": dispatches,
         "mesh": dict(mesh.shape),

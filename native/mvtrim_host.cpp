@@ -1026,8 +1026,17 @@ MVT_EXPORT int mvt_cut(const char *input, const char *output,
   }
 
   av_packet_free(&pkt);
-  av_write_trailer(out);
-  if (out->pb) avio_closep(&out->pb);
+  // Finalize can fail on its own (ENOSPC during the mp4 trailer /
+  // +faststart moov rewrite, I/O errors on close): a truncated output
+  // must never be reported as a successful cut.
+  if (av_write_trailer(out) < 0 && rc == 0) {
+    rc = -1;
+    set_err(err, errlen, "write_trailer failed");
+  }
+  if (out->pb && avio_closep(&out->pb) < 0 && rc == 0) {
+    rc = -1;
+    set_err(err, errlen, "output close failed");
+  }
   avformat_free_context(out);
   avformat_close_input(&in);
   return rc;

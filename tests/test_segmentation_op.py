@@ -135,17 +135,52 @@ class TestArchiveCheckpoint:
                                        frames_per_device=64,
                                        checkpoint=ck_full)
         # simulate an interrupted scan: keep only the first 3 chunk records
+        # (plus the identity header the sidecar leads with)
         lines = open(ck_full).read().strip().split("\n")
-        recs = sorted((json.loads(x) for x in lines),
+        all_recs = [json.loads(x) for x in lines]
+        header = [r for r in all_recs if "header" in r]
+        assert len(header) == 1
+        recs = sorted((r for r in all_recs if "chunk" in r),
                       key=lambda r: r["chunk"])
         ck_part = str(tmp_path / "part.ckpt")
         with open(ck_part, "w") as f:
-            for r in recs[:3]:
+            for r in header + recs[:3]:
                 f.write(json.dumps(r) + "\n")
         segs_res, _, stats = scan_archive(clip, cfg, mesh=mesh,
                                           frames_per_device=64,
                                           checkpoint=ck_part)
         assert stats["resumed_chunks"] == 3
+        assert segs_res == segs_full
+
+    def test_foreign_checkpoint_rejected(self, clip, tmp_path):
+        """A sidecar written under a different config must fail loudly
+        instead of silently merging foreign chunk results."""
+        import pytest
+        cfg = Config(chunk_duration_sec=5.0)
+        mesh = build_mesh(1, sweep=1)
+        ck = str(tmp_path / "scan.ckpt")
+        scan_archive(clip, cfg, mesh=mesh, frames_per_device=64,
+                     checkpoint=ck)
+        other = Config(chunk_duration_sec=5.0, mv_threshold_sq=999)
+        with pytest.raises(RuntimeError, match="different scan"):
+            scan_archive(clip, other, mesh=mesh, frames_per_device=64,
+                         checkpoint=ck)
+
+    def test_truncated_tail_line_tolerated(self, clip, tmp_path):
+        """A kill mid-append leaves a truncated final line; resume must
+        tolerate it (costing one chunk re-scan), not crash."""
+        cfg = Config(chunk_duration_sec=5.0)
+        mesh = build_mesh(1, sweep=1)
+        ck = str(tmp_path / "scan.ckpt")
+        segs_full, _, _ = scan_archive(clip, cfg, mesh=mesh,
+                                       frames_per_device=64,
+                                       checkpoint=ck)
+        with open(ck, "a") as f:
+            f.write('{"chunk": 99, "motion_')  # torn write
+        segs_res, _, stats = scan_archive(clip, cfg, mesh=mesh,
+                                          frames_per_device=64,
+                                          checkpoint=ck)
+        assert stats["resumed_chunks"] == 6
         assert segs_res == segs_full
 
 
