@@ -166,6 +166,54 @@ class TestArchiveCheckpoint:
             scan_archive(clip, other, mesh=mesh, frames_per_device=64,
                          checkpoint=ck)
 
+    def test_sigkill_mid_scan_resumes(self, clip, tmp_path):
+        """Crash consistency at the process level: a scan SIGKILLed
+        mid-run (right after its 3rd chunk record hits the sidecar)
+        must leave a sidecar a fresh process resumes from, producing
+        segments identical to an uninterrupted scan.  (The reference's
+        only resume granularity is the whole-file output-exists skip,
+        batch_processor.cpp:66-69.)"""
+        import os
+        import signal
+        import subprocess
+        import sys
+
+        ck = str(tmp_path / "scan.ckpt")
+        child = (
+            "import os, signal\n"
+            "import mvtrim_tpu.parallel.archive as A\n"
+            "orig = A.ScanCheckpoint.record\n"
+            "n = [0]\n"
+            "def rec(self, cid, ts):\n"
+            "    orig(self, cid, ts)\n"
+            "    n[0] += 1\n"
+            "    if n[0] == 3:\n"
+            "        os.kill(os.getpid(), signal.SIGKILL)\n"
+            "A.ScanCheckpoint.record = rec\n"
+            "from mvtrim_tpu.core.config import Config\n"
+            "from mvtrim_tpu.parallel.mesh import build_mesh\n"
+            f"A.scan_archive({clip!r}, Config(chunk_duration_sec=5.0),\n"
+            "               mesh=build_mesh(1, sweep=1),\n"
+            f"               frames_per_device=64, checkpoint={ck!r})\n"
+        )
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd() + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        p = subprocess.run([sys.executable, "-c", child], env=env,
+                           capture_output=True, timeout=300)
+        assert p.returncode == -signal.SIGKILL, p.stderr.decode()[-2000:]
+
+        cfg = Config(chunk_duration_sec=5.0)
+        mesh = build_mesh(1, sweep=1)
+        segs_full, _, _ = scan_archive(clip, cfg, mesh=mesh,
+                                       frames_per_device=64)
+        segs_res, _, stats = scan_archive(clip, cfg, mesh=mesh,
+                                          frames_per_device=64,
+                                          checkpoint=ck)
+        assert stats["resumed_chunks"] == 3
+        assert segs_res == segs_full
+
     def test_truncated_tail_line_tolerated(self, clip, tmp_path):
         """A kill mid-append leaves a truncated final line; resume must
         tolerate it (costing one chunk re-scan), not crash."""
