@@ -31,7 +31,8 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # so the loader rebuilds (dev checkouts) or refuses on mismatch.
 # v9: MV-less frames emit all-zero masks even at VECTORS_NEEDED<=0
 # (reference `!sd -> false` exactness) — a semantic, not signature, bump.
-_ABI_VERSION = 9
+# v10: adds mvt_libav_versions (doctor tool reports the linked FFmpeg).
+_ABI_VERSION = 10
 
 
 def _rebuild() -> None:
@@ -155,6 +156,10 @@ def _load_library():
         lib.mvt_cut.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                 ctypes.c_void_p, ctypes.c_int,
                                 ctypes.c_char_p, ctypes.c_int]
+        lib.mvt_libav_versions.restype = None
+        lib.mvt_libav_versions.argtypes = [
+            ctypes.POINTER(ctypes.c_uint), ctypes.POINTER(ctypes.c_uint),
+            ctypes.POINTER(ctypes.c_uint)]
         lib.mvt_synth.restype = ctypes.c_int
         lib.mvt_synth.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
@@ -501,6 +506,23 @@ def synthesize(path: str, *, width: int = 640, height: int = 480,
                        len(err))
     if rc != 0:
         raise RuntimeError(f"mvt_synth({path}): {err.value.decode()}")
+
+
+def libav_versions() -> dict[str, str]:
+    """Runtime versions of the linked libav* libraries ("major.minor.micro").
+
+    avcodec major >= 61 (FFmpeg >= 7) is required for HEVC motion-vector
+    export — the capability the reference's Dockerfile builds FFmpeg 8
+    from source for (reference Dockerfile:46-65).
+    """
+    lib = _load_library()
+    vals = [ctypes.c_uint(0) for _ in range(3)]
+    lib.mvt_libav_versions(*(ctypes.byref(v) for v in vals))
+    def fmt(v: int) -> str:
+        return f"{v >> 16}.{(v >> 8) & 0xFF}.{v & 0xFF}"
+    return {"avformat": fmt(vals[0].value),
+            "avcodec": fmt(vals[1].value),
+            "avutil": fmt(vals[2].value)}
 
 
 _hevc_mv_capable: bool | None = None

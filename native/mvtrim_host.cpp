@@ -1344,10 +1344,21 @@ MVT_EXPORT int mvt_stream_types(MvtHandle *h, int32_t *out_types,
 
 MVT_EXPORT const char *mvt_version() { return "mvtrim_host 0.1.0"; }
 
+// Runtime libav versions (packed FFmpeg style: (major<<16)|(minor<<8)|micro).
+// The doctor tool uses these to report whether the linked FFmpeg can export
+// HEVC motion vectors (avcodec major >= 61, i.e. FFmpeg >= 7 — the
+// capability the reference's Dockerfile builds FFmpeg 8 from source for).
+MVT_EXPORT void mvt_libav_versions(unsigned *fmt, unsigned *cod,
+                                   unsigned *utl) {
+  if (fmt) *fmt = avformat_version();
+  if (cod) *cod = avcodec_version();
+  if (utl) *utl = avutil_version();
+}
+
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 9; }
+MVT_EXPORT int mvt_abi_version() { return 10; }
 
 // Frame-skip modulo phase of the handle's decode position (testing aid).
 MVT_EXPORT int mvt_skip_phase(MvtHandle *h) { return h ? h->skip_phase : -1; }

@@ -134,3 +134,30 @@ class TestHeatmap:
         assert doc["hottest_cells"]
         arr = np.load(npy)
         assert arr.shape == (15, 20)
+
+
+class TestDoctor:
+    def test_all_checks_pass_on_this_box(self, capsys):
+        """Every required capability works here; HEVC MV export and the
+        CPU-only backend are WARNs (expected on FFmpeg 5.x / test env)."""
+        from mvtrim_tpu.tools import doctor
+        assert doctor.main(["--json"]) == 0  # exit = #failures
+        import json
+        doc = json.loads(capsys.readouterr().out)
+        assert doc["failures"] == 0
+        by_name = {c["name"]: c for c in doc["checks"]}
+        for required in ("native-library", "h264-mv-export", "remux-cut",
+                         "device-mesh", "end-to-end (oracle)"):
+            assert by_name[required]["status"] == "ok", by_name[required]
+        # FFmpeg 5.x on this box: HEVC MV export must be a WARN, not a
+        # silent OK (the capability gap the doctor exists to surface)
+        assert by_name["hevc-mv-export"]["status"] in ("ok", "warn")
+        assert by_name["libav"]["detail"].startswith("avformat")
+
+    def test_human_report(self, capsys):
+        from mvtrim_tpu.tools import doctor
+        rc = doctor.main([])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "[ OK ] native-library" in out
+        assert "checks:" in out.splitlines()[-1]
