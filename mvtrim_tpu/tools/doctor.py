@@ -166,6 +166,10 @@ def _check_compile_cache() -> dict:
 
 
 def run_checks(device: bool = False) -> list[dict]:
+    def _e2e():
+        return _check_e2e(device)
+    _e2e.__name__ = "_check_end-to-end"
+
     checks = [
         _check_native,
         _check_libav,
@@ -175,15 +179,14 @@ def run_checks(device: bool = False) -> list[dict]:
         _check_jax,
         _check_mesh,
         _check_compile_cache,
-        lambda: _check_e2e(device),
+        _e2e,
     ]
     out = []
     for fn in checks:
         try:
             out.append(fn())
         except Exception as e:  # noqa: BLE001 — a probe crash IS the finding
-            name = getattr(fn, "__name__", "end-to-end").replace(
-                "_check_", "")
+            name = fn.__name__.replace("_check_", "").replace("_", "-")
             out.append({"name": name, "status": "fail",
                         "detail": f"{type(e).__name__}: {e}"})
     return out
