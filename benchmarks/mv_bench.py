@@ -16,8 +16,13 @@ round-3 window-length correction found for the cluster/SAD kernels).
 This harness measures the kernel itself and diagnoses where its time
 goes:
 
-    prod     the exact production step (ops/mv_vote._mv_frame_votes +
-             _cluster_map + 2D reduce), --fps frames per grid step
+    prod     the exact production step (ops/mv_vote.chunked_frame_votes +
+             _cluster_map + 2D reduce), --fps frames per grid step;
+             at --m > --m-chunk this includes the product default's
+             count-bounded DYNAMIC chunk loop
+    prodstat the same body with the dynamic bound disabled (every chunk
+             always runs) — A/B partner for prod at --m 8192; pair with
+             --counts sparse (realistic MV densities) vs full (worst case)
     rollclu  production votes, roll-based cluster map
              (ops/cluster.cluster_map_kernel) instead of pad/shift
     bclu     --fps frames per step, per-frame vote matmuls stacked into
@@ -58,7 +63,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_variant(variant, geom, cfg, *, k, b, m, iters, fps):
+def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
+                  m_chunk=2048):
     """Returns jitted fn(dst_x, dst_y, src_x, src_y, dst_x_sub, counts)
     -> per-frame int32 counts [B] for the last-written buffer."""
     import jax
@@ -80,14 +86,18 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps):
     # stream (whose VMEM block is lane-padded 128x and whose DMA writes
     # M strided 4-byte rows) — the retired round-2 layout
     use_sub = variant in ("ctrlsub", "prodsub")
+    # prodstat: the chunked product body with the count-bounded fori_loop
+    # disabled — the static A/B partner of prod at m > m_chunk
+    dynamic = variant != "prodstat"
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
 
     def frame_votes(refs, fi):
-        """The exact production vote step (lane-major NT one-hot dot)."""
+        """The exact production vote step (shared chunked body)."""
         dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, _, count = refs
-        return mv_vote._mv_frame_votes(
-            dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi], src_y_ref[fi],
-            count(fi), geom, bound, cfg.block_shift)
+        return mv_vote.chunked_frame_votes(
+            dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi, count(fi),
+            geom, bound, cfg.block_shift, m=m, m_chunk=m_chunk,
+            dynamic_chunks=dynamic)
 
     def votes_sub(refs, fi):
         """Retired layout: rhs one-hot built [M, GW] from the sublane
@@ -173,7 +183,8 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps):
             out_ref[:] = jnp.sum(rows, axis=1, keepdims=True
                                  ).reshape(F, 1, 1)
         else:
-            assert variant in ("prod", "rollclu", "prodsub"), variant
+            assert variant in ("prod", "prodstat", "rollclu",
+                               "prodsub"), variant
             body = cluster_map_kernel if variant == "rollclu" else (
                 _cluster_map)
             mk = votes_sub if variant == "prodsub" else frame_votes
@@ -225,6 +236,17 @@ def main() -> int:
     ap.add_argument("--buffers", type=int, default=4)
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--m", type=int, default=2048)
+    ap.add_argument("--m-chunk", type=int, default=2048,
+                    help="in-kernel MV chunk (mirrors the product op); "
+                         "dynamic count-bounded skipping only engages at "
+                         "--m > --m-chunk")
+    ap.add_argument("--counts", choices=("uniform", "sparse", "full"),
+                    default="uniform",
+                    help="per-frame MV count distribution: uniform [0, m] "
+                         "(default), sparse = log-uniform 64..2048 "
+                         "(realistic 1080p densities — what the dynamic "
+                         "chunk skip is for), full = every frame at "
+                         "capacity (the dynamic skip's worst case)")
     # fixed ~28ms dispatch cost: keep the launch >= ~0.7s of device work
     # (prod at F=16 runs ~4M frames/s -> 1024 frames x 4096 iters ~= 1s)
     ap.add_argument("--iters", type=int, default=4096)
@@ -257,7 +279,15 @@ def main() -> int:
     dst_y = rng.integers(-32, 1080 + 32, size=(k, b, m)).astype(np.int32)
     src_x = (dst_x - rng.integers(-8, 9, size=(k, b, m))).astype(np.int32)
     src_y = (dst_y - rng.integers(-8, 9, size=(k, b, m))).astype(np.int32)
-    counts = rng.integers(0, m + 1, size=(k, b)).astype(np.int32)
+    if args.counts == "uniform":
+        counts = rng.integers(0, m + 1, size=(k, b)).astype(np.int32)
+    elif args.counts == "sparse":
+        hi = min(m, 2048)
+        counts = np.exp(rng.uniform(np.log(64), np.log(hi + 1),
+                                    size=(k, b))).astype(np.int32)
+        counts = np.minimum(counts, m)
+    else:  # full
+        counts = np.full((k, b), m, np.int32)
 
     # ---- host-side expectations (vectorized; cross-checked vs oracle) ----
     last = (iters - 1) % k
@@ -320,7 +350,8 @@ def main() -> int:
     for variant in wanted:
         try:
             run = build_variant(variant, geom, cfg, k=k, b=b, m=m,
-                                iters=iters, fps=args.fps)
+                                iters=iters, fps=args.fps,
+                                m_chunk=args.m_chunk)
             t0 = time.perf_counter()
             out = np.asarray(run(*d_args))       # compile + first pass
             compile_s = time.perf_counter() - t0
@@ -355,7 +386,10 @@ def main() -> int:
                             "compile_s": round(compile_s, 1)}
 
     print(json.dumps({"metric": "mv_fused_frames_per_sec",
-                      "m": m, "bytes_per_frame": bytes_per_frame,
+                      "m": m, "m_chunk": args.m_chunk,
+                      "counts": args.counts,
+                      "mean_count": round(float(counts.mean()), 1),
+                      "bytes_per_frame": bytes_per_frame,
                       "fps_per_step": args.fps or 1,
                       "roofline_gbps": roofline,
                       "variants": results}), flush=True)

@@ -108,6 +108,50 @@ def _mv_frame_votes(dst_x, dst_y, src_x, src_y, count,
     )                                                            # [GH_p, GW_p]
 
 
+def chunked_frame_votes(dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi,
+                        count, geom: GridGeometry, bound: int,
+                        block_shift: int, *, m: int, m_chunk: int,
+                        dynamic_chunks: bool):
+    """In-kernel per-frame votes with M-chunked accumulation.
+
+    fori_loop (not a static unroll): one chunk's one-hot operands live at
+    a time, or the scheduler keeps them all resident and blows VMEM at
+    4 chunks x 4K geometry.  Chunks are sliced from the REFS with pl.ds —
+    dynamic_slice on loaded values has no Mosaic lowering (caught on
+    hardware; interpret mode accepts it).
+
+    ``dynamic_chunks`` bounds the loop at ``ceil(count / m_chunk)``:
+    chunks whose offset is past the frame's MV count contribute zero
+    (``idx < count`` fails on every lane), so skipping them is exact —
+    and it makes the kernel's cost track the frame's actual MV count
+    instead of the padded capacity M.  Shared by the product op
+    (make_mv_cluster_op_pallas) and the bench harness
+    (benchmarks/mv_bench.py) so both time the same body.
+    """
+    if m <= m_chunk:
+        return _mv_frame_votes(
+            dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
+            src_y_ref[fi], count, geom, bound, block_shift)
+
+    def chunk_body(ci, votes):
+        off = pl.multiple_of(ci * m_chunk, m_chunk)
+        sl = pl.ds(off, m_chunk)
+        return votes + _mv_frame_votes(
+            dst_x_ref[fi, :, sl], dst_y_ref[fi, :, sl],
+            src_x_ref[fi, :, sl], src_y_ref[fi, :, sl], count,
+            geom, bound, block_shift, idx_offset=off)
+
+    n_chunks = m // m_chunk
+    if dynamic_chunks:
+        n_chunks = jnp.minimum(
+            jnp.int32(n_chunks),
+            jax.lax.div(count + jnp.int32(m_chunk - 1),
+                        jnp.int32(m_chunk)))
+    return jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((geom.padded_gh, geom.padded_gw), jnp.float32))
+
+
 def make_mv_cluster_op_xla(geom: GridGeometry, *, threshold_sq: float,
                            block_shift: int, vectors_needed: int,
                            clusters_needed: int):
@@ -152,7 +196,8 @@ def mv_frames_per_step(m: int, requested: int = 16) -> int:
 def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                               block_shift: int, vectors_needed: int,
                               clusters_needed: int, interpret: bool = False,
-                              m_chunk: int = 2048, frames_per_step: int = 16):
+                              m_chunk: int = 2048, frames_per_step: int = 16,
+                              dynamic_chunks: bool = True):
     """Pallas implementation: ``frames_per_step`` frames per grid step,
     everything in VMEM.
 
@@ -171,33 +216,27 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     and fails too).  2048 is validated across 1080p/4K up to M=16384;
     oddly, exactly 4 chunks of 4096 at 4K trips a Mosaic scheduling
     limit — keep the chunk small rather than clever.
+
+    ``dynamic_chunks``: the kernel's cost is otherwise proportional to
+    the MV *capacity* M, not the frame's actual MV count — the one-hot
+    build + vote matmul contract over every chunk even when all its
+    lanes fail ``idx < count``.  With the per-frame count already in
+    SMEM, bounding the fori_loop at ``ceil(count / m_chunk)`` skips
+    all-padding chunks EXACTLY (their contribution is provably zero) and
+    makes sparse frames cost only the chunks they fill.  Real 1080p
+    frames carry hundreds-to-thousands of MVs against the default
+    M=8192 capacity (core/config.py MVT_MV_CAPACITY), so typical frames
+    run 1 of 4 chunks.  Only reachable at m > m_chunk.
     """
     bound = threshold_bound(threshold_sq)
     F_req = max(1, frames_per_step)
 
     def frame_votes(count, fi, dst_x_ref, dst_y_ref, src_x_ref,
                     src_y_ref, m):
-        if m <= m_chunk:
-            return _mv_frame_votes(
-                dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
-                src_y_ref[fi], count, geom, bound, block_shift)
-
-        # fori_loop (not a static unroll): one chunk's one-hot operands
-        # live at a time, or the scheduler keeps them all resident and
-        # blows VMEM at 4 chunks x 4K geometry.  Chunks are sliced from
-        # the REFS with pl.ds — dynamic_slice on loaded values has no
-        # Mosaic lowering (caught on hardware; interpret mode accepts it)
-        def chunk_body(ci, votes):
-            off = pl.multiple_of(ci * m_chunk, m_chunk)
-            sl = pl.ds(off, m_chunk)
-            return votes + _mv_frame_votes(
-                dst_x_ref[fi, :, sl], dst_y_ref[fi, :, sl],
-                src_x_ref[fi, :, sl], src_y_ref[fi, :, sl], count,
-                geom, bound, block_shift, idx_offset=off)
-
-        return jax.lax.fori_loop(
-            0, m // m_chunk, chunk_body,
-            jnp.zeros((geom.padded_gh, geom.padded_gw), jnp.float32))
+        return chunked_frame_votes(
+            dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi, count,
+            geom, bound, block_shift, m=m, m_chunk=m_chunk,
+            dynamic_chunks=dynamic_chunks)
 
     def make_kernel(F):
         def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,

@@ -204,6 +204,29 @@ class TestMVChunkedPath:
         nr3, _ = ref(dx3, dy3, sx3, sy3, c3)
         assert int(n3[0]) == int(nr3[0])
 
+    @pytest.mark.parametrize("dynamic", [True, False])
+    def test_sparse_counts_dynamic_chunk_skip(self, rng, dynamic):
+        """dynamic_chunks bounds the chunk fori_loop by each frame's MV
+        count; frames whose counts land mid-chunk, at a chunk boundary,
+        at zero, and at full capacity must all decide exactly like the
+        dense XLA op (and like dynamic_chunks=False)."""
+        m, m_chunk = 1024, 256
+        counts_wanted = [0, 1, 255, 256, 257, 512, 700, 1024]
+        mv_list = [random_mvs(rng, c) for c in counts_wanted]
+        dx_, dy_, sx_, sy_, counts, _ = mv_vote.pad_mvs(mv_list, m)
+        np.testing.assert_array_equal(counts, counts_wanted)
+        op = mv_vote.make_mv_cluster_op_pallas(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=1, clusters_needed=1, interpret=True,
+            m_chunk=m_chunk, dynamic_chunks=dynamic)
+        ref = mv_vote.make_mv_cluster_op_xla(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=1, clusters_needed=1)
+        n, mo = op(dx_, dy_, sx_, sy_, counts)
+        nr, mr = ref(dx_, dy_, sx_, sy_, counts)
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(nr))
+        np.testing.assert_array_equal(np.asarray(mo), np.asarray(mr))
+
 
 class TestPackedClusterOps:
     """Packed-domain cluster math (bitwise neighbors + SWAR popcount on
