@@ -32,7 +32,9 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 # v9: MV-less frames emit all-zero masks even at VECTORS_NEEDED<=0
 # (reference `!sd -> false` exactness) — a semantic, not signature, bump.
 # v10: adds mvt_libav_versions (doctor tool reports the linked FFmpeg).
-_ABI_VERSION = 10
+# v11: mvt_scan_grids_multi grows a per-frame has_mv out-param so
+# vec_needed<=0 sweeps can apply the reference's `!sd -> false` rule.
+_ABI_VERSION = 11
 
 
 def _rebuild() -> None:
@@ -117,7 +119,7 @@ def _load_library():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int]
+            ctypes.c_void_p, ctypes.c_int]
         lib.mvt_scan_mvs.restype = ctypes.c_long
         lib.mvt_scan_mvs.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
@@ -317,23 +319,28 @@ class VideoReader:
                          resume: bool = False):
         """One decode pass, K vote grids per frame (one per threshold).
 
-        Returns (grids uint8 [N, K, gh, gw], pts f64 [N]).
+        Returns (grids uint8 [N, K, gh, gw], pts f64 [N], has_mv bool [N]).
+        ``has_mv`` marks frames that carried MV side data — a zero grid
+        cannot distinguish "no side data" (reference: unconditional
+        ``!sd -> false``, motion_scanner.cpp:219-221) from "MVs present
+        but none voted", and the distinction decides vec_needed<=0.
         """
         thr = np.ascontiguousarray(thresholds_sq, dtype=np.float64)
         k = len(thr)
         grids = np.empty((max_frames, k, gh, gw), dtype=np.uint8)
         pts = np.empty((max_frames,), dtype=np.float64)
+        has_mv = np.zeros((max_frames,), dtype=np.uint8)
         t = np.zeros((4,), dtype=np.int64)
         n = self._lib.mvt_scan_grids_multi(
             self._h, start, end, thr.ctypes.data, k, block_shift, gw, gh,
             y_min, y_max, frame_skip, max_frames,
-            grids.ctypes.data, pts.ctypes.data, t.ctypes.data,
-            int(resume))
+            grids.ctypes.data, pts.ctypes.data, has_mv.ctypes.data,
+            t.ctypes.data, int(resume))
         if n < 0:
             raise RuntimeError(f"mvt_scan_grids_multi failed on {self.path}")
         if timing is not None:
             timing.add_raw(t)
-        return grids[:n], pts[:n]
+        return grids[:n], pts[:n], has_mv[:n].astype(bool)
 
     def scan_mvs(self, start: float, end: float, *, frame_skip: int = 1,
                  max_frames: int = 4096, max_mv: int = 8192,

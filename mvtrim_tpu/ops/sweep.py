@@ -27,7 +27,14 @@ from .cluster import cluster_counts_traced as _cluster_counts_traced
 
 def make_vote_sweep_op(geom: GridGeometry):
     """(votes u8 [B, GH, GW], vec_needs i32 [K], clusters_needs i32 [K])
-    -> motion bool [B, K]."""
+    -> motion bool [B, K].
+
+    Caveat for vec_need <= 0 columns: a zero vote grid cannot represent
+    "no MV side data", so this op alone cannot reproduce the reference's
+    unconditional ``!sd -> false`` (motion_scanner.cpp:219-221) — zero
+    votes satisfy ``>= 0`` and MV-less frames would decide True.  Callers
+    sweeping vec <= 0 must mask MV-less frames themselves (tools/tune.py
+    does, from scan_grids_multi's per-frame has_mv flags)."""
 
     @jax.jit
     def op(votes, vec_needs, clusters_needs):
@@ -82,7 +89,12 @@ def make_mv_sweep_op(geom: GridGeometry, block_shift: int):
                 votes.astype(jnp.int32), geom, vec_need)
             return counts >= jnp.maximum(1, clust_need)        # scalar
 
-        return jax.vmap(per_config)(bounds, vec_needs, clusters_needs)
+        # count == 0 <=> no MV side data (FFmpeg never attaches an empty
+        # list): the reference decides such frames False before phase 2
+        # runs (motion_scanner.cpp:219-221) — unreachable from the votes
+        # alone at vec_need == 0, where zero votes satisfy >= 0
+        return jax.vmap(per_config)(bounds, vec_needs,
+                                    clusters_needs) & (count > 0)
 
     @jax.jit
     def op(dst_x, dst_y, src_x, src_y, counts, bounds, vec_needs,

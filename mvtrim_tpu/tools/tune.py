@@ -71,8 +71,16 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
     cfg = cfg or Config.from_env()
     thresholds = list(thresholds)
     vc_pairs = [(v, c) for v in vectors for c in clusters]
-    vec_needs = np.asarray([v for v, _ in vc_pairs], np.int32)
+    # the reference stores VECTORS_NEEDED as uint8 (config.hpp:74) and
+    # Config.__post_init__ wraps to match; sweeping the raw value would
+    # score configs the reference cannot express (256 vs 0, -1 vs 255)
+    vec_needs = np.asarray([v & 0xFF for v, _ in vc_pairs], np.int32)
     clust_needs = np.asarray([c for _, c in vc_pairs], np.int32)
+    # effective vec == 0: zero votes satisfy >= 0, but the reference
+    # still decides MV-less frames False before phase 2 runs
+    # (motion_scanner.cpp:219-221) — those frames need masking because
+    # a zero vote grid cannot carry the distinction
+    vec0 = vec_needs == 0
 
     reader = native.VideoReader(input_path)
     duration, fps = reader.duration, reader.fps
@@ -128,13 +136,23 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
 
             def score(batch):
                 return op(batch, vec_needs, clust_needs)
+        import jax.numpy as jnp
+
         t = 0.0
         chunk = cfg.chunk_duration_sec
         cap = int(math.ceil(chunk * max(fps, 1.0))) + 64
         resume = False
+        # Host path: one staging buffer for the whole sweep — each
+        # dispatch is resolved (np.asarray) before the next overwrite.
+        # device_stats path: dispatches stay LAZY until the end and the
+        # CPU backend may alias numpy buffers zero-copy, so reuse would
+        # feed later batches' data to earlier dispatches (caught by
+        # test_device_stats_matches_host_path) — allocate per dispatch.
+        batch = (None if device_stats
+                 else np.zeros((batch_frames, gh_p, gw_p), np.uint8))
         while t < duration:
             end = min(t + chunk, duration)
-            grids, pts = reader.scan_grids_multi(
+            grids, pts, has_mv = reader.scan_grids_multi(
                 t, end, thresholds_sq=thresholds,
                 block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
                 y_min=geom.y_min, y_max=geom.y_max,
@@ -150,10 +168,21 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
                 all_pts.append(pts)
             for lo in range(0, len(pts), batch_frames):
                 hi = min(lo + batch_frames, len(pts))
+                if vec0.any():
+                    # reference `!sd -> false` for the vec==0 columns
+                    # (zero grids cannot represent "no side data")
+                    allow = np.ones((batch_frames, len(vc_pairs)), bool)
+                    allow[:hi - lo] = has_mv[lo:hi, None] | ~vec0[None, :]
                 for ti in range(len(thresholds)):
-                    batch = np.zeros((batch_frames, gh_p, gw_p), np.uint8)
+                    if device_stats:
+                        batch = np.zeros((batch_frames, gh_p, gw_p),
+                                         np.uint8)
+                    else:
+                        batch[hi - lo:, :geom.gh, :geom.gw] = 0
                     batch[:hi - lo, :geom.gh, :geom.gw] = grids[lo:hi, ti]
                     motion = score(batch)
+                    if vec0.any():
+                        motion = motion & jnp.asarray(allow)
                     if device_stats:
                         # async dispatch; resolution happens on-device at
                         # the end via the segmentation op — no host round
@@ -258,7 +287,8 @@ def _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs, frame_skip,
     nvc = len(vc_pairs)
     bounds = np.asarray([threshold_bound(t) for t in thresholds
                          for _ in vc_pairs], np.int32)
-    vecs = np.asarray([v for _ in thresholds for v, _ in vc_pairs],
+    # uint8 wrap: same rationale as sweep()'s vec_needs
+    vecs = np.asarray([v & 0xFF for _ in thresholds for v, _ in vc_pairs],
                       np.int32)
     clus = np.asarray([c for _ in thresholds for _, c in vc_pairs],
                       np.int32)
@@ -270,6 +300,7 @@ def _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs, frame_skip,
     duration = reader.duration
     resume = False
     capm = cfg.mv_capacity
+    fields = cnts = None
     marks = None  # rollback point: the current chunk's list lengths
     while t < duration:
         end = min(t + chunk, duration)
@@ -302,11 +333,23 @@ def _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs, frame_skip,
         if device_stats:
             all_pts.append(pts)
         m = mvs.shape[1]
+        if fields is None or fields.shape[1] != m:
+            # host-path staging buffers live for the whole sweep
+            # (reallocated only when an overflow restart raises the MV
+            # capacity); each dispatch is resolved before the next
+            # overwrite, so reuse is safe — unlike device_stats, whose
+            # LAZY dispatches may alias numpy buffers on the CPU backend
+            fields = np.zeros((batch_frames, m, 4), np.int32)
+            cnts = np.zeros((batch_frames,), np.int32)
         for lo in range(0, len(pts), batch_frames):
             hi = min(lo + batch_frames, len(pts))
-            fields = np.zeros((batch_frames, m, 4), np.int32)
+            if device_stats:
+                fields = np.zeros((batch_frames, m, 4), np.int32)
+                cnts = np.zeros((batch_frames,), np.int32)
+            else:
+                fields[hi - lo:] = 0
+                cnts[hi - lo:] = 0
             fields[:hi - lo] = mvs[lo:hi]
-            cnts = np.zeros((batch_frames,), np.int32)
             cnts[:hi - lo] = counts[lo:hi]
             motion = op(fields[..., 0], fields[..., 1], fields[..., 2],
                         fields[..., 3], cnts, bounds, vecs, clus)

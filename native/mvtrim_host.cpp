@@ -590,7 +590,8 @@ MVT_EXPORT long mvt_scan_grids_multi(
     MvtHandle *h, double start, double end, const double *thresholds_sq,
     int n_thresholds, int block_shift, int gw, int gh, int y_min, int y_max,
     int frame_skip, long max_frames, uint8_t *out_grids /* [mf,K,gh*gw] */,
-    double *out_pts, long long *timing_us, int resume) {
+    double *out_pts, uint8_t *out_has_mv /* [mf], nullable */,
+    long long *timing_us, int resume) {
   const size_t grid_cells = static_cast<size_t>(gw) * gh;
   const size_t per_frame = grid_cells * static_cast<size_t>(n_thresholds);
   return scan_loop(
@@ -602,6 +603,11 @@ MVT_EXPORT long mvt_scan_grids_multi(
 
         AVFrameSideData *sd =
             av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
+        // A zero vote grid cannot distinguish "no MV side data" (the
+        // reference's unconditional `!sd -> false`,
+        // motion_scanner.cpp:219-221) from "MVs present but none voted";
+        // the flag carries that bit so vec_needed<=0 sweeps stay exact.
+        if (out_has_mv) out_has_mv[slot] = sd ? 1 : 0;
         if (!sd) return;
         if (timing_us) timing_us[3]++;
         const auto *mvs = reinterpret_cast<const AVMotionVector *>(sd->data);
@@ -1358,7 +1364,10 @@ MVT_EXPORT void mvt_libav_versions(unsigned *fmt, unsigned *cod,
 // Bump whenever any exported signature changes; the ctypes loader refuses
 // stale prebuilt libraries (calling with shifted arguments corrupts the
 // stack silently).
-MVT_EXPORT int mvt_abi_version() { return 10; }
+// v11: mvt_scan_grids_multi grows a per-frame has_mv out-param (nullable)
+// so vec_needed<=0 sweeps can apply the reference's `!sd -> false` rule,
+// which a zero vote grid cannot represent.
+MVT_EXPORT int mvt_abi_version() { return 11; }
 
 // Frame-skip modulo phase of the handle's decode position (testing aid).
 MVT_EXPORT int mvt_skip_phase(MvtHandle *h) { return h ? h->skip_phase : -1; }

@@ -192,3 +192,76 @@ class TestTuneTool:
         b = tune.sweep(clip, [4.0, 16.0], [1, 2], [2],
                        scan_input="mv_raw", **kw)
         assert a == b
+
+
+class TestVecZeroExactness:
+    """The reference decides MV-less frames False unconditionally
+    (motion_scanner.cpp:219-221) even at VECTORS_NEEDED=0, where zero
+    votes otherwise satisfy >= 0 — the parity rule commit 98d7924 fixed
+    in the pipeline ops, extended here to the sweep routes."""
+
+    def test_mv_sweep_mvless_frames_decide_false(self, rng):
+        b, m = 4, 64
+        dst = rng.integers(0, 640, size=(b, m)).astype(np.int32)
+        dsty = rng.integers(0, 480, size=(b, m)).astype(np.int32)
+        src = (dst - 8).astype(np.int32)
+        srcy = (dsty - 8).astype(np.int32)
+        counts = np.asarray([0, m, 0, m], np.int32)  # frames 0/2 are MV-less
+        bounds = np.asarray([0, 16], np.int32)
+        vecs = np.asarray([0, 1], np.int32)
+        clus = np.asarray([1, 1], np.int32)
+        op = make_mv_sweep_op(GEOM, CFG.block_shift)
+        motion = np.asarray(op(dst, dsty, src, srcy, counts,
+                               bounds, vecs, clus))
+        assert not motion[0].any() and not motion[2].any()
+        assert motion[1].all()  # large uniform motion at loose configs
+
+    def test_tune_vec0_grids_matches_mv_raw(self, tmp_path):
+        """The grids route (has_mv-masked) and the mv_raw route (count-
+        guarded) must agree row for row at vectors_needed=0 — I-frames
+        in the clip are MV-less and decide False on both."""
+        clip = str(tmp_path / "v0.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((2.0, 4.0),))
+        kw = dict(cfg=Config(), batch_frames=64)
+        grids = tune.sweep(clip, [4.0, 16.0], [0, 1], [1, 2], **kw)
+        mvraw = tune.sweep(clip, [4.0, 16.0], [0, 1], [1, 2],
+                           scan_input="mv_raw", **kw)
+        assert grids == mvraw
+        # at vec=0 every frame WITH side data is motion, so the count
+        # must sit strictly between 0 (all-False bug) and every frame
+        # (the pre-fix True-for-I-frames bug)
+        v0 = next(r for r in grids if r["vectors_needed"] == 0
+                  and r["clusters_needed"] == 1)
+        v1 = next(r for r in grids if r["vectors_needed"] == 1
+                  and r["clusters_needed"] == 1
+                  and r["mv_threshold_sq"] == v0["mv_threshold_sq"])
+        assert v0["motion_frames"] > v1["motion_frames"] > 0
+
+    def test_tune_vec0_mesh_matches_single(self, tmp_path):
+        from mvtrim_tpu.parallel.mesh import build_mesh
+
+        clip = str(tmp_path / "v0m.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((2.0, 4.0),))
+        kw = dict(cfg=Config(), batch_frames=50)
+        single = tune.sweep(clip, [16.0], [0, 1], [1], **kw)
+        sharded = tune.sweep(clip, [16.0], [0, 1], [1],
+                             mesh=build_mesh(4, sweep=2), **kw)
+        assert sharded == single
+
+    def test_tune_uint8_wrap(self, tmp_path):
+        """VECTORS_NEEDED is a uint8 in the reference (config.hpp:74):
+        256 wraps to 0 and -1 to 255 — tune must sweep the value the
+        reference/pipeline would actually run."""
+        clip = str(tmp_path / "wrap.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=6.0, codec="libx264",
+                          motion_windows=((1.0, 3.0),))
+        kw = dict(cfg=Config(), batch_frames=64)
+        rows = tune.sweep(clip, [16.0], [0, 256, 255, -1], [1], **kw)
+        by_vec = {r["vectors_needed"]: r for r in rows}
+        assert by_vec[256]["motion_frames"] == by_vec[0]["motion_frames"]
+        assert by_vec[-1]["motion_frames"] == by_vec[255]["motion_frames"]
