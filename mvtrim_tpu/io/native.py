@@ -515,6 +515,58 @@ def synthesize(path: str, *, width: int = 640, height: int = 480,
         raise RuntimeError(f"mvt_synth({path}): {err.value.decode()}")
 
 
+class ChunkScanCursor:
+    """Cap-resume chunk protocol for sequential whole-video scans.
+
+    The reference runs one ``scan_range`` per CHUNK_DURATION_SEC chunk
+    with the frame-skip counter local to that call
+    (motion_scanner.cpp:314,356-357); our native scans bound each call
+    with ``max_frames``, so a VFR burst can saturate the cap mid-chunk.
+    The protocol that keeps the analyzed frame set identical to the
+    reference's is: re-call the scan with ``resume=True`` (continues the
+    decode from the exact stream position with the skip counter carried)
+    and only advance the time cursor once a scan comes back under the
+    cap.  This cursor owns that state for the sequential scan loops
+    (tools/tune.py both routes, tools/heatmap.py); the pipeline/archive
+    workers keep their own task-window drains, which interleave the same
+    protocol with restart/dedup/carry machinery of their own.
+
+        cur = ChunkScanCursor(duration, chunk_sec, cap)
+        while cur.more():
+            start, end = cur.window()
+            ..., pts = reader.scan_*(start, end, ..., max_frames=cap,
+                                     resume=cur.resume)
+            cur.advance(len(pts))
+    """
+
+    def __init__(self, duration: float, chunk_sec: float, cap: int):
+        self.duration = duration
+        self.chunk = chunk_sec
+        self.cap = cap
+        self.t = 0.0
+        self.resume = False
+
+    def more(self) -> bool:
+        return self.t < self.duration
+
+    def window(self) -> tuple[float, float]:
+        return self.t, min(self.t + self.chunk, self.duration)
+
+    def advance(self, n_pts: int) -> None:
+        """Record a scan's frame count: saturated caps resume the same
+        chunk; anything under the cap moves to the next chunk."""
+        self.resume = n_pts == self.cap
+        if not self.resume:
+            self.t = self.window()[1]
+
+    def restart_chunk(self) -> None:
+        """Rescan the current chunk from a fresh seek (e.g. after an
+        MV-capacity overflow invalidates its partial results); the skip
+        phase restarts with it, matching the reference's per-chunk
+        counter."""
+        self.resume = False
+
+
 def libav_versions() -> dict[str, str]:
     """Runtime versions of the linked libav* libraries ("major.minor.micro").
 

@@ -44,25 +44,19 @@ def compute_heatmap(input_path: str, cfg: Config | None = None):
 
     acc = np.zeros((geom.gh, geom.gw), np.int64)
     frames = 0
-    t = 0.0
-    chunk = cfg.chunk_duration_sec
-    cap = int(math.ceil(chunk * max(reader.fps, 1.0))) + 64
-    resume = False
-    while t < duration:
-        end = min(t + chunk, duration)
+    cap = int(math.ceil(cfg.chunk_duration_sec * max(reader.fps, 1.0))) + 64
+    cur = native.ChunkScanCursor(duration, cfg.chunk_duration_sec, cap)
+    while cur.more():
+        start, end = cur.window()
         grids, pts = reader.scan_grids(
-            t, end, threshold_sq=cfg.mv_threshold_sq,
+            start, end, threshold_sq=cfg.mv_threshold_sq,
             block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
             y_min=geom.y_min, y_max=geom.y_max,
-            frame_skip=frame_skip, max_frames=cap, resume=resume)
+            frame_skip=frame_skip, max_frames=cap, resume=cur.resume)
         if len(pts):
             acc = accumulate(acc, grids)
             frames += len(pts)
-        # saturated: continue the same chunk from the exact stream
-        # position (skip phase carried — reference-exact)
-        resume = len(pts) == cap
-        if not resume:
-            t = end
+        cur.advance(len(pts))
     reader.close()
 
     counts = np.asarray(acc, dtype=np.float64)

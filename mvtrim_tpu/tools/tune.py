@@ -138,10 +138,8 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
                 return op(batch, vec_needs, clust_needs)
         import jax.numpy as jnp
 
-        t = 0.0
-        chunk = cfg.chunk_duration_sec
-        cap = int(math.ceil(chunk * max(fps, 1.0))) + 64
-        resume = False
+        cap = int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64
+        cur = native.ChunkScanCursor(duration, cfg.chunk_duration_sec, cap)
         # Host path: one staging buffer for the whole sweep — each
         # dispatch is resolved (np.asarray) before the next overwrite.
         # device_stats path: dispatches stay LAZY until the end and the
@@ -150,18 +148,14 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
         # test_device_stats_matches_host_path) — allocate per dispatch.
         batch = (None if device_stats
                  else np.zeros((batch_frames, gh_p, gw_p), np.uint8))
-        while t < duration:
-            end = min(t + chunk, duration)
+        while cur.more():
+            start, end = cur.window()
             grids, pts, has_mv = reader.scan_grids_multi(
-                t, end, thresholds_sq=thresholds,
+                start, end, thresholds_sq=thresholds,
                 block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
                 y_min=geom.y_min, y_max=geom.y_max,
-                frame_skip=frame_skip, max_frames=cap, resume=resume)
-            # saturated: continue the same chunk from the exact stream
-            # position (skip phase carried — reference-exact)
-            resume = len(pts) == cap
-            if not resume:
-                t = end
+                frame_skip=frame_skip, max_frames=cap, resume=cur.resume)
+            cur.advance(len(pts))
             if len(pts) == 0:
                 continue
             if device_stats:
@@ -294,40 +288,34 @@ def _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs, frame_skip,
                       np.int32)
     op = make_mv_sweep_op(geom, cfg.block_shift)
 
-    t = 0.0
-    chunk = cfg.chunk_duration_sec
-    cap = int(_math.ceil(chunk * max(reader.fps, 1.0))) + 64
-    duration = reader.duration
-    resume = False
+    cap = int(_math.ceil(cfg.chunk_duration_sec
+                         * max(reader.fps, 1.0))) + 64
+    cur = native.ChunkScanCursor(reader.duration, cfg.chunk_duration_sec,
+                                 cap)
     capm = cfg.mv_capacity
     fields = cnts = None
     marks = None  # rollback point: the current chunk's list lengths
-    while t < duration:
-        end = min(t + chunk, duration)
-        if not resume:
+    while cur.more():
+        start, end = cur.window()
+        if not cur.resume:
             marks = (len(all_pts), [len(x) for x in dev_motion],
                      {k: len(v) for k, v in motion_ts.items()})
         mvs, counts, pts = reader.scan_mvs(
-            t, end, frame_skip=frame_skip, max_frames=cap,
-            max_mv=capm, resume=resume)
+            start, end, frame_skip=frame_skip, max_frames=cap,
+            max_mv=capm, resume=cur.resume)
         if len(pts) and (counts < 0).any():
             # MV-capacity overflow: roll back any partial contributions
             # this chunk already scored, then restart the whole chunk
-            # from a fresh seek at a fitting capacity — the skip phase
-            # restarts with it, so the re-scan is reference-exact
+            # from a fresh seek at a fitting capacity
             del all_pts[marks[0]:]
             for lst, n in zip(dev_motion, marks[1]):
                 del lst[n:]
             for k, n in marks[2].items():
                 del motion_ts[k][n:]
             capm = 1 << int(np.ceil(np.log2(-counts.min())))
-            resume = False
+            cur.restart_chunk()
             continue
-        # saturated: continue the same chunk from the exact stream
-        # position (skip phase carried — reference-exact)
-        resume = len(pts) == cap
-        if not resume:
-            t = end
+        cur.advance(len(pts))
         if len(pts) == 0:
             continue
         if device_stats:
