@@ -154,3 +154,44 @@ class TestFuzz:
                 assert a.end - pad <= b.start + pad + 1e-9
             removed, pct = oracle.savings(segs, duration)
             assert -1e-9 <= pct <= 100.0 + 1e-9 or n == 0
+
+
+class TestTuneRouteFuzz:
+    """Differential fuzz of the two tune scan routes: the grids payload
+    (host scatter + has_mv masking) and the mv_raw payload (on-device
+    thresholding + count guard) must produce identical stats tables at
+    random knob draws — including the uint8-wrapping vector values and
+    the VECTORS_NEEDED=0 MV-less-frame rule both routes implement by
+    different mechanisms."""
+
+    @pytest.mark.parametrize("seed", range(max(3, FUZZ_N // 2)))
+    def test_grids_and_mv_raw_agree(self, seed, tmp_path):
+        from mvtrim_tpu.core.config import Config
+        from mvtrim_tpu.io import native
+        from mvtrim_tpu.tools import tune
+
+        rng2 = np.random.default_rng(7000 + seed)
+        clip = str(tmp_path / f"t{seed}.mp4")
+        wins, t0 = [], 0.5
+        for _ in range(int(rng2.integers(1, 3))):
+            a = t0 + float(rng2.uniform(0, 1.5))
+            b = a + float(rng2.uniform(0.3, 1.5))
+            wins.append((a, min(b, 5.6)))
+            t0 = b + 0.4
+        native.synthesize(clip, width=256, height=192, fps=25.0,
+                          duration=6.0, codec="libx264",
+                          motion_windows=tuple(wins))
+        thresholds = sorted(
+            float(x) for x in rng2.choice(
+                [0.0, 1.0, 4.0, 16.5, 64.0], size=2, replace=False))
+        vectors = [int(v) for v in rng2.choice(
+            [0, 1, 2, 3, 255, 256, -1], size=2, replace=False)]
+        clusters = [int(c) for c in rng2.choice(
+            [0, 1, 2, 4], size=2, replace=False)]
+        cfg = Config(chunk_duration_sec=float(rng2.choice([1.7, 5.0])),
+                     target_fps=int(rng2.choice([0, 7])))
+        kw = dict(cfg=cfg, batch_frames=int(rng2.choice([16, 64])))
+        a = tune.sweep(clip, thresholds, vectors, clusters, **kw)
+        b = tune.sweep(clip, thresholds, vectors, clusters,
+                       scan_input="mv_raw", **kw)
+        assert a == b, (seed, thresholds, vectors, clusters)
