@@ -152,6 +152,32 @@ class TestArchiveCheckpoint:
         assert stats["resumed_chunks"] == 3
         assert segs_res == segs_full
 
+    def test_legacy_headerless_sidecar_resumes_and_gains_header(
+            self, clip, tmp_path):
+        """Pre-identity-header sidecars (chunk records only) must still
+        resume — with a warning, not a refusal — and get stamped with
+        the current identity so the NEXT resume is verified."""
+        import json
+        cfg = Config(chunk_duration_sec=5.0)
+        mesh = build_mesh(1, sweep=1)
+        ck_full = str(tmp_path / "full.ckpt")
+        segs_full, _, _ = scan_archive(clip, cfg, mesh=mesh,
+                                       frames_per_device=64,
+                                       checkpoint=ck_full)
+        legacy = str(tmp_path / "legacy.ckpt")
+        with open(legacy, "w") as f:
+            for line in open(ck_full):
+                if "header" not in json.loads(line):
+                    f.write(line)
+        segs_res, _, stats = scan_archive(clip, cfg, mesh=mesh,
+                                          frames_per_device=64,
+                                          checkpoint=legacy)
+        assert stats["resumed_chunks"] == 6
+        assert segs_res == segs_full
+        headers = [json.loads(x) for x in open(legacy)
+                   if "header" in json.loads(x)]
+        assert len(headers) == 1  # stamped once, not per resume
+
     def test_foreign_checkpoint_rejected(self, clip, tmp_path):
         """A sidecar written under a different config must fail loudly
         instead of silently merging foreign chunk results."""
