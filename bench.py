@@ -99,7 +99,15 @@ def _sweep_bench(geom, cfg, stacked, iters, block_b=128):
     from mvtrim_tpu.ops.cluster import cluster_map_kernel
 
     k, b, ghp, gwp = stacked.shape
+    if b % block_b:
+        # a non-divisor block would leave grid blocks unvisited and
+        # garbage in the output — the checksum would flag a CORRECT
+        # kernel; shrink to a divisor so the bench is valid by
+        # construction (same rule as _sweep_bench_packed)
+        block_b = next(d for d in range(min(block_b, b), 0, -1)
+                       if b % d == 0)
     nb = b // block_b
+    assert nb * block_b == b, (b, block_b)
 
     clusters_needed = max(1, cfg.clusters_needed)
 
@@ -693,9 +701,31 @@ def main() -> int:
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         outs = [mv_op(*args) for _ in range(20)]
-        jax.block_until_ready(outs)
+        # host FETCH (not just a ready-ack) inside the window: a tunnel
+        # that acks dispatches eagerly cannot fake delivered bytes
+        last_counts = np.asarray(outs[-1][0])
         dt_mv = (time.perf_counter() - t0) / 20
+        # oracle checksum — never report an unaudited device number
+        bound = mv_vote.threshold_bound(cfg.mv_threshold_sq)
+        dx64 = np.asarray(dst_x, np.int64) - np.asarray(src_x)
+        dy64 = np.asarray(dst_y, np.int64) - np.asarray(src_y)
+        gx = np.asarray(dst_x) >> cfg.block_shift
+        gy = np.asarray(dst_y) >> cfg.block_shift
+        keep = ((dx64 * dx64 + dy64 * dy64 >= bound)
+                & (gx >= 0) & (gx < geom.gw)
+                & (gy >= geom.y_min) & (gy < geom.y_max))
+        flat_idx = (np.arange(Bmv)[:, None] * (geom.gh * geom.gw)
+                    + gy * geom.gw + gx)
+        votes = np.bincount(
+            flat_idx[keep].ravel(),
+            minlength=Bmv * geom.gh * geom.gw).reshape(
+                Bmv, geom.gh, geom.gw)
+        expect = oracle.count_clusters_batch(
+            np.minimum(votes, 255), vectors_needed=cfg.vectors_needed,
+            y_min=geom.y_min, y_max=geom.y_max)
+        mv_ok = np.array_equal(last_counts, expect)
         print(f"fused MV pallas (M={M}): {Bmv / dt_mv:,.0f} frames/s "
+              f"| checksum {'ok' if mv_ok else 'MISMATCH'} "
               f"[dispatch-path bound: ~28ms fixed cost per dispatch "
               f"dominates at this batch; kernel-true number is "
               f"benchmarks/mv_bench.py's audited 4.12M frames/s]",

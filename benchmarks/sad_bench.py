@@ -444,7 +444,9 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
 
         return run
     else:
-        raise SystemExit(f"unknown variant {variant}")
+        # ValueError (not SystemExit): main's sweep loop catches Exception
+        # and keeps already-measured results; SystemExit would escape it
+        raise ValueError(f"unknown variant {variant}")
 
     @jax.jit
     def run(stacked):

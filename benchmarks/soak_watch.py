@@ -43,11 +43,15 @@ def rss_mb(pid: int) -> float:
     return 0.0
 
 
-def wait_for(path: str, timeout: float) -> bool:
+def wait_for(path: str, timeout: float, proc=None) -> bool:
     deadline = time.time() + timeout
     while time.time() < deadline:
         if os.path.exists(path):
             return True
+        if proc is not None and proc.poll() is not None:
+            # daemon died (import error, missing native lib): fail fast
+            # instead of spinning out the whole timeout
+            return False
         time.sleep(0.25)
     return False
 
@@ -85,7 +89,8 @@ def main() -> int:
             # the first file absorbs jit compilation (can take minutes on
             # remote-compile environments)
             timeout = args.timeout_per_file * (4 if i == 0 else 1)
-            ok = wait_for(os.path.join(out_dir, f"f{i}.mp4"), timeout)
+            ok = wait_for(os.path.join(out_dir, f"f{i}.mp4"), timeout,
+                          proc=daemon)
             samples.append({"file": i, "processed": ok,
                             "rss_mb": round(rss_mb(daemon.pid), 1)})
             print(f"file {i}: processed={ok} rss={samples[-1]['rss_mb']}MB",
@@ -94,7 +99,13 @@ def main() -> int:
                 break
     finally:
         daemon.terminate()
-        daemon.wait(timeout=30)
+        try:
+            daemon.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            # stuck in a long native/tunnel call: escalate, or the result
+            # JSON is lost AND the orphan keeps the single TPU grant
+            daemon.kill()
+            daemon.wait()
         shutil.rmtree(base, ignore_errors=True)
 
     processed = sum(1 for s in samples if s["processed"])

@@ -142,6 +142,17 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
         #   fold (tslim now measures it via the product op).
         # tcsapop: CSA fold + population_count — 449.6M, the fold stops
         #   paying once popcount is one hardware op.
+        # These bodies ship only the center mask and compute up/down as
+        # UNMASKED rolls — provably exact only under the slim condition
+        # (wrap sources zero-padded lanes or lands outside the center
+        # mask, ops/cluster.py word_cluster_counts_T).  Guard it: a
+        # non-slim geometry would silently measure wrong math here.
+        if lanes - used < gww:
+            raise ValueError(
+                f"t* variants assume the slim-mask condition "
+                f"(lanes-used={lanes - used} < gww={gww} here); use "
+                f"bench.py's _sweep_bench_words_T, which selects masks "
+                f"per geometry")
         masks_np = (tuple(m[:, None] for m in _word_masks(geom)))[:1]
 
         def kernel(words_ref, center_ref, acc_ref):
@@ -291,7 +302,9 @@ def build_variant(variant, geom, cfg, *, k, b, iters, block_b):
             k, lanes, b, block_b, iters))
         return run, "control"
 
-    raise SystemExit(f"unknown variant {variant}")
+    # ValueError (not SystemExit): main's sweep loop catches Exception and
+    # keeps already-measured results; SystemExit would escape it
+    raise ValueError(f"unknown variant {variant}")
 
 
 def main() -> int:
@@ -350,26 +363,28 @@ def main() -> int:
     results = {}
     for variant in args.variants.split(","):
         variant = variant.strip()
-        run, layout = build_variant(variant, geom, cfg, k=k, b=b,
-                                    iters=iters, block_b=args.block)
-        if layout == "lane":
-            if stacked is None:
-                stacked = jax.device_put(flat)
-            arg = stacked
-        else:
-            if stackedT is None:
-                stackedT = jax.device_put(
-                    np.ascontiguousarray(flat.transpose(0, 2, 1)))
-            arg = stackedT
-
-        def fetch(out):
-            # control returns the full [1, b] accumulator (per-frame
-            # odd-word sums; the cross-frame total needs int64)
-            if layout == "control":
-                return int(np.asarray(out).sum(dtype=np.int64))
-            return int(out)
-
         try:
+            # inside the try: a bad variant name or an unsatisfiable
+            # block size must not discard the variants already measured
+            run, layout = build_variant(variant, geom, cfg, k=k, b=b,
+                                        iters=iters, block_b=args.block)
+            if layout == "lane":
+                if stacked is None:
+                    stacked = jax.device_put(flat)
+                arg = stacked
+            else:
+                if stackedT is None:
+                    stackedT = jax.device_put(
+                        np.ascontiguousarray(flat.transpose(0, 2, 1)))
+                arg = stackedT
+
+            def fetch(out):
+                # control returns the full [1, b] accumulator (per-frame
+                # odd-word sums; the cross-frame total needs int64)
+                if layout == "control":
+                    return int(np.asarray(out).sum(dtype=np.int64))
+                return int(out)
+
             t0 = time.perf_counter()
             total = fetch(run(arg))        # compile + first pass
             compile_s = time.perf_counter() - t0
