@@ -226,7 +226,10 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     makes sparse frames cost only the chunks they fill.  Real 1080p
     frames carry hundreds-to-thousands of MVs against the default
     M=8192 capacity (core/config.py MVT_MV_CAPACITY), so typical frames
-    run 1 of 4 chunks.  Only reachable at m > m_chunk.
+    run 1 of 4 chunks.  Only reachable at m > m_chunk.  Measured
+    granularity trade-off (don't re-derive): m_chunk=1024 is +11% at
+    sparse counts but -25% at full capacity (8 loop trips); 512 loses
+    even sparse — 2048 stays the default (PERFORMANCE.md, round 3).
     """
     bound = threshold_bound(threshold_sq)
     F_req = max(1, frames_per_step)
