@@ -320,6 +320,14 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         "mesh": dict(mesh.shape),
         "global_batch": global_batch,
         "resumed_chunks": resumed_chunks,
+        # summed across decode workers (wall-clock overlaps) — the same
+        # seek/decode/analyze split the pipeline's phase tree reports
+        # (reference motion_scanner.cpp:318-380 out-params)
+        "worker_us": {
+            "seek": sum(t.seek_us for t in timings),
+            "decode": sum(t.decode_us for t in timings),
+            "analyze": sum(t.analyze_us for t in timings),
+        },
     }
     log.info(f"archive scan: {frames_scanned} frames over mesh "
              f"{dict(mesh.shape)} in {dispatches} dispatches")

@@ -95,6 +95,10 @@ class TestArchiveScan:
                                          frames_per_device=32)
         assert stats["mesh"]["data"] == 8
         assert stats["dispatches"] >= 2
+        # observability parity with the pipeline phase tree: the decode
+        # dominates on any real clip, and every frame decoded carries time
+        assert stats["worker_us"]["decode"] > 0
+        assert stats["worker_us"]["analyze"] >= 0
         mesh1 = build_mesh(1, sweep=1)
         segs1, _, _ = scan_archive(clip, cfg, mesh=mesh1,
                                    frames_per_device=64)
