@@ -706,24 +706,15 @@ def main() -> int:
         last_counts = np.asarray(outs[-1][0])
         dt_mv = (time.perf_counter() - t0) / 20
         # oracle checksum — never report an unaudited device number
-        bound = mv_vote.threshold_bound(cfg.mv_threshold_sq)
-        dx64 = np.asarray(dst_x, np.int64) - np.asarray(src_x)
-        dy64 = np.asarray(dst_y, np.int64) - np.asarray(src_y)
-        gx = np.asarray(dst_x) >> cfg.block_shift
-        gy = np.asarray(dst_y) >> cfg.block_shift
-        keep = ((dx64 * dx64 + dy64 * dy64 >= bound)
-                & (gx >= 0) & (gx < geom.gw)
-                & (gy >= geom.y_min) & (gy < geom.y_max))
-        flat_idx = (np.arange(Bmv)[:, None] * (geom.gh * geom.gw)
-                    + gy * geom.gw + gx)
-        votes = np.bincount(
-            flat_idx[keep].ravel(),
-            minlength=Bmv * geom.gh * geom.gw).reshape(
-                Bmv, geom.gh, geom.gw)
-        expect = oracle.count_clusters_batch(
-            np.minimum(votes, 255), vectors_needed=cfg.vectors_needed,
-            y_min=geom.y_min, y_max=geom.y_max)
-        mv_ok = np.array_equal(last_counts, expect)
+        # (shared restatement: ops/mv_vote.host_expected_clusters, also
+        # used and oracle-cross-checked by benchmarks/mv_bench.py)
+        _, expect = mv_vote.host_expected_clusters(
+            np.asarray(dst_x), np.asarray(dst_y), np.asarray(src_x),
+            np.asarray(src_y), np.asarray(counts), geom,
+            threshold_sq=cfg.mv_threshold_sq,
+            block_shift=cfg.block_shift,
+            vectors_needed=cfg.vectors_needed)
+        mv_ok = np.array_equal(last_counts.astype(np.int64), expect)
         print(f"fused MV pallas (M={M}): {Bmv / dt_mv:,.0f} frames/s "
               f"| checksum {'ok' if mv_ok else 'MISMATCH'} "
               f"[dispatch-path bound: ~28ms fixed cost per dispatch "

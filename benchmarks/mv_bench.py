@@ -257,7 +257,6 @@ def main() -> int:
     from mvtrim_tpu.core.config import Config
     from mvtrim_tpu.core.types import GridGeometry
     from mvtrim_tpu.core import oracle
-    from mvtrim_tpu.core.oracle import count_clusters_batch
     from mvtrim_tpu.ops import mv_vote
     import bench as bench_mod
 
@@ -283,33 +282,21 @@ def main() -> int:
         counts = rng.integers(0, m + 1, size=(k, b)).astype(np.int32)
     elif args.counts == "sparse":
         hi = min(m, 2048)
-        counts = np.exp(rng.uniform(np.log(64), np.log(hi + 1),
+        lo = min(64, hi)  # tiny --m: clamp so the draw range stays valid
+        counts = np.exp(rng.uniform(np.log(lo), np.log(hi + 1),
                                     size=(k, b))).astype(np.int32)
         counts = np.minimum(counts, m)
     else:  # full
         counts = np.full((k, b), m, np.int32)
 
-    # ---- host-side expectations (vectorized; cross-checked vs oracle) ----
+    # ---- host-side expectations (shared vectorized restatement —
+    # ops/mv_vote.host_expected_clusters, the same definition bench.py's
+    # fused-MV audit uses — cross-checked vs the real oracle below) ----
     last = (iters - 1) % k
-    dx = dst_x.astype(np.int64) - src_x
-    dy = dst_y.astype(np.int64) - src_y
-    mag = dx * dx + dy * dy
-    gx = dst_x >> cfg.block_shift
-    gy = dst_y >> cfg.block_shift
-    idx_ok = np.arange(m)[None, None, :] < counts[:, :, None]
-    keep = (idx_ok & (mag >= bound) & (gx >= 0) & (gx < geom.gw)
-            & (gy >= geom.y_min) & (gy < geom.y_max))
-    kept_counts = keep.sum(axis=2).astype(np.int64)       # [K, B]
-
-    flat = (np.arange(b)[:, None] * (geom.gh * geom.gw)
-            + gy[last] * geom.gw + gx[last])
-    votes = np.bincount(flat[keep[last]].ravel(),
-                        minlength=b * geom.gh * geom.gw
-                        ).reshape(b, geom.gh, geom.gw)
-    votes = np.minimum(votes, 255)
-    expected_clusters = count_clusters_batch(
-        votes, vectors_needed=cfg.vectors_needed,
-        y_min=geom.y_min, y_max=geom.y_max).astype(np.int64)
+    kept_last, expected_clusters = mv_vote.host_expected_clusters(
+        dst_x[last], dst_y[last], src_x[last], src_y[last], counts[last],
+        geom, threshold_sq=cfg.mv_threshold_sq,
+        block_shift=cfg.block_shift, vectors_needed=cfg.vectors_needed)
 
     # cross-check the vectorized restatement against the real oracle
     for fi in (0, 1, b - 1):
@@ -370,7 +357,7 @@ def main() -> int:
         elif variant == "ctrlmm":
             ok = np.array_equal(out64, ctrlmm_expected)
         elif variant == "noclu":
-            ok = np.array_equal(out64, kept_counts[last])
+            ok = np.array_equal(out64, kept_last)
         else:
             ok = np.array_equal(out64, expected_clusters)
         fps_meas = analyzed / dt

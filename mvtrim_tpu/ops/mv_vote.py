@@ -311,6 +311,47 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     return op
 
 
+def host_expected_clusters(dst_x, dst_y, src_x, src_y, counts,
+                           geom: GridGeometry, *, threshold_sq: float,
+                           block_shift: int, vectors_needed: int):
+    """Vectorized NumPy restatement of the kernel's keep-mask + vote
+    scatter + cluster count, for bench audits.
+
+    Returns (kept_counts int64 [B], cluster_counts int64 [B]).  One
+    definition shared by bench.py's fused-MV secondary and
+    benchmarks/mv_bench.py so the two audits cannot drift from each
+    other (mv_bench additionally cross-checks this restatement against
+    oracle.check_frame per frame).
+    """
+    import numpy as np
+
+    from ..core.oracle import count_clusters_batch
+
+    dst_x = np.asarray(dst_x)
+    dst_y = np.asarray(dst_y)
+    b, m = dst_x.shape
+    bound = threshold_bound(threshold_sq)
+    dx = dst_x.astype(np.int64) - np.asarray(src_x)
+    dy = dst_y.astype(np.int64) - np.asarray(src_y)
+    mag = dx * dx + dy * dy
+    gx = dst_x >> block_shift
+    gy = dst_y >> block_shift
+    idx_ok = np.arange(m)[None, :] < np.asarray(counts)[:, None]
+    keep = (idx_ok & (mag >= bound) & (gx >= 0) & (gx < geom.gw)
+            & (gy >= geom.y_min) & (gy < geom.y_max))
+    kept_counts = keep.sum(axis=1).astype(np.int64)
+    flat = (np.arange(b)[:, None] * (geom.gh * geom.gw)
+            + gy * geom.gw + gx)
+    votes = np.bincount(flat[keep].ravel(),
+                        minlength=b * geom.gh * geom.gw
+                        ).reshape(b, geom.gh, geom.gw)
+    votes = np.minimum(votes, 255)  # saturation is decision-preserving
+    clusters = count_clusters_batch(
+        votes, vectors_needed=vectors_needed,
+        y_min=geom.y_min, y_max=geom.y_max)
+    return kept_counts, clusters.astype(np.int64)
+
+
 def pad_mvs(mv_list, m: int):
     """Host helper: list of [n_i, 4] int arrays -> ([B, M] x4 int32, counts).
 

@@ -79,10 +79,13 @@ class ScanCheckpoint:
                 log.warn(f"checkpoint {path} has no identity header "
                          "(older format): cannot verify it matches this "
                          "video/config — resuming anyway")
-        if identity is not None and not seen_header:
-            # stamp fresh (and legacy headerless) sidecars so a future
-            # resume against a different video or config fails loudly
-            # instead of silently merging foreign chunks
+        if identity is not None and not seen_header and not self.done:
+            # stamp FRESH sidecars so a future resume against a different
+            # video or config fails loudly instead of silently merging
+            # foreign chunks.  Legacy headerless sidecars that already
+            # carry chunk records are deliberately NOT stamped: stamping
+            # would convert "cannot verify" into "verified" for records
+            # this scan never checked — they keep warning on every resume
             with open(path, "a") as f:
                 f.write(json.dumps({"header": identity}) + "\n")
 

@@ -170,27 +170,25 @@ def _check_compile_cache() -> dict:
 
 
 def run_checks(device: bool = False) -> list[dict]:
-    def _e2e():
-        return _check_e2e(device)
-    _e2e.__name__ = "_check_end-to-end"
-
+    e2e_name = f"end-to-end ({'auto' if device else 'oracle'})"
+    # explicit names so a CRASHED probe reports under the same key its
+    # success path would (--json consumers key checks by name)
     checks = [
-        _check_native,
-        _check_libav,
-        _check_h264_mv,
-        _check_hevc_mv,
-        _check_cut,
-        _check_jax,
-        _check_mesh,
-        _check_compile_cache,
-        _e2e,
+        ("native-library", _check_native),
+        ("libav", _check_libav),
+        ("h264-mv-export", _check_h264_mv),
+        ("hevc-mv-export", _check_hevc_mv),
+        ("remux-cut", _check_cut),
+        ("jax-devices", _check_jax),
+        ("device-mesh", _check_mesh),
+        ("compile-cache", _check_compile_cache),
+        (e2e_name, lambda: _check_e2e(device)),
     ]
     out = []
-    for fn in checks:
+    for name, fn in checks:
         try:
             out.append(fn())
         except Exception as e:  # noqa: BLE001 — a probe crash IS the finding
-            name = fn.__name__.replace("_check_", "").replace("_", "-")
             out.append({"name": name, "status": "fail",
                         "detail": f"{type(e).__name__}: {e}"})
     return out

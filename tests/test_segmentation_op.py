@@ -156,11 +156,12 @@ class TestArchiveCheckpoint:
         assert stats["resumed_chunks"] == 3
         assert segs_res == segs_full
 
-    def test_legacy_headerless_sidecar_resumes_and_gains_header(
+    def test_legacy_headerless_sidecar_resumes_but_is_never_stamped(
             self, clip, tmp_path):
         """Pre-identity-header sidecars (chunk records only) must still
-        resume — with a warning, not a refusal — and get stamped with
-        the current identity so the NEXT resume is verified."""
+        resume — with a warning, not a refusal — and must NOT be stamped
+        with the current identity: stamping would convert 'cannot verify'
+        into 'verified' for chunk records this scan never checked."""
         import json
         cfg = Config(chunk_duration_sec=5.0)
         mesh = build_mesh(1, sweep=1)
@@ -173,14 +174,15 @@ class TestArchiveCheckpoint:
             for line in open(ck_full):
                 if "header" not in json.loads(line):
                     f.write(line)
-        segs_res, _, stats = scan_archive(clip, cfg, mesh=mesh,
-                                          frames_per_device=64,
-                                          checkpoint=legacy)
-        assert stats["resumed_chunks"] == 6
-        assert segs_res == segs_full
-        headers = [json.loads(x) for x in open(legacy)
-                   if "header" in json.loads(x)]
-        assert len(headers) == 1  # stamped once, not per resume
+        for _ in range(2):  # every resume stays unverified (and warns)
+            segs_res, _, stats = scan_archive(clip, cfg, mesh=mesh,
+                                              frames_per_device=64,
+                                              checkpoint=legacy)
+            assert stats["resumed_chunks"] == 6
+            assert segs_res == segs_full
+            headers = [json.loads(x) for x in open(legacy)
+                       if "header" in json.loads(x)]
+            assert headers == []
 
     def test_foreign_checkpoint_rejected(self, clip, tmp_path):
         """A sidecar written under a different config must fail loudly

@@ -252,6 +252,23 @@ class TestVecZeroExactness:
                              mesh=build_mesh(4, sweep=2), **kw)
         assert sharded == single
 
+    def test_tune_vec0_device_stats_matches_host(self, tmp_path):
+        """The has_mv masking must also hold on the device-stats path,
+        where masked motion stays LAZY until the end-of-sweep
+        segmentation op resolves it."""
+        clip = str(tmp_path / "v0d.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((2.0, 4.0),))
+        kw = dict(cfg=Config(), batch_frames=64)
+        host = tune.sweep(clip, [16.0], [0, 1], [1], **kw)
+        dev = tune.sweep(clip, [16.0], [0, 1], [1],
+                         device_stats=True, **kw)
+        assert len(host) == len(dev) == 2
+        for h, d in zip(host, dev):
+            assert d["motion_frames"] == h["motion_frames"], (h, d)
+            assert d["segments"] == h["segments"], (h, d)
+
     def test_tune_uint8_wrap(self, tmp_path):
         """VECTORS_NEEDED is a uint8 in the reference (config.hpp:74):
         256 wraps to 0 and -1 to 255 — tune must sweep the value the
