@@ -195,3 +195,11 @@ class TestTuneRouteFuzz:
         b = tune.sweep(clip, thresholds, vectors, clusters,
                        scan_input="mv_raw", **kw)
         assert a == b, (seed, thresholds, vectors, clusters)
+        # third leg: the lazy device-stats route must agree on the
+        # integer stats (timestamps are f32 on device, so saved_pct can
+        # differ in the last decimals — compare the exact fields)
+        d = tune.sweep(clip, thresholds, vectors, clusters,
+                       device_stats=True, **kw)
+        for ra, rd in zip(a, d):
+            assert rd["motion_frames"] == ra["motion_frames"], (ra, rd)
+            assert rd["segments"] == ra["segments"], (ra, rd)
