@@ -69,6 +69,7 @@ class BatchProcessor:
         self._lock = threading.Lock()
         self._new_work = threading.Condition(self._lock)
         self._stop_watch = threading.Event()
+        self._abort = threading.Event()
         self._results: list[StreamResult] = []
         self._total_files = 0
 
@@ -136,10 +137,29 @@ class BatchProcessor:
                 target=self._monitor_directory, args=(input_dir, output_dir),
                 name="watch-monitor")
             monitor.start()
-            monitor.join()  # blocks until stop_watch (signal/test only)
+            try:
+                monitor.join()  # blocks until stop_watch / interrupt
+            except KeyboardInterrupt:
+                # Ctrl+C must terminate the daemon cleanly: the monitor and
+                # stream workers are non-daemon threads, so letting the
+                # interrupt propagate would leave them polling forever and
+                # hang interpreter shutdown (the C++ reference's SIGINT
+                # default kills the whole process; a Python daemon has to
+                # stop its threads itself).
+                log.warn("Interrupted — stopping watch mode...")
+                self.abort()
+                monitor.join()
 
-        for s in streams:
-            s.join()
+        try:
+            for s in streams:
+                s.join()
+        except KeyboardInterrupt:
+            # same story outside watch mode: request a stop (workers finish
+            # the file in flight, then exit) and wait for them.
+            log.warn("Interrupted — waiting for in-flight files...")
+            self.abort()
+            for s in streams:
+                s.join()
         cut_failures = cut_queue.finish()
 
         elapsed = time.perf_counter() - batch_start
@@ -150,19 +170,28 @@ class BatchProcessor:
 
     def stop(self) -> None:
         """Terminate watch mode (the reference's stop_watch_ is never set —
-        SURVEY.md §3.3; we make it reachable)."""
+        SURVEY.md §3.3; we make it reachable).  Queued work still drains
+        before the workers exit — the RSS watchdog relies on that."""
         self._stop_watch.set()
         with self._new_work:
             self._new_work.notify_all()
 
+    def abort(self) -> None:
+        """User interrupt: stop AND drop the queued backlog — workers
+        finish only the file currently in flight."""
+        self._abort.set()
+        self.stop()
+
     # --- work distribution (batch_processor.cpp:215-235) ---
 
     def _get_next_file(self) -> str | None:
+        if self._abort.is_set():
+            return None  # interrupt: drop the backlog, finish in-flight
         if self.cfg.watch_mode:
             with self._new_work:
                 while self._work.empty() and not self._stop_watch.is_set():
                     self._new_work.wait(timeout=0.5)
-                if self._work.empty():
+                if self._work.empty() or self._abort.is_set():
                     return None
                 return self._work.get_nowait()
         try:

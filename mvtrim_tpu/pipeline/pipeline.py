@@ -104,6 +104,12 @@ class ProcessingPipeline:
             f"({self.duration * fps:.0f} frames @ {fps:.1f}fps)", sid)
 
         mode = self.cfg.pipeline_mode
+        if mode not in ("mv", "sad", "auto"):
+            # a typo ("SAD", "sda") would otherwise silently select the MV
+            # scan WITHOUT the auto-SAD fallback — the opposite of what the
+            # operator configured (same guard as MVT_SCAN_INPUT below)
+            log.warn(f"Unknown MVT_PIPELINE={mode!r}; using auto", sid)
+            mode = "auto"
         if self.cfg.compile_cache_dir:
             # env-var plumbing in mvtrim_tpu/__init__ covers processes
             # that import the package; this covers programmatic callers
@@ -322,6 +328,12 @@ class ProcessingPipeline:
 
         t_scan = time.perf_counter_ns()
 
+        # analyzed-frame cap per native scan call — shared by the workers
+        # and the warm-up bucket estimate below
+        max_frames = min(
+            chunk_frames_cap,
+            int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64)
+
         # Warm the device program BEFORE spawning decode threads: tracing +
         # compilation are host-CPU-heavy and would otherwise contend with
         # the decoders (painful on small hosts / remote-compile setups).
@@ -345,8 +357,16 @@ class ProcessingPipeline:
             detector.scan_raw_mvs(
                 np.zeros((1, cfg.mv_capacity, 4), np.int16),
                 np.zeros((1,), np.int32))
-            expect = int(math.ceil(cfg.chunk_duration_sec *
-                                   max(fps, 1.0))) + 64
+            # estimate the typical sub-scan length the way the workers
+            # produce it: a chunk's analyzed frames are decoded/skip
+            # (TARGET_FPS), capped at max_frames per call — ignoring
+            # either would land real dispatches in an unwarmed
+            # power-of-two bucket and compile mid-decode
+            expect = min(
+                max_frames,
+                int(math.ceil(math.ceil(
+                    cfg.chunk_duration_sec * max(fps, 1.0))
+                    / max(1, frame_skip))) + 64)
             n_warm = min(detector.device_batch, max(256, expect))
             if n_warm > 256:
                 detector.scan_raw_mvs(
@@ -373,9 +393,6 @@ class ProcessingPipeline:
 
         # bounded stream of decoded chunks keeps host memory flat
         results: queue.Queue = queue.Queue(maxsize=max(4, 2 * n_threads))
-        max_frames = min(
-            chunk_frames_cap,
-            int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64)
         init_us = [0] * n_threads
         timings = [native.ScanTiming() for _ in range(n_threads)]
         errors: list[Exception] = []
@@ -645,6 +662,14 @@ class ProcessingPipeline:
         if os.path.isdir(path):
             base = os.path.basename(self.input_path) + ".heatmap.json"
             path = os.path.join(path, base)
+        elif self.stream_id >= 0:
+            # batch mode with a FILE target: parallel streams would race
+            # open(path, "w") — interleaved/clobbered JSON, and even the
+            # clean case silently keeps only the last writer.  Suffix per
+            # input like the directory branch does.
+            path = f"{path}.{os.path.basename(self.input_path)}.json"
+            log.warn("MVT_HEATMAP names a file but batch mode has one "
+                     f"heatmap per input; writing {path}", self.stream_id)
         activity = counts / frames
         doc = {
             "input": self.input_path,

@@ -162,3 +162,42 @@ class TestHeatmapIntegration:
         assert doc["grid"] == [30, 40]
         assert doc["frames_analyzed"] > 400
         assert doc["max_activity"] > 0
+
+    def test_file_target_gets_per_input_suffix_in_batch(
+            self, motion_clip, tmp_path):
+        """MVT_HEATMAP naming a FILE in batch mode (stream_id >= 0) must
+        not let N parallel streams race open(path, 'w') on the same path
+        — each input gets its own suffixed file."""
+        import json
+        hp = tmp_path / "heat.json"
+        cfg = Config(scan_backend="oracle", heatmap_path=str(hp))
+        p = ProcessingPipeline(motion_clip, str(tmp_path / "ob.mp4"),
+                               stream_id=0, cfg=cfg)
+        assert p.run() == 0
+        suffixed = tmp_path / (
+            "heat.json." + os.path.basename(motion_clip) + ".json")
+        assert suffixed.exists(), "batch stream must write per-input file"
+        assert not hp.exists(), "shared path must not be written in batch"
+        assert json.loads(suffixed.read_text())["max_activity"] > 0
+        # single-file mode (stream_id < 0) keeps the literal file target
+        hp2 = tmp_path / "heat1.json"
+        cfg2 = Config(scan_backend="oracle", heatmap_path=str(hp2))
+        p2 = ProcessingPipeline(motion_clip, str(tmp_path / "os.mp4"),
+                                cfg=cfg2)
+        assert p2.run() == 0
+        assert hp2.exists()
+
+
+class TestPipelineModeValidation:
+    def test_unknown_mvt_pipeline_falls_back_to_auto(
+            self, static_clip, tmp_path, capsys):
+        """A typo'd MVT_PIPELINE (e.g. 'SAD') must not silently select
+        the MV scan with the auto-SAD fallback disabled — it warns and
+        behaves as 'auto' (same guard MVT_SCAN_INPUT already has)."""
+        cfg = Config(scan_backend="oracle", pipeline_mode="SAD")
+        p = ProcessingPipeline(static_clip, str(tmp_path / "om.mp4"),
+                               cfg=cfg)
+        rc = p.run()
+        captured = capsys.readouterr()
+        assert "Unknown MVT_PIPELINE" in captured.out + captured.err
+        assert rc == 0

@@ -126,3 +126,74 @@ class TestWatchMode:
         t.join(timeout=30)
         assert not t.is_alive(), "watchdog did not stop the daemon"
         assert result["rc"] == 0
+
+    def test_abort_drops_backlog_stop_drains_it(self):
+        """Ctrl+C (abort) drops queued work so workers exit right after
+        the file in flight; stop() alone keeps draining the backlog —
+        the RSS watchdog's drain-and-exit relies on that."""
+        cfg = Config(watch_mode=False, scan_backend="oracle")
+        bp = BatchProcessor(1, cfg)
+        bp._work.put("a.mp4")
+        bp._work.put("b.mp4")
+        assert bp._get_next_file() == "a.mp4"
+        bp.abort()
+        assert bp._get_next_file() is None, "abort must drop the backlog"
+
+        bp2 = BatchProcessor(1, cfg)
+        bp2._work.put("a.mp4")
+        bp2.stop()
+        assert bp2._get_next_file() == "a.mp4", \
+            "stop() must still drain queued work"
+
+        wcfg = Config(watch_mode=True, scan_backend="oracle")
+        bp3 = BatchProcessor(1, wcfg)
+        bp3._work.put("a.mp4")
+        bp3.abort()
+        assert bp3._get_next_file() is None, \
+            "watch-mode branch must honor abort too"
+
+    def test_sigint_terminates_watch_daemon(self, small_clip, tmp_path):
+        """Process-level Ctrl+C: SIGINT to a running watch daemon must
+        terminate the process cleanly — the non-daemon monitor and stream
+        workers would otherwise keep polling and hang interpreter
+        shutdown forever (the C++ reference never has this failure mode:
+        SIGINT default-kills the whole process)."""
+        import signal
+        import subprocess
+        import sys
+
+        in_dir = tmp_path / "sig_in"
+        out_dir = tmp_path / "sig_out"
+        in_dir.mkdir()
+        out_dir.mkdir()
+        shutil.copy(small_clip, in_dir / "v.mp4")
+        child = (
+            "from mvtrim_tpu.batch.batch import BatchProcessor\n"
+            "from mvtrim_tpu.core.config import Config\n"
+            "cfg = Config(watch_mode=True, scan_backend='oracle',\n"
+            "             parallel_streams=1)\n"
+            "bp = BatchProcessor(1, cfg)\n"
+            f"rc = bp.process([{str(in_dir / 'v.mp4')!r}],\n"
+            f"                {str(out_dir)!r}, {str(in_dir)!r})\n"
+            "print('EXITED', rc, flush=True)\n"
+        )
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd() + os.pathsep + \
+            env.get("PYTHONPATH", "")
+        p = subprocess.Popen([sys.executable, "-c", child], env=env,
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT)
+        try:
+            assert wait_for(
+                lambda: (out_dir / "v.mp4").exists(), timeout=120), \
+                "initial file never processed"
+            p.send_signal(signal.SIGINT)
+            out, _ = p.communicate(timeout=90)
+        except Exception:
+            p.kill()
+            p.wait()
+            raise
+        tail = out.decode(errors="replace")[-2000:]
+        assert "EXITED 0" in tail, tail
+        assert p.returncode == 0, tail
