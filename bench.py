@@ -462,7 +462,7 @@ def main() -> int:
             ok = total == _expected_total(motion_per_buf, K, iters * 4)
             valid, implied, pct = _audit(f"{name}(re)", fps,
                                          bytes_per_frame, roofline, ok)
-        return fps, implied, pct, valid
+        return fps, implied, pct, valid, ok
 
     # --- primary: the word-domain product path (MVT_SCAN_INPUT=bits) ---
     packed = np.packbits(grids >= cfg.vectors_needed, axis=3,
@@ -491,8 +491,9 @@ def main() -> int:
     def cand_words_T():
         dt, total = _sweep_bench_words_T(geom, cfg, get_stacked_T(),
                                          ITERS_HEAD)
-        return B / dt, total == _expected_total(motion_per_buf, K,
-                                                ITERS_HEAD)
+        return (B / dt,
+                total == _expected_total(motion_per_buf, K, ITERS_HEAD),
+                None)
 
     # Fallback candidates measure at the HEADLINE window while they are
     # still in the running: publishing a fallback at the short window
@@ -503,14 +504,19 @@ def main() -> int:
         iters = ITERS if iters is None else iters
         dt, total = _sweep_bench_packed(geom, cfg, stacked_words, iters,
                                         domain="words")
-        return B / dt, total == _expected_total(motion_per_buf, K, iters)
+        return (B / dt,
+                total == _expected_total(motion_per_buf, K, iters),
+                None)
 
     def cand_words_xla(iters=None):
         iters = ITERS if iters is None else iters
         op = cluster_ops.make_cluster_words_op_xla(geom, cfg.clusters_needed)
-        fps, _, _, valid = run("words xla", op, stacked_words, word_bytes,
-                               iters=iters)
-        return fps, valid
+        # run() audits internally; pass its true checksum flag through
+        # separately so a roofline-only failure isn't misrecorded as an
+        # oracle mismatch in failed_candidates
+        fps, _, _, valid, ok = run("words xla", op, stacked_words,
+                                   word_bytes, iters=iters)
+        return fps, ok, valid
 
     headline = None
     best_unaudited = (0.0, "none")
@@ -524,18 +530,18 @@ def main() -> int:
     while remaining and headline is None:
         impl, label, fn = remaining.pop(0)
         try:
-            fps, checksum_ok = (fn() if impl == "pallas-words-T"
-                                else fn(iters=ITERS_HEAD))
+            fps, checksum_ok, pre_valid = (fn() if impl == "pallas-words-T"
+                                           else fn(iters=ITERS_HEAD))
         except Exception as e:  # pallas unavailable on some backends
             print(f"{label} skipped: {e}", file=sys.stderr)
             failed_candidates.append(
                 {"impl": impl, "reason": f"exception: {e}"[:200]})
             continue
-        if impl != "xla-words":  # run() already audited the xla path
+        if pre_valid is None:
             valid, gbps, pct = _audit(label, fps, word_bytes, roofline,
                                       checksum_ok)
-        else:
-            valid = checksum_ok
+        else:  # run() already audited the xla path
+            valid = pre_valid
             gbps = fps * word_bytes / 1e9
             pct = 100.0 * gbps / roofline
         if valid:

@@ -68,6 +68,16 @@ def _load_library():
                 if not os.path.exists(so_path):
                     raise OSError(f"native library missing at {so_path} "
                                   f"and build failed: {e}")
+                # stale library + failed rebuild: loading anyway (the ABI
+                # gate below catches version drift), but same-ABI source
+                # changes would silently not take effect — say so
+                import warnings
+
+                warnings.warn(
+                    f"{so_path} is older than mvtrim_host.cpp and the "
+                    f"rebuild failed ({e}); loading the STALE library — "
+                    "source changes are not in effect",
+                    RuntimeWarning, stacklevel=2)
         lib = ctypes.CDLL(so_path)
         if _lib_abi(lib) != _ABI_VERSION:
             # stale prebuilt library: one rebuild attempt, then hard error

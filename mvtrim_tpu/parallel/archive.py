@@ -28,6 +28,7 @@ from ..core.config import Config
 from ..core.types import GridGeometry, ScanTask
 from ..io import native
 from ..utils import logging as log
+from ..utils import system
 from .mesh import build_mesh, sharded_bits_scan_step
 
 
@@ -144,7 +145,12 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     bits_sharding = NamedSharding(mesh, P("data", None))
 
     # --- host decode workers over the chunked timeline ---
-    n_workers = decode_workers or max(2, min(8, (len(jax.devices()) or 1)))
+    # decode is host-CPU-bound (ctypes releases the GIL; ~400 f/s/core,
+    # PERFORMANCE.md) — size by the cgroup-aware CPU budget like the
+    # per-video pipeline does, NOT by accelerator count: a 1-chip tunnel
+    # on a many-core host would otherwise starve the device behind two
+    # decode threads
+    n_workers = decode_workers or max(2, min(8, system.detect_cpu_limit()))
     num_chunks = max(1, math.ceil(duration / cfg.chunk_duration_sec))
     n_workers = min(n_workers, num_chunks)
     tasks: queue.Queue = queue.Queue()

@@ -36,8 +36,11 @@ def initialize(coordinator_address: str | None = None,
     Must be called before any JAX computation/backend use.
     """
     global _initialized
-    coordinator_address = coordinator_address or os.environ.get(
-        "JAX_COORDINATOR_ADDRESS")
+    # an empty env var (unfilled compose/env template) means UNSET — it
+    # must not trigger a coordinator-less multi-process initialize()
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                           or None)
     explicit = coordinator_address is not None
     on_tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES"))
 

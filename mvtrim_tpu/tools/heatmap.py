@@ -46,16 +46,31 @@ def compute_heatmap(input_path: str, cfg: Config | None = None):
     frames = 0
     cap = int(math.ceil(cfg.chunk_duration_sec * max(reader.fps, 1.0))) + 64
     cur = native.ChunkScanCursor(duration, cfg.chunk_duration_sec, cap)
+    # VECTORS_NEEDED <= 0 makes every cell of a ZERO grid "active"
+    # (votes >= 0) — reference-consistent for frames that carried MV side
+    # data, but MV-less frames must stay inactive (unconditional
+    # ``!sd -> false``, motion_scanner.cpp:219-221).  plain scan_grids
+    # cannot distinguish the two, so take the has_mv channel.
+    vec0 = cfg.vectors_needed <= 0
     while cur.more():
         start, end = cur.window()
-        grids, pts = reader.scan_grids(
-            start, end, threshold_sq=cfg.mv_threshold_sq,
-            block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
-            y_min=geom.y_min, y_max=geom.y_max,
-            frame_skip=frame_skip, max_frames=cap, resume=cur.resume)
+        if vec0:
+            multi, pts, has_mv = reader.scan_grids_multi(
+                start, end, thresholds_sq=[cfg.mv_threshold_sq],
+                block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                y_min=geom.y_min, y_max=geom.y_max,
+                frame_skip=frame_skip, max_frames=cap, resume=cur.resume)
+            grids = multi[:, 0][has_mv]  # MV-less frames: no activity
+        else:
+            grids, pts = reader.scan_grids(
+                start, end, threshold_sq=cfg.mv_threshold_sq,
+                block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                y_min=geom.y_min, y_max=geom.y_max,
+                frame_skip=frame_skip, max_frames=cap, resume=cur.resume)
         if len(pts):
-            acc = accumulate(acc, grids)
-            frames += len(pts)
+            if len(grids):
+                acc = accumulate(acc, grids)
+            frames += len(pts)  # MV-less frames stay in the denominator
         cur.advance(len(pts))
     reader.close()
 

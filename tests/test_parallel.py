@@ -174,3 +174,12 @@ class TestDistributed:
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
         assert distributed.initialize() is False
+
+    def test_empty_coordinator_env_is_unset(self, monkeypatch):
+        """An EMPTY JAX_COORDINATOR_ADDRESS (unfilled compose/env
+        template) must mean single-process, not a coordinator-less
+        multi-process initialize that hangs at startup."""
+        from mvtrim_tpu.parallel import distributed
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "")
+        monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+        assert distributed.initialize() is False

@@ -123,6 +123,23 @@ class TestHeatmap:
         assert band > 0
         assert band > 10 * max(top, 1e-9)
 
+    def test_vec0_excludes_mvless_frames(self, clip):
+        """VECTORS_NEEDED=0: every cell of a frame WITH MV side data is
+        active (votes >= 0, reference semantics), but MV-less frames
+        (e.g. I-frames: unconditional !sd -> false,
+        motion_scanner.cpp:219-221) must contribute no activity — so the
+        map is uniform and strictly below 1.0, not all-ones."""
+        import numpy as np
+        from mvtrim_tpu.core.config import Config
+        from mvtrim_tpu.tools import heatmap
+        activity, frames, geom = heatmap.compute_heatmap(
+            clip, Config(vectors_needed=0))
+        assert frames > 100
+        assert np.allclose(activity, activity[0, 0]), \
+            "vec0 activity must be uniform (all cells active per frame)"
+        assert 0.0 < activity[0, 0] < 1.0, \
+            "MV-less frames must stay in the denominator only"
+
     def test_cli_json(self, clip, tmp_path, capsys):
         from mvtrim_tpu.tools import heatmap
         npy = str(tmp_path / "h.npy")
