@@ -140,6 +140,9 @@ class TestGraftEntry:
             "PYTHONPATH", "")
         r = subprocess.run(
             [sys.executable, "-c",
+             # sitecustomize-proof platform pin (env alone is overridden
+             # by axon-style setups): keeps the dryrun off any tunnel
+             "import jax; jax.config.update('jax_platforms', 'cpu'); "
              "import __graft_entry__ as g; g.dryrun_multichip(32)"],
             env=env, capture_output=True, text=True, timeout=300)
         assert r.returncode == 0, r.stderr[-2000:]

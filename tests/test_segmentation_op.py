@@ -213,6 +213,13 @@ class TestArchiveCheckpoint:
         ck = str(tmp_path / "scan.ckpt")
         child = (
             "import os, signal\n"
+            # axon-style sitecustomize prepends its platform and routes
+            # everything through the remote-compile tunnel; the env var
+            # alone is not enough (the tunnel's cold compile blows the
+            # 300s timeout) — override the config like conftest does
+            "import jax\n"
+            "if jax.config.jax_platforms != 'cpu':\n"
+            "    jax.config.update('jax_platforms', 'cpu')\n"
             "import mvtrim_tpu.parallel.archive as A\n"
             "orig = A.ScanCheckpoint.record\n"
             "n = [0]\n"

@@ -168,6 +168,12 @@ class TestWatchMode:
         out_dir.mkdir()
         shutil.copy(small_clip, in_dir / "v.mp4")
         child = (
+            # sitecustomize-proof platform pin (env alone is overridden
+            # by axon-style setups; see conftest.py) — the oracle backend
+            # shouldn't dispatch, but a stray jit must not reach a tunnel
+            "import jax\n"
+            "if jax.config.jax_platforms != 'cpu':\n"
+            "    jax.config.update('jax_platforms', 'cpu')\n"
             "from mvtrim_tpu.batch.batch import BatchProcessor\n"
             "from mvtrim_tpu.core.config import Config\n"
             "cfg = Config(watch_mode=True, scan_backend='oracle',\n"
