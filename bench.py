@@ -606,8 +606,10 @@ def main() -> int:
     # timeout mid-compile cannot lose the metric.
     for impl, label, fn in remaining:
         try:
-            fps, checksum_ok = fn()
-            if impl != "xla-words":
+            fps, checksum_ok, pre_valid = fn()
+            # pre_valid is not None <=> the candidate audited internally
+            # (xla-words' run()); don't audit those twice
+            if pre_valid is None:
                 _audit(label, fps, word_bytes, roofline, checksum_ok)
         except Exception as e:
             print(f"{label} skipped: {e}", file=sys.stderr)
