@@ -49,6 +49,50 @@ def make_vote_sweep_op(geom: GridGeometry):
     return op
 
 
+def make_sad_sweep_op(geom: GridGeometry, block_size: int):
+    """Pixel-domain sweep: K (sad_threshold, clusters_needed) configs
+    from one luma decode.
+
+    (luma u8 [N, H_p, W_p], bounds i32 [K], clusters_needs i32 [K])
+    -> motion bool [N-1, K]: row i is the decision for luma[i+1]
+    compared against luma[i] (row 0 is the predecessor/carry, exactly
+    the SADDetector windowing — models/sad_detector.py).
+
+    ``bounds`` are integer SAD-sum bounds (ops/sad.sad_threshold_sum,
+    ceil(threshold * block_area)) so the compare stays int32-exact.
+    The |diff| + block reduction runs ONCE and is shared by every
+    config; each sweep point costs one traced cluster pass
+    (cluster_counts_traced with the SAD bound as the activity
+    threshold) — the same math the single-config SAD ops dispatch
+    (ops/sad._cluster_from_grid).  The reference needs one full re-run
+    per config triple (config.hpp single-triple-per-process); it has
+    no pixel-domain path at all (motion_scanner.cpp:219-221 decides
+    MV-less frames False), so this sweeps a capability extension.
+
+    XLA build (reduce_window): runs on every backend.  Tuning sweeps
+    are decode-bound on the host, so the pallas SAD kernel's edge is
+    irrelevant here.
+    """
+
+    @jax.jit
+    def op(luma, bounds, clusters_needs):
+        x = luma.astype(jnp.int32)
+        diff = jnp.abs(x[1:] - x[:-1])                     # [N-1, H, W]
+        sad = jax.lax.reduce_window(
+            diff, 0, jax.lax.add,
+            window_dimensions=(1, block_size, block_size),
+            window_strides=(1, block_size, block_size),
+            padding="VALID")                               # [N-1, gh, gw]
+
+        def per_config(bound, clust_need):
+            counts = _cluster_counts_traced(sad, geom, bound)
+            return counts >= jnp.maximum(1, clust_need)
+
+        return jax.vmap(per_config, out_axes=1)(bounds, clusters_needs)
+
+    return op
+
+
 def make_mv_sweep_op(geom: GridGeometry, block_shift: int):
     """Raw-MV sweep: thresholds are traced data.
 

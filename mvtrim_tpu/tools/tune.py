@@ -190,76 +190,219 @@ def sweep(input_path: str, thresholds, vectors, clusters, *,
                                 pts[lo:hi][sel].tolist())
     reader.close()
 
-    results = []
+    def make_row(ti, vi):
+        vec, clu = vc_pairs[vi]
+        return {"mv_threshold_sq": thresholds[ti],
+                "vectors_needed": vec, "clusters_needed": clu}
+
     if device_stats:
-        import jax.numpy as jnp
-        from ..ops.segmentation import make_segment_op
+        return _device_stats_rows(thresholds, len(vc_pairs), dev_motion,
+                                  all_pts, duration, cfg, make_row)
+    return _host_rows(thresholds, len(vc_pairs), motion_ts, duration,
+                      cfg, make_row)
 
-        # segment capacity: the gap rule bounds how many segments can fit
-        max_segments = min(4096, int(duration /
-                                     max(1e-6, cfg.max_gap_sec)) + 2)
-        seg_op = make_segment_op(max_segments,
-                                 max_gap_sec=cfg.max_gap_sec,
-                                 padding_sec=cfg.padding_sec)
-        ts = jnp.asarray(np.concatenate(all_pts) if all_pts
-                         else np.zeros((1,)), jnp.float32)
-        dur = jnp.float32(duration)
 
-        def per_threshold(parts):
-            motion = jnp.concatenate(
-                [m[:n] for m, n in parts], axis=0)          # [N, K]
-            starts, ends, count, kept = jax.vmap(
-                lambda col: seg_op(ts, col, dur), in_axes=1)(motion)
-            return count, kept, motion.sum(axis=0)
-
-        for ti, thr in enumerate(thresholds):
-            if not dev_motion[ti]:
-                count = kept = frames = np.zeros((len(vc_pairs),))
-            else:
-                count, kept, frames = (np.asarray(x)
-                                       for x in per_threshold(
-                                           dev_motion[ti]))
-            for vi, (vec, clu) in enumerate(vc_pairs):
-                kept_s = float(kept[vi])
-                saved = 100.0 * max(0.0, duration - kept_s) / duration \
-                    if duration > 0 else 0.0
-                row = {
-                    "mv_threshold_sq": thr,
-                    "vectors_needed": vec,
-                    "clusters_needed": clu,
-                    "motion_frames": int(frames[vi]),
-                    "segments": int(count[vi]),
-                    "saved_pct": round(saved, 2),
-                    "stats": "device_f32",
-                }
-                if int(count[vi]) >= max_segments:
-                    # capacity saturated: later segments were dropped, so
-                    # segments/saved_pct understate reality — mark the
-                    # row and tell the operator (host path has no cap)
-                    row["segments_saturated"] = True
-                    print(f"tune: segment capacity {max_segments} "
-                          f"saturated for threshold={thr} vec={vec} "
-                          f"clu={clu}; re-run without --device-stats "
-                          "for exact stats", file=sys.stderr)
-                results.append(row)
-        return results
-
-    for ti, thr in enumerate(thresholds):
-        for vi, (vec, clu) in enumerate(vc_pairs):
+def _host_rows(thresholds, nvc, motion_ts, duration, cfg, make_row):
+    """Exact (float64 oracle) stats table — shared by the MV routes and
+    the SAD route; one definition so the routes cannot drift."""
+    rows = []
+    for ti in range(len(thresholds)):
+        for vi in range(nvc):
             merged = oracle.merge_timestamps(motion_ts[(ti, vi)])
             segments = oracle.segments_from_timestamps(
                 merged, max_gap_sec=cfg.max_gap_sec,
                 padding_sec=cfg.padding_sec, duration=duration)
             _, saved_pct = oracle.savings(segments, duration)
-            results.append({
-                "mv_threshold_sq": thr,
-                "vectors_needed": vec,
-                "clusters_needed": clu,
-                "motion_frames": int(merged.size),
-                "segments": len(segments),
-                "saved_pct": round(saved_pct, 2),
-            })
-    return results
+            row = make_row(ti, vi)
+            row.update(motion_frames=int(merged.size),
+                       segments=len(segments),
+                       saved_pct=round(saved_pct, 2))
+            rows.append(row)
+    return rows
+
+
+def _device_stats_rows(thresholds, nvc, dev_motion, all_pts, duration,
+                       cfg, make_row):
+    """Device-resident stats tail (--device-stats): ONE vmapped dispatch
+    of the streaming segmentation op (ops/segmentation.py) per threshold
+    over the still-lazy motion columns.  Shared by the MV and SAD routes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.segmentation import make_segment_op
+
+    # segment capacity: the gap rule bounds how many segments can fit
+    max_segments = min(4096, int(duration /
+                                 max(1e-6, cfg.max_gap_sec)) + 2)
+    seg_op = make_segment_op(max_segments,
+                             max_gap_sec=cfg.max_gap_sec,
+                             padding_sec=cfg.padding_sec)
+    ts = jnp.asarray(np.concatenate(all_pts) if all_pts
+                     else np.zeros((1,)), jnp.float32)
+    dur = jnp.float32(duration)
+
+    def per_threshold(parts):
+        motion = jnp.concatenate(
+            [m[:n] for m, n in parts], axis=0)          # [N, K]
+        starts, ends, count, kept = jax.vmap(
+            lambda col: seg_op(ts, col, dur), in_axes=1)(motion)
+        return count, kept, motion.sum(axis=0)
+
+    rows = []
+    for ti in range(len(thresholds)):
+        if not dev_motion[ti]:
+            count = kept = frames = np.zeros((nvc,))
+        else:
+            count, kept, frames = (np.asarray(x)
+                                   for x in per_threshold(dev_motion[ti]))
+        for vi in range(nvc):
+            kept_s = float(kept[vi])
+            saved = 100.0 * max(0.0, duration - kept_s) / duration \
+                if duration > 0 else 0.0
+            row = make_row(ti, vi)
+            row.update(motion_frames=int(frames[vi]),
+                       segments=int(count[vi]),
+                       saved_pct=round(saved, 2), stats="device_f32")
+            if int(count[vi]) >= max_segments:
+                # capacity saturated: later segments were dropped, so
+                # segments/saved_pct understate reality — mark the
+                # row and tell the operator (host path has no cap)
+                row["segments_saturated"] = True
+                cfg_desc = " ".join(
+                    f"{k}={v}" for k, v in make_row(ti, vi).items())
+                print(f"tune: segment capacity {max_segments} "
+                      f"saturated for {cfg_desc}; re-run without "
+                      "--device-stats for exact stats", file=sys.stderr)
+            rows.append(row)
+    return rows
+
+
+def sweep_sad(input_path: str, thresholds, clusters, *,
+              cfg: Config | None = None, batch_frames: int = 512,
+              device_stats: bool = False) -> list[dict]:
+    """Score K (sad_threshold, clusters_needed) configs over ONE luma
+    decode — the pixel-domain analog of sweep().
+
+    The reference can only evaluate one config per full run
+    (config.hpp single-triple-per-process) and has no pixel path at
+    all; before this route the SAD fallback's ``sad_threshold`` could
+    only be tuned by K full re-decodes.  Decisions are bit-identical
+    to K independent SADDetector pipeline runs at each config
+    (tests/test_sweep.py::TestSADSweep): same chunk independence (a
+    chunk's first analyzed frame is never motion —
+    models/sad_detector.py docstring), same carry threading across
+    cap-resumed sub-scans, same integer SAD bound.  ``thresholds``
+    are ``sad_threshold`` values (mean abs diff per pixel);
+    ``vectors_needed`` does not exist on this path — a block is
+    active iff its SAD sum clears the bound.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.sad import pad_luma, sad_threshold_sum
+    from ..ops.sweep import make_sad_sweep_op
+
+    cfg = cfg or Config.from_env()
+    thresholds = list(thresholds)
+    clusters = list(clusters)
+    nvc = len(clusters)
+    # flattened config axis k = ti * nvc + vi (same layout as _sweep_mv_raw)
+    bounds_k = np.asarray([sad_threshold_sum(t, cfg.block_size)
+                           for t in thresholds for _ in clusters], np.int32)
+    clus_k = np.asarray([c for _ in thresholds for c in clusters], np.int32)
+
+    reader = native.VideoReader(input_path)
+    duration, fps = reader.duration, reader.fps
+    geom = GridGeometry.build(reader.width, reader.height, cfg)
+    frame_skip = cfg.frame_skip(fps)
+    hp = geom.padded_gh * cfg.block_size
+    wp = geom.padded_gw * cfg.block_size
+    op = make_sad_sweep_op(geom, cfg.block_size)
+
+    motion_ts: dict[tuple[int, int], list[float]] = {
+        (ti, vi): [] for ti in range(len(thresholds))
+        for vi in range(nvc)}
+    dev_motion: list[list] = [[] for _ in thresholds]
+    all_pts: list[np.ndarray] = []
+
+    # luma frames are H*W bytes: cap the per-call decode like the
+    # pipeline's SAD branch (pipeline/pipeline.py "luma chunks are large")
+    if cfg.chunk_frames_cap > 0:
+        mem_cap = cfg.chunk_frames_cap
+    else:
+        mem_cap = max(16, (512 << 20) // max(1, reader.width *
+                                             reader.height))
+    cap = min(mem_cap,
+              int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64)
+    cur = native.ChunkScanCursor(duration, cfg.chunk_duration_sec, cap)
+    # Host path: one staging buffer, each dispatch resolved before the
+    # next overwrite; device_stats dispatches stay LAZY so allocate per
+    # dispatch (the CPU backend may alias numpy buffers zero-copy —
+    # CLAUDE.md / test_device_stats_matches_host_path)
+    batch = (None if device_stats
+             else np.zeros((batch_frames + 1, hp, wp), np.uint8))
+    luma_carry = None  # last analyzed frame of the prior sub-scan
+    while cur.more():
+        start, end = cur.window()
+        if not cur.resume:
+            # chunks are independent by design (SADDetector contract):
+            # a chunk's first analyzed frame has no predecessor
+            luma_carry = None
+        data, pts = reader.scan_luma(start, end, frame_skip=frame_skip,
+                                     max_frames=cap, resume=cur.resume)
+        cur.advance(len(pts))
+        if len(pts) == 0:
+            continue
+        if device_stats:
+            all_pts.append(pts)
+        padded = pad_luma(data, geom, cfg.block_size)
+        carry_p = (None if luma_carry is None
+                   else pad_luma(luma_carry[None], geom,
+                                 cfg.block_size)[0])
+        for lo in range(0, len(pts), batch_frames):
+            hi = min(lo + batch_frames, len(pts))
+            n = hi - lo
+            if device_stats:
+                batch = np.zeros((batch_frames + 1, hp, wp), np.uint8)
+            else:
+                batch[n + 1:] = 0
+            # row 0 = predecessor.  At chunk start there is none: feed
+            # the frame itself (diff 0) and force its row False below —
+            # SADDetector's no-predecessor rule.  Cap-resumed sub-scans
+            # and intra-scan batches diff against their real predecessor.
+            if lo == 0:
+                mask_first = carry_p is None
+                batch[0] = padded[0] if mask_first else carry_p
+            else:
+                mask_first = False
+                batch[0] = padded[lo - 1]
+            batch[1:n + 1] = padded[lo:hi]
+            motion = op(batch, bounds_k, clus_k)[:n]
+            if mask_first:
+                allow = np.ones((n, len(clus_k)), bool)
+                allow[0] = False
+                motion = motion & jnp.asarray(allow)
+            if device_stats:
+                for ti in range(len(thresholds)):
+                    dev_motion[ti].append(
+                        (motion[:, ti * nvc:(ti + 1) * nvc], n))
+            else:
+                mnp = np.asarray(motion)
+                for ti in range(len(thresholds)):
+                    for vi in range(nvc):
+                        sel = mnp[:, ti * nvc + vi]
+                        motion_ts[(ti, vi)].extend(
+                            pts[lo:hi][sel].tolist())
+        luma_carry = data[-1].copy()
+    reader.close()
+
+    def make_row(ti, vi):
+        return {"sad_threshold": thresholds[ti],
+                "clusters_needed": clusters[vi]}
+
+    if device_stats:
+        return _device_stats_rows(thresholds, nvc, dev_motion, all_pts,
+                                  duration, cfg, make_row)
+    return _host_rows(thresholds, nvc, motion_ts, duration, cfg, make_row)
 
 
 def _sweep_mv_raw(reader, cfg, geom, thresholds, vc_pairs, frame_skip,
@@ -359,17 +502,25 @@ def main(argv: list[str] | None = None) -> int:
     apply_platform_override()  # MVT_JAX_PLATFORM
     parser = argparse.ArgumentParser(prog="tune")
     parser.add_argument("input")
-    parser.add_argument("--thresholds", default="4,16,64")
-    parser.add_argument("--vectors", default="1,2,4")
+    parser.add_argument("--thresholds", default=None,
+                        help="comma list of MV_THRESHOLD_SQ values "
+                             "(default 4,16,64), or SAD_THRESHOLD values "
+                             "with --scan-input sad (default 4,12,30)")
+    parser.add_argument("--vectors", default=None,
+                        help="comma list of VECTORS_NEEDED values "
+                             "(default 1,2,4; MV routes only — the SAD "
+                             "path has no vote counts)")
     parser.add_argument("--clusters", default="1,2,4")
     parser.add_argument("--device-stats", action="store_true",
                         help="compute the stats table with the device "
                              "segmentation op (one host round trip; f32)")
     parser.add_argument("--scan-input", default="grids",
-                        choices=("grids", "mv_raw"),
-                        help="H2D payload: per-threshold vote grids "
-                             "(default) or raw MV fields with on-device "
-                             "threshold sweeping")
+                        choices=("grids", "mv_raw", "sad"),
+                        help="scan payload: per-threshold vote grids "
+                             "(default), raw MV fields with on-device "
+                             "threshold sweeping, or decoded luma through "
+                             "the pixel-domain SAD path (sweeps "
+                             "sad_threshold x clusters_needed)")
     parser.add_argument("--mesh", type=int, default=0, metavar="N",
                         help="shard the sweep over an N-device mesh: "
                              "frames over 'data', configs over 'sweep' "
@@ -380,9 +531,23 @@ def main(argv: list[str] | None = None) -> int:
                              "config-pair count)")
     args = parser.parse_args(argv)
 
-    thresholds = [float(x) for x in args.thresholds.split(",")]
-    vectors = [int(x) for x in args.vectors.split(",")]
     clusters = [int(x) for x in args.clusters.split(",")]
+    if args.scan_input == "sad":
+        if args.vectors is not None:
+            parser.error("--vectors does not apply to --scan-input sad "
+                         "(the SAD path has no per-block vote counts)")
+        if args.mesh:
+            parser.error("--mesh supports the grids scan input only")
+        thresholds = [float(x) for x in
+                      (args.thresholds or "4,12,30").split(",")]
+        results = sweep_sad(args.input, thresholds, clusters,
+                            device_stats=args.device_stats)
+        print(json.dumps(results, indent=2))
+        return 0
+
+    thresholds = [float(x) for x in
+                  (args.thresholds or "4,16,64").split(",")]
+    vectors = [int(x) for x in (args.vectors or "1,2,4").split(",")]
     mesh = None
     if args.mesh:
         from ..parallel.mesh import build_mesh

@@ -203,3 +203,48 @@ class TestTuneRouteFuzz:
         for ra, rd in zip(a, d):
             assert rd["motion_frames"] == ra["motion_frames"], (ra, rd)
             assert rd["segments"] == ra["segments"], (ra, rd)
+
+    @pytest.mark.parametrize("seed", range(max(3, FUZZ_N // 2)))
+    def test_sad_sweep_matches_detector_runs(self, seed, tmp_path):
+        """tune --scan-input sad (one luma decode, K configs) vs K
+        independent SADDetector pipeline runs at random knob draws —
+        random chunking, frame-skip phase, tiny chunk-frame caps (the
+        carry-threading resume path), and thresholds spanning the noise
+        floor through well past the motion band."""
+        from test_sweep import sad_reference_rows
+
+        from mvtrim_tpu.core.config import Config
+        from mvtrim_tpu.io import native
+        from mvtrim_tpu.tools import tune
+
+        rng2 = np.random.default_rng(9000 + seed)
+        clip = str(tmp_path / f"s{seed}.mp4")
+        wins, t0 = [], 0.5
+        for _ in range(int(rng2.integers(1, 3))):
+            a = t0 + float(rng2.uniform(0, 1.5))
+            b = a + float(rng2.uniform(0.3, 1.5))
+            wins.append((a, min(b, 5.6)))
+            t0 = b + 0.4
+        native.synthesize(clip, width=256, height=192, fps=25.0,
+                          duration=6.0, codec="libx264",
+                          motion_windows=tuple(wins),
+                          noise=int(rng2.integers(0, 4)))
+        thresholds = sorted(
+            float(x) for x in rng2.choice(
+                [0.0, 0.5, 2.0, 12.0, 60.0, 200.0], size=2,
+                replace=False))
+        clusters = [int(c) for c in rng2.choice(
+            [0, 1, 2, 4], size=2, replace=False)]
+        cfg = Config(chunk_duration_sec=float(rng2.choice([1.7, 5.0])),
+                     target_fps=int(rng2.choice([0, 7])),
+                     chunk_frames_cap=int(rng2.choice([0, 13])))
+        kw = dict(cfg=cfg, batch_frames=int(rng2.choice([16, 64])))
+        got = tune.sweep_sad(clip, thresholds, clusters, **kw)
+        want = sad_reference_rows(clip, thresholds, clusters, cfg)
+        assert got == want, (seed, thresholds, clusters)
+        # device-stats leg: integer stats must agree (f32 timestamps)
+        d = tune.sweep_sad(clip, thresholds, clusters,
+                           device_stats=True, **kw)
+        for rg, rd in zip(got, d):
+            assert rd["motion_frames"] == rg["motion_frames"], (rg, rd)
+            assert rd["segments"] == rg["segments"], (rg, rd)

@@ -194,6 +194,134 @@ class TestTuneTool:
         assert a == b
 
 
+def _sad_detector_run(clip: str, cfg: Config):
+    """Pipeline-style single-config SAD scan: chunked decode with the
+    cap-resume carry threading (pipeline/pipeline.py luma branch) feeding
+    SADDetector — the per-config ground truth the sweep must match."""
+    import math
+
+    from mvtrim_tpu.models.sad_detector import SADDetector
+
+    reader = native.VideoReader(clip)
+    duration, fps = reader.duration, reader.fps
+    det = SADDetector(reader.width, reader.height, cfg)
+    frame_skip = cfg.frame_skip(fps)
+    cap = int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64
+    if cfg.chunk_frames_cap > 0:
+        cap = min(cap, cfg.chunk_frames_cap)
+    cur = native.ChunkScanCursor(duration, cfg.chunk_duration_sec, cap)
+    carry = None
+    ts: list[float] = []
+    while cur.more():
+        start, end = cur.window()
+        if not cur.resume:
+            carry = None
+        data, pts = reader.scan_luma(start, end, frame_skip=frame_skip,
+                                     max_frames=cap, resume=cur.resume)
+        cur.advance(len(pts))
+        if len(pts) == 0:
+            continue
+        motion = det.scan_luma(data, carry=carry)
+        ts.extend(pts[motion].tolist())
+        carry = data[-1].copy()
+    reader.close()
+    return ts, duration
+
+
+def sad_reference_rows(clip: str, thresholds, clusters, cfg: Config):
+    """K independent SADDetector runs -> the stats table sweep_sad must
+    reproduce from ONE decode."""
+    import dataclasses
+
+    rows = []
+    for thr in thresholds:
+        for clu in clusters:
+            c = dataclasses.replace(cfg, sad_threshold=thr,
+                                    clusters_needed=clu)
+            ts, duration = _sad_detector_run(clip, c)
+            merged = oracle.merge_timestamps(ts)
+            segments = oracle.segments_from_timestamps(
+                merged, max_gap_sec=c.max_gap_sec,
+                padding_sec=c.padding_sec, duration=duration)
+            _, saved_pct = oracle.savings(segments, duration)
+            rows.append({"sad_threshold": thr, "clusters_needed": clu,
+                         "motion_frames": int(merged.size),
+                         "segments": len(segments),
+                         "saved_pct": round(saved_pct, 2)})
+    return rows
+
+
+class TestSADSweep:
+    """tune --scan-input sad: the pixel-domain sweep route (one luma
+    decode for K (sad_threshold, clusters_needed) configs) must be
+    bit-identical to K independent SADDetector pipeline runs."""
+
+    def test_matches_independent_detector_runs(self, tmp_path):
+        clip = str(tmp_path / "s.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((2.0, 4.0), (6.0, 7.0)),
+                          noise=2)
+        cfg = Config()
+        # 0.5 sits below the sensor-noise floor (every frame active),
+        # 100 above most box motion — a non-degenerate spread
+        thresholds, clusters = [0.5, 8.0, 100.0], [1, 2]
+        got = tune.sweep_sad(clip, thresholds, clusters, cfg=cfg,
+                             batch_frames=64)
+        want = sad_reference_rows(clip, thresholds, clusters, cfg)
+        assert got == want
+        # the table must not be trivial (all-zero or all-motion)
+        frames = [r["motion_frames"] for r in got]
+        assert max(frames) > 0 and min(frames) < max(frames)
+
+    def test_cap_resume_carry_is_decision_invariant(self, tmp_path):
+        """A tiny chunk-frames cap forces mid-chunk sub-scan resumes;
+        the carry threading must keep every decision identical to the
+        uncapped sweep (the MVT_CHUNK_FRAMES_CAP contract)."""
+        clip = str(tmp_path / "c.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=6.0, codec="libx264",
+                          motion_windows=((1.0, 3.0),), noise=2)
+        thresholds, clusters = [4.0, 12.0], [1, 2]
+        free = tune.sweep_sad(clip, thresholds, clusters,
+                              cfg=Config(), batch_frames=64)
+        capped = tune.sweep_sad(clip, thresholds, clusters,
+                                cfg=Config(chunk_frames_cap=16),
+                                batch_frames=7)
+        assert capped == free
+        # and the capped decode path matches capped detector runs too
+        want = sad_reference_rows(clip, thresholds, clusters,
+                                  Config(chunk_frames_cap=16))
+        assert capped == want
+
+    def test_device_stats_matches_host_path(self, tmp_path):
+        clip = str(tmp_path / "sd.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((1.0, 2.5), (5.0, 6.0)),
+                          noise=2)
+        kw = dict(cfg=Config(max_gap_sec=1.0), batch_frames=64)
+        host = tune.sweep_sad(clip, [4.0, 12.0], [1, 2], **kw)
+        dev = tune.sweep_sad(clip, [4.0, 12.0], [1, 2],
+                             device_stats=True, **kw)
+        assert len(host) == len(dev) == 4
+        for h, d in zip(host, dev):
+            assert d["stats"] == "device_f32"
+            assert d["motion_frames"] == h["motion_frames"], (h, d)
+            assert d["segments"] == h["segments"], (h, d)
+            assert abs(d["saved_pct"] - h["saved_pct"]) < 0.05, (h, d)
+
+    def test_cli_rejects_vectors_and_mesh(self, tmp_path, capsys):
+        clip = str(tmp_path / "x.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=2.0, codec="libx264")
+        with pytest.raises(SystemExit):
+            tune.main([clip, "--scan-input", "sad", "--vectors", "1,2"])
+        with pytest.raises(SystemExit):
+            tune.main([clip, "--scan-input", "sad", "--mesh", "2"])
+        capsys.readouterr()
+
+
 class TestVecZeroExactness:
     """The reference decides MV-less frames False unconditionally
     (motion_scanner.cpp:219-221) even at VECTORS_NEEDED=0, where zero
