@@ -29,7 +29,7 @@ from ..core.types import GridGeometry, ScanTask
 from ..io import native
 from ..utils import logging as log
 from ..utils import system
-from .mesh import build_mesh, sharded_bits_scan_step
+from .mesh import build_mesh, build_process_mesh, sharded_bits_scan_step
 
 
 class ScanCheckpoint:
@@ -95,6 +95,182 @@ class ScanCheckpoint:
             f.write(self._json.dumps(
                 {"chunk": chunk_id, "motion_ts": motion_ts}) + "\n")
         self.done[chunk_id] = motion_ts
+
+
+def _allgather_f64(x: np.ndarray):
+    """process_allgather of a float64 vector WITHOUT precision loss.
+
+    multihost_utils routes through jax arrays, and with jax_enable_x64
+    off (the default) a float64 payload is silently downcast to float32 —
+    enough to move %.2f-quantized cut boundaries.  Gather the raw bit
+    pattern as two int32 halves instead; returns [pc, n] float64.
+    """
+    from jax.experimental import multihost_utils
+
+    bits = np.ascontiguousarray(x).view(np.uint64)
+    hi = (bits >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    lo = (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    ghi = np.asarray(multihost_utils.process_allgather(hi))
+    glo = np.asarray(multihost_utils.process_allgather(lo))
+    gbits = ((ghi.view(np.uint32).astype(np.uint64) << np.uint64(32))
+             | glo.view(np.uint32).astype(np.uint64))
+    return gbits.view(np.float64)
+
+
+def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
+                              *, mesh=None, frames_per_device: int = 256):
+    """Multi-process archive scan (pod-scale product path).
+
+    Each host process decodes a DISJOINT chunk slice of the timeline
+    (chunk_id % process_count == process_index — the cross-host analog of
+    the single-process task queue) and contributes its local shard of
+    every global device batch via
+    ``jax.make_array_from_process_local_data``; the scan step's
+    collectives merge decisions over ICI/DCN (psum for global motion
+    counts, all_gather so every process reads the full decision vector).
+    A final bit-exact float64 timestamp allgather lets every process run
+    the identical host segmentation, so ALL processes return the same
+    (segments, duration, stats) — byte-equal to the single-chip oracle
+    path's (asserted at the process level in tests/test_distributed.py).
+
+    Requires ``parallel.distributed.initialize()`` to have joined >= 2
+    processes BEFORE any JAX use.  Processes must own equal device
+    counts.  Checkpoint sidecars are single-process-only — use
+    ``scan_archive`` for resumable single-host scans.
+
+    Reference contrast: the reference's only scale-out is more threads
+    in one box (SURVEY.md §5 — no NCCL/MPI/RPC); this spreads decode
+    over hosts and scan over a pod.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..ops.cluster import packed_geometry
+
+    cfg = cfg or Config.from_env()
+    pc, pi = jax.process_count(), jax.process_index()
+    if pc < 2:
+        raise RuntimeError(
+            "scan_archive_multiprocess needs a multi-process JAX cluster "
+            "(parallel.distributed.initialize); use scan_archive for "
+            "single-process scans")
+    mesh = mesh or build_process_mesh()
+    data_size = mesh.shape["data"]
+    if mesh.shape["sweep"] != 1 or data_size % pc:
+        raise RuntimeError(
+            f"scan_archive_multiprocess needs a sweep=1 mesh whose data "
+            f"axis divides evenly over processes, got shape "
+            f"{dict(mesh.shape)} across {pc} processes")
+    n_local = sum(1 for d in mesh.devices.ravel()
+                  if d.process_index == pi)
+    if n_local * pc != data_size:
+        raise RuntimeError(
+            f"uneven per-process device counts: {n_local} local x {pc} "
+            f"processes != mesh size {mesh.devices.size}")
+    local_rows = frames_per_device * n_local
+    global_batch = frames_per_device * data_size
+
+    reader = native.VideoReader(input_path)
+    duration, fps = reader.duration, reader.fps
+    geom = GridGeometry.build(reader.width, reader.height, cfg)
+    frame_skip = cfg.frame_skip(fps)
+    gwb, used, lanes = packed_geometry(geom)
+
+    # --- decode this process's disjoint chunk slice (cap-resume like the
+    # single-process workers, parallel/archive.py worker loop) ---
+    max_frames = int(math.ceil(cfg.chunk_duration_sec
+                               * max(fps, 1.0))) + 64
+    parts_bits: list[np.ndarray] = []
+    parts_pts: list[np.ndarray] = []
+    frames_with_mvs = 0
+    timing = native.ScanTiming()
+    t, cid = 0.0, 0
+    while t < duration:
+        end = min(t + cfg.chunk_duration_sec, duration)
+        if cid % pc == pi:
+            resume = False
+            while True:
+                bits, pts = reader.scan_bits(
+                    t, end, threshold_sq=cfg.mv_threshold_sq,
+                    block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                    y_min=geom.y_min, y_max=geom.y_max,
+                    vectors_needed=cfg.vectors_needed,
+                    frame_skip=frame_skip, max_frames=max_frames,
+                    timing=timing, resume=resume)
+                if len(pts) == 0:
+                    break
+                parts_bits.append(bits)
+                parts_pts.append(pts)
+                if len(pts) < max_frames:
+                    break
+                resume = True
+        cid += 1
+        t += cfg.chunk_duration_sec
+    reader.close()
+    local_bits = (np.concatenate(parts_bits) if parts_bits
+                  else np.zeros((0, geom.gh, gwb), np.uint8))
+    local_pts = (np.concatenate(parts_pts) if parts_pts
+                 else np.zeros((0,), np.float64))
+    n_frames = len(local_pts)
+
+    # --- lockstep dispatch count agreed across processes: SPMD demands
+    # every process execute the same program the same number of times,
+    # and per-process frame counts differ (chunk contents are data) ---
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([n_frames], np.int32))).ravel()
+    n_dispatch = -(-int(counts.max()) // local_rows)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+    step = sharded_bits_scan_step(geom, cfg, mesh, gather_motion=True)
+    sharding = NamedSharding(mesh, PartitionSpec("data", None))
+    motion_ts: list[float] = []
+    motion_frames_psum = 0
+    flat = np.zeros((local_rows, lanes), np.uint8)
+    for i in range(n_dispatch):
+        lo = i * local_rows
+        n_valid = max(0, min(lo + local_rows, n_frames) - lo)
+        flat[:] = 0  # safe: np.asarray(motion) below resolves the
+        # previous dispatch before this overwrite (CPU zero-copy rule)
+        if n_valid:
+            flat[:n_valid, :used] = \
+                local_bits[lo:lo + n_valid].reshape(n_valid, used)
+        arr = jax.make_array_from_process_local_data(sharding, flat)
+        motion, gcount = step(arr)
+        motion = np.asarray(motion)       # replicated [global_batch]
+        motion_frames_psum += int(np.asarray(gcount))
+        if n_valid:
+            # build_process_mesh orders the data axis by process, so this
+            # process's rows are the pi-th contiguous block
+            mine = motion[pi * local_rows: pi * local_rows + n_valid]
+            motion_ts.extend(local_pts[lo:lo + n_valid][mine].tolist())
+
+    # --- bit-exact global timestamp merge -> identical host segmentation
+    # on every process ---
+    nms = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(motion_ts)], np.int32))).ravel()
+    buf = np.zeros((max(1, int(nms.max())),), np.float64)
+    buf[:len(motion_ts)] = motion_ts
+    gathered = _allgather_f64(buf)                      # [pc, maxn]
+    all_ts = np.concatenate([gathered[p, :int(nms[p])]
+                             for p in range(pc)])
+    timestamps = oracle.merge_timestamps(all_ts.tolist())
+    segments = oracle.segments_from_timestamps(
+        timestamps, max_gap_sec=cfg.max_gap_sec,
+        padding_sec=cfg.padding_sec, duration=duration)
+    stats = {
+        "frames_scanned": int(counts.sum()),
+        "frames_with_mvs_local": timing.frames_with_mvs,
+        "motion_frames": int(timestamps.size),
+        "motion_frames_psum": motion_frames_psum,
+        "dispatches": n_dispatch,
+        "mesh": dict(mesh.shape),
+        "processes": pc,
+        "global_batch": global_batch,
+    }
+    log.info(f"archive scan: {stats['frames_scanned']} frames over "
+             f"{pc} processes x mesh {dict(mesh.shape)} in "
+             f"{n_dispatch} lockstep dispatches")
+    return segments, duration, stats
 
 
 def scan_archive(input_path: str, cfg: Config | None = None, *,

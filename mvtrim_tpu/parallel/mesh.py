@@ -121,7 +121,21 @@ def sharded_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh,
     return jax.jit(step)
 
 
-def sharded_bits_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
+def build_process_mesh() -> Mesh:
+    """Multi-process mesh with the 'data' axis ordered by OWNING PROCESS
+    (then device id): process p's addressable devices form one contiguous
+    block of the axis, so the row blocks of a data-sharded global batch
+    map to processes contiguously — the layout
+    parallel.archive.scan_archive_multiprocess relies on to slice its own
+    rows out of the gathered motion vector.  Requires
+    parallel.distributed.initialize() to have joined the processes first
+    (jax.devices() then spans the cluster)."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.asarray(devs).reshape(len(devs), 1), ("data", "sweep"))
+
+
+def sharded_bits_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh,
+                           gather_motion: bool = False):
     """Packed-payload multi-chip scan step (the archive product path).
 
     Returns ``step(bits) -> (motion, global_motion_frames)``:
@@ -131,7 +145,12 @@ def sharded_bits_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
              activity threshold is baked in host-side, so there is no
              'sweep' dimension; any sweep axis in the mesh carries
              replicated work.
-      motion bool [B], sharded over 'data'
+      motion bool [B], sharded over 'data' — or, with
+             ``gather_motion=True``, all-gathered over 'data' (ICI) and
+             returned fully replicated so every *process* of a
+             multi-process mesh can read the whole decision vector
+             (per-process host code cannot address other processes'
+             shards; the collective is the bridge)
       global_motion_frames int32 — psum over 'data' (ICI), replicated
 
     9x less H2D/ICI traffic than the uint8-grid step for the same
@@ -164,11 +183,23 @@ def sharded_bits_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
     if shard_map is None:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    step = shard_map(
+    inner = shard_map(
         local_step, mesh=mesh,
         in_specs=(P("data", None),),
         out_specs=(P("data"), P()),
     )
+    if not gather_motion:
+        return jax.jit(inner)
+
+    def step(bits):
+        motion, global_count = inner(bits)
+        # replicate the decision vector: XLA inserts the all-gather over
+        # 'data' (an in-shard_map lax.all_gather would trip the VMA
+        # replication check — its output is still device-varying)
+        motion = jax.lax.with_sharding_constraint(
+            motion, NamedSharding(mesh, P()))
+        return motion, global_count
+
     return jax.jit(step)
 
 

@@ -42,31 +42,41 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_initialize_and_collective():
+def _spawn_cluster(worker_src: str, n_procs: int = 2,
+                   devices_per_proc: int = 1, extra_env=None):
+    """Launch n CPU-backend subprocesses joined into one JAX cluster."""
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(n_procs):
         env = dict(os.environ)
-        # one local CPU device per process; scrub pod-detection and the
-        # parent suite's virtual-device knobs
+        # scrub pod-detection and the parent suite's virtual-device knobs
         env.pop("TPU_WORKER_HOSTNAMES", None)
         env.pop("JAX_NUM_CPU_DEVICES", None)
-        env["XLA_FLAGS"] = " ".join(
-            f for f in env.get("XLA_FLAGS", "").split()
-            if "xla_force_host_platform_device_count" not in f)
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        if devices_per_proc > 1:
+            flags.append("--xla_force_host_platform_device_count="
+                         f"{devices_per_proc}")
+        env["XLA_FLAGS"] = " ".join(flags)
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
-        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_NUM_PROCESSES"] = str(n_procs)
         env["JAX_PROCESS_ID"] = str(pid)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env.update(extra_env or {})
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", _WORKER], env=env,
+            [sys.executable, "-c", worker_src], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
 
     results = []
     for p in procs:
-        out, err = p.communicate(timeout=120)
-        assert p.returncode == 0, err[-2000:]
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-3000:]
         results.append(json.loads(out.strip().splitlines()[-1]))
+    return results
+
+
+def test_two_process_initialize_and_collective():
+    results = _spawn_cluster(_WORKER, n_procs=2, devices_per_proc=1)
 
     assert [r["process_index"] for r in results] == [0, 1]
     for r in results:
@@ -75,3 +85,85 @@ def test_two_process_initialize_and_collective():
         assert r["device_count"] == 2
         # the collective saw both processes' contributions
         assert sorted(r["gathered"]) == [1, 2]
+
+
+_ARCHIVE_WORKER = """
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")  # axon sitecustomize-proof
+from mvtrim_tpu.parallel import distributed
+
+ok = distributed.initialize()
+assert ok, "cluster did not form"
+import numpy as np
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.parallel.archive import scan_archive_multiprocess
+
+cfg = Config(chunk_duration_sec=3.0)
+segments, duration, stats = scan_archive_multiprocess(
+    os.environ["MVT_TEST_CLIP"], cfg, frames_per_device=16)
+print(json.dumps({
+    "process_index": jax.process_index(),
+    "device_count": jax.device_count(),
+    "local_device_count": jax.local_device_count(),
+    "segments": [[s.start, s.end] for s in segments],
+    "duration": duration,
+    "frames_scanned": stats["frames_scanned"],
+    "motion_frames": stats["motion_frames"],
+    "motion_frames_psum": stats["motion_frames_psum"],
+    "dispatches": stats["dispatches"],
+}))
+"""
+
+
+def test_multiprocess_archive_scan_matches_single_chip_oracle(tmp_path):
+    """The PRODUCT path run multi-process (VERDICT r3 item 3): 2 CPU
+    processes x 4 virtual devices each, per-process decode of disjoint
+    chunk ranges, sharded global batches via
+    make_array_from_process_local_data, psum + all_gather merge — the
+    segments must byte-equal the single-chip oracle list (the same
+    assertion __graft_entry__._dryrun_archive makes single-process)."""
+    from mvtrim_tpu.core import oracle
+    from mvtrim_tpu.core.config import Config
+    from mvtrim_tpu.core.types import GridGeometry
+    from mvtrim_tpu.io import native
+
+    clip = str(tmp_path / "tiny.mp4")
+    native.synthesize(clip, width=320, height=240, fps=25.0,
+                      duration=10.0, codec="libx264",
+                      motion_windows=((2.0, 4.0), (7.0, 8.0)))
+
+    results = _spawn_cluster(_ARCHIVE_WORKER, n_procs=2,
+                             devices_per_proc=4,
+                             extra_env={"MVT_TEST_CLIP": clip})
+
+    # single-chip ground truth: host decode + oracle math end to end
+    cfg = Config(chunk_duration_sec=3.0)
+    r = native.VideoReader(clip)
+    geom = GridGeometry.build(r.width, r.height, cfg)
+    grids, pts = r.scan_grids(
+        0.0, r.duration + 1, threshold_sq=cfg.mv_threshold_sq,
+        block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+        y_min=geom.y_min, y_max=geom.y_max, max_frames=400)
+    r.close()
+    counts = oracle.count_clusters_batch(
+        grids, vectors_needed=cfg.vectors_needed,
+        y_min=geom.y_min, y_max=geom.y_max)
+    m = counts >= oracle.effective_clusters_needed(cfg.clusters_needed)
+    ts = oracle.merge_timestamps(pts[m].tolist())
+    expect = [[s.start, s.end] for s in oracle.segments_from_timestamps(
+        ts, max_gap_sec=cfg.max_gap_sec, padding_sec=cfg.padding_sec,
+        duration=results[0]["duration"])]
+
+    assert [r_["process_index"] for r_ in results] == [0, 1]
+    for r_ in results:
+        assert r_["device_count"] == 8
+        assert r_["local_device_count"] == 4
+        # every process computed the identical, oracle-equal segments
+        assert r_["segments"] == expect and len(expect) > 0, (
+            r_["segments"], expect)
+        assert r_["frames_scanned"] == len(pts)
+        assert r_["motion_frames"] == int(ts.size)
+        # the psum total counts every True decision pre-dedupe
+        assert r_["motion_frames_psum"] >= r_["motion_frames"] > 0
+        assert r_["dispatches"] >= 2  # lockstep batches actually sharded
