@@ -23,6 +23,21 @@ goes:
     prodstat the same body with the dynamic bound disabled (every chunk
              always runs) — A/B partner for prod at --m 8192; pair with
              --counts sparse (realistic MV densities) vs full (worst case)
+    prodfold the production body with the keep mask folded into the row
+             index ([1, M] select to -1) instead of AND-ed across the
+             [GH_p, M] one-hot — one fewer full-plane VPU op, bit-exact
+             (ops/mv_vote._mv_frame_votes(fold_keep=True))
+    mmctrl   compute-roofline control: the exact launch structure and
+             matmul SHAPES of prod ([GH_p, M] x [GW_p, M] NT dot per
+             frame) but with the cheapest possible operand prep — the
+             four streams' parity bits broadcast lane-major, no iota
+             compares.  Isolates "broadcast + cast + MXU matmul +
+             reduce" from the one-hot construction: if prod ~= mmctrl,
+             the kernel is at its matmul-formulation floor and the gap
+             to the stream control is arithmetic intensity, not waste.
+             Exact checksum: votes[y,x] = sum_k a_k*b_k with a,b in
+             {0,1}, so every output cell is the same integer <= M and
+             the int32 grid sum is gh_p*gw_p*sum(a&b).
     rollclu  production votes, roll-based cluster map
              (ops/cluster.cluster_map_kernel) instead of pad/shift
     bclu     --fps frames per step, per-frame vote matmuls stacked into
@@ -97,7 +112,7 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
         return mv_vote.chunked_frame_votes(
             dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi, count(fi),
             geom, bound, cfg.block_shift, m=m, m_chunk=m_chunk,
-            dynamic_chunks=dynamic)
+            dynamic_chunks=dynamic, fold_keep=variant == "prodfold")
 
     def votes_sub(refs, fi):
         """Retired layout: rhs one-hot built [M, GW] from the sublane
@@ -168,6 +183,22 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
                      + mm_sum(src_x_ref, fi) + mm_sum(src_y_ref, fi))
                 out_ref[fi] = (s.astype(jnp.int32)
                                + count(fi)).reshape(1, 1)
+        elif variant == "mmctrl":
+            # prod's matmul shapes with trivial operand prep: parity
+            # bits of all four streams (keeps the load dependency on
+            # every byte), broadcast lane-major, one NT dot per frame
+            for fi in range(F):
+                a1 = (dst_x_ref[fi] ^ src_x_ref[fi]) & 1      # [1, M]
+                b1 = (dst_y_ref[fi] ^ src_y_ref[fi]) & 1      # [1, M]
+                a = jnp.broadcast_to(a1, (gh_p, m)).astype(jnp.float32)
+                bb = jnp.broadcast_to(b1, (gw_p, m)).astype(jnp.float32)
+                v = jax.lax.dot_general(
+                    a, bb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # [GH, GW]
+                rows = jnp.sum(v.astype(jnp.int32), axis=1,
+                               keepdims=True)                 # [GH, 1]
+                out_ref[fi] = jnp.sum(rows, axis=0, keepdims=True
+                                      ).reshape(1, 1)
         elif variant == "noclu":
             for fi in range(F):
                 v = frame_votes(refs, fi)                 # [GH, GW] f32
@@ -183,7 +214,7 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
             out_ref[:] = jnp.sum(rows, axis=1, keepdims=True
                                  ).reshape(F, 1, 1)
         else:
-            assert variant in ("prod", "prodstat", "rollclu",
+            assert variant in ("prod", "prodstat", "prodfold", "rollclu",
                                "prodsub"), variant
             body = cluster_map_kernel if variant == "rollclu" else (
                 _cluster_map)
@@ -321,6 +352,10 @@ def main() -> int:
     ctrlmm_expected = sum((a[last].astype(np.int64) & 255).sum(axis=1)
                           for a in (dst_x, dst_y, src_x, src_y)
                           ) + counts[last]
+    geom_cells = geom.padded_gh * geom.padded_gw
+    mmctrl_expected = geom_cells * (
+        ((dst_x[last] ^ src_x[last]) & (dst_y[last] ^ src_y[last]) & 1)
+        .astype(np.int64).sum(axis=1))
 
     flat3 = lambda a: jax.device_put(
         np.ascontiguousarray(a.reshape(k * b, 1, m)))
@@ -356,6 +391,8 @@ def main() -> int:
             ok = np.array_equal(out64 & 0xFFFFFFFF, exp & 0xFFFFFFFF)
         elif variant == "ctrlmm":
             ok = np.array_equal(out64, ctrlmm_expected)
+        elif variant == "mmctrl":
+            ok = np.array_equal(out64, mmctrl_expected)
         elif variant == "noclu":
             ok = np.array_equal(out64, kept_last)
         else:

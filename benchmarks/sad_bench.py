@@ -55,6 +55,17 @@ def parse_prod(variant):
     return None if mode is None else (mode, f_override)
 
 
+def parse_sliced(variant):
+    """``prodh<S>`` -> S: the sub-frame-sliced production kernel
+    (ops/sad.make_sad_kernel_sliced) — each frame as S horizontal
+    slices, one per grid step, for F=2-style pipelining inside the VMEM
+    budget F=2 itself can't fit at 4K.  Else None."""
+    if variant.startswith("prodh") and variant[5:].isdigit() \
+            and int(variant[5:]) >= 2:
+        return int(variant[5:])
+    return None
+
+
 def parse_ctrl(variant):
     """``ctrl[f<F>]`` -> (True, F_override or None) when the variant is
     a stream-bound control (None F_override = use the product formula),
@@ -330,6 +341,40 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
                            jnp.int32 if prev_i32 else jnp.uint8),
                 pltpu.VMEM((gh_p, gw_p), jnp.int32)],
         )
+    elif parse_sliced(variant) is not None:
+        # Sub-frame sliced production kernel: same chained launch and
+        # per-frame HBM-written counts as prod, grid (iters, nb, S)
+        S = parse_sliced(variant)
+        nb = b - 1
+        kernel = sad_ops.make_sad_kernel_sliced(
+            geom, bs, bound, S, step_axis=1)
+        h_s = h_p // S
+
+        sweep = pl.pallas_call(
+            kernel,
+            grid=(iters, nb, S),
+            in_specs=[pl.BlockSpec((1, h_p, w_p),
+                                   lambda it, j, s: (it % k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, h_s, w_p),
+                                   lambda it, j, s:
+                                   ((it % k) * nb + j, s, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, 1), lambda it, j, s: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb, 1, 1), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8),
+                            pltpu.VMEM((gh_p, gw_p), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        @jax.jit
+        def run(stacked):
+            carries, rest = stacked          # same split inputs as prod
+            return sweep(carries, rest)[:, 0, 0]
+
+        return run
     elif parse_prod(variant) is not None:
         # The REAL production kernel (ops/sad.make_sad_kernel — the
         # exact kernel body models/sad_detector.py dispatches), chained
@@ -538,7 +583,8 @@ def main() -> int:
     prod_inputs = prod_expected = None
     for variant in args.variants.split(","):
         variant = variant.strip()
-        is_prod = parse_prod(variant) is not None
+        is_prod = (parse_prod(variant) is not None
+                   or parse_sliced(variant) is not None)
         is_ctrl = parse_ctrl(variant) is not None
         if (is_prod or is_ctrl) and prod_inputs is None:
             # pre-split host-side like the product op (carries [k,h,w],

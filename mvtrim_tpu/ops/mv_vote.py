@@ -70,7 +70,7 @@ def threshold_bound(threshold_sq: float) -> int:
 
 def _mv_frame_votes(dst_x, dst_y, src_x, src_y, count,
                     geom: GridGeometry, bound: int, block_shift: int,
-                    idx_offset: int = 0):
+                    idx_offset: int = 0, fold_keep: bool = False):
     """Fused per-frame vote accumulation.
 
     dst_x/dst_y/src_x/src_y are [1, M] int32 (lane-major), count is a
@@ -80,6 +80,11 @@ def _mv_frame_votes(dst_x, dst_y, src_x, src_y, count,
     Both one-hots are built lane-major over k and contracted with an NT
     dot_general — see the module docstring for why no sublane-major
     operand may be introduced here (4.0x, measured).
+
+    ``fold_keep`` folds the keep mask into the row index ([1, M] select
+    to -1, which no grid row matches) instead of AND-ing it across the
+    [GH_p, M] one-hot — one fewer full-plane VPU op, bit-identical by
+    construction.  Benchable as mv_bench's ``prodfold``.
     """
     m = dst_x.shape[-1]
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
@@ -98,7 +103,11 @@ def _mv_frame_votes(dst_x, dst_y, src_x, src_y, count,
 
     rows_y = jax.lax.broadcasted_iota(jnp.int32, (gh_p, m), 0)
     rows_x = jax.lax.broadcasted_iota(jnp.int32, (gw_p, m), 0)
-    one_y = ((rows_y == gy) & keep).astype(jnp.float32)          # [GH_p, M]
+    if fold_keep:
+        gym = jnp.where(keep, gy, jnp.int32(-1))                 # [1, M]
+        one_y = (rows_y == gym).astype(jnp.float32)              # [GH_p, M]
+    else:
+        one_y = ((rows_y == gy) & keep).astype(jnp.float32)      # [GH_p, M]
     one_xt = (rows_x == gx).astype(jnp.float32)                  # [GW_p, M]
 
     return jax.lax.dot_general(
@@ -111,7 +120,7 @@ def _mv_frame_votes(dst_x, dst_y, src_x, src_y, count,
 def chunked_frame_votes(dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi,
                         count, geom: GridGeometry, bound: int,
                         block_shift: int, *, m: int, m_chunk: int,
-                        dynamic_chunks: bool):
+                        dynamic_chunks: bool, fold_keep: bool = False):
     """In-kernel per-frame votes with M-chunked accumulation.
 
     fori_loop (not a static unroll): one chunk's one-hot operands live at
@@ -131,7 +140,8 @@ def chunked_frame_votes(dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi,
     if m <= m_chunk:
         return _mv_frame_votes(
             dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
-            src_y_ref[fi], count, geom, bound, block_shift)
+            src_y_ref[fi], count, geom, bound, block_shift,
+            fold_keep=fold_keep)
 
     def chunk_body(ci, votes):
         off = pl.multiple_of(ci * m_chunk, m_chunk)
@@ -139,7 +149,8 @@ def chunked_frame_votes(dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi,
         return votes + _mv_frame_votes(
             dst_x_ref[fi, :, sl], dst_y_ref[fi, :, sl],
             src_x_ref[fi, :, sl], src_y_ref[fi, :, sl], count,
-            geom, bound, block_shift, idx_offset=off)
+            geom, bound, block_shift, idx_offset=off,
+            fold_keep=fold_keep)
 
     n_chunks = m // m_chunk
     if dynamic_chunks:

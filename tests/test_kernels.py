@@ -173,6 +173,31 @@ class TestMVFramesPerStep:
         assert mv_vote.mv_frames_per_step(1 << 22) == 1  # never 0
 
 
+class TestMVFoldKeep:
+    def test_fold_keep_bit_identical(self, rng):
+        """_mv_frame_votes(fold_keep=True) — the keep mask folded into
+        the row index as a [1, M] select-to--1 instead of an AND across
+        the [GH_p, M] one-hot (mv_bench ``prodfold``) — is bit-identical
+        across random MV sets incl. OOB rows and count-masked tails."""
+        m = 256
+        for _ in range(6):
+            dst_x = jnp.asarray(
+                rng.integers(-64, 704, (1, m)).astype(np.int32))
+            dst_y = jnp.asarray(
+                rng.integers(-64, 544, (1, m)).astype(np.int32))
+            src_x = dst_x - jnp.asarray(
+                rng.integers(-9, 10, (1, m)).astype(np.int32))
+            src_y = dst_y - jnp.asarray(
+                rng.integers(-9, 10, (1, m)).astype(np.int32))
+            count = jnp.int32(int(rng.integers(0, m + 1)))
+            kw = dict(geom=GEOM, bound=17, block_shift=CFG.block_shift)
+            v0 = mv_vote._mv_frame_votes(dst_x, dst_y, src_x, src_y,
+                                         count, **kw)
+            v1 = mv_vote._mv_frame_votes(dst_x, dst_y, src_x, src_y,
+                                         count, fold_keep=True, **kw)
+            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
 class TestMVChunkedPath:
     def test_chunked_and_padded_capacity(self, rng):
         """M > m_chunk exercises the fori_loop accumulation; a non-divisible

@@ -66,6 +66,43 @@ class TestSADKernels:
         cp, _ = op_p(luma)
         np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
 
+    @pytest.mark.parametrize("S", [2, 4])
+    def test_sliced_kernel_matches_oracle(self, rng, S):
+        """make_sad_kernel_sliced (the sub-frame-blocked 4K variant):
+        per-slice _sad_grid results assemble to the full-frame grid and
+        the once-per-frame cluster decision is oracle-exact."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        luma = self.random_luma(rng, n=7)
+        bs = CFG.block_size
+        gh_p, gw_p = GEOM.padded_gh, GEOM.padded_gw
+        h_p, w_p = gh_p * bs, gw_p * bs
+        h_s = h_p // S
+        bound = sad_ops.sad_threshold_sum(CFG.sad_threshold, bs)
+        nb = luma.shape[0] - 1
+        kernel = sad_ops.make_sad_kernel_sliced(GEOM, bs, bound, S)
+        counts = pl.pallas_call(
+            kernel,
+            grid=(nb, S),
+            in_specs=[pl.BlockSpec((1, h_p, w_p), lambda j, s: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, h_s, w_p), lambda j, s: (j, s, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, 1), lambda j, s: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb, 1, 1), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8),
+                            pltpu.VMEM((gh_p, gw_p), jnp.int32)],
+            interpret=True,
+        )(luma[:1], luma[1:])
+        expect = sad_oracle_counts(luma, GEOM,
+                                   sad_threshold=CFG.sad_threshold,
+                                   block_size=bs)
+        np.testing.assert_array_equal(np.asarray(counts)[:, 0, 0], expect)
+
     @pytest.mark.parametrize(
         "col_mode", ["hilo", "highest", "dcfirst", "vpurow"])
     def test_col_modes_match_oracle(self, rng, col_mode):
