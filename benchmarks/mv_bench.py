@@ -23,10 +23,18 @@ goes:
     prodstat the same body with the dynamic bound disabled (every chunk
              always runs) — A/B partner for prod at --m 8192; pair with
              --counts sparse (realistic MV densities) vs full (worst case)
-    prodfold the production body with the keep mask folded into the row
-             index ([1, M] select to -1) instead of AND-ed across the
-             [GH_p, M] one-hot — one fewer full-plane VPU op, bit-exact
-             (ops/mv_vote._mv_frame_votes(fold_keep=True))
+    prodandmask
+             the retired pre-round-4 build: the keep mask AND-ed across
+             the [GH_p, M] one-hot instead of folded into the row index
+             as a [1, M] select-to--1.  Production folds since round 4
+             (bit-exact, +3.3% measured: 4.128M -> 4.263M frames/s same
+             session at M=2048 F=16); this is the regression partner.
+    prodmaxb the production body with ONE shared dynamic chunk bound per
+             step (max of the F frames' counts) instead of F per-frame
+             SMEM-dependent bounds — exact (extra chunks contribute
+             zero).  Measured NEUTRAL at sparse M=8192 (1.718M vs prod
+             1.729M, round 4): per-frame scalar syncs are not the
+             sparse bottleneck; kept as the recorded negative probe.
     mmctrl   compute-roofline control: the exact launch structure and
              matmul SHAPES of prod ([GH_p, M] x [GW_p, M] NT dot per
              frame) but with the cheapest possible operand prep — the
@@ -106,13 +114,14 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
     dynamic = variant != "prodstat"
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
 
-    def frame_votes(refs, fi):
+    def frame_votes(refs, fi, bound_count=None):
         """The exact production vote step (shared chunked body)."""
         dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, _, count = refs
         return mv_vote.chunked_frame_votes(
             dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi, count(fi),
             geom, bound, cfg.block_shift, m=m, m_chunk=m_chunk,
-            dynamic_chunks=dynamic, fold_keep=variant == "prodfold")
+            dynamic_chunks=dynamic, fold_keep=variant != "prodandmask",
+            bound_count=bound_count)
 
     def votes_sub(refs, fi):
         """Retired layout: rhs one-hot built [M, GW] from the sublane
@@ -214,13 +223,24 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
             out_ref[:] = jnp.sum(rows, axis=1, keepdims=True
                                  ).reshape(F, 1, 1)
         else:
-            assert variant in ("prod", "prodstat", "prodfold", "rollclu",
-                               "prodsub"), variant
+            assert variant in ("prod", "prodstat", "prodandmask",
+                               "prodmaxb", "rollclu", "prodsub"), variant
             body = cluster_map_kernel if variant == "rollclu" else (
                 _cluster_map)
             mk = votes_sub if variant == "prodsub" else frame_votes
+            bound_count = None
+            if variant == "prodmaxb":
+                # ONE dynamic chunk bound for the whole step (max of
+                # the F frames' counts — exact, extra chunks are zero):
+                # 1 SMEM-dependent loop bound per step instead of F,
+                # probing whether per-frame scalar syncs are the sparse
+                # bottleneck
+                bound_count = count(0)
+                for fi in range(1, F):
+                    bound_count = jnp.maximum(bound_count, count(fi))
             for fi in range(F):
-                v = mk(refs, fi).astype(jnp.int32)
+                v = (mk(refs, fi) if variant == "prodsub"
+                     else mk(refs, fi, bound_count)).astype(jnp.int32)
                 cl = body(v, geom, vec).astype(jnp.int32)
                 rows = jnp.sum(cl, axis=1, keepdims=True)  # [GH, 1]
                 out_ref[fi] = jnp.sum(rows, axis=0, keepdims=True

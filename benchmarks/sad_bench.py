@@ -348,7 +348,7 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
         nb = b - 1
         kernel = sad_ops.make_sad_kernel_sliced(
             geom, bs, bound, S, step_axis=1)
-        h_s = h_p // S
+        w_s = w_p // S
 
         sweep = pl.pallas_call(
             kernel,
@@ -356,9 +356,9 @@ def build_variant(variant, geom, cfg, *, k, b, iters):
             in_specs=[pl.BlockSpec((1, h_p, w_p),
                                    lambda it, j, s: (it % k, 0, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, h_s, w_p),
+                      pl.BlockSpec((1, h_p, w_s),
                                    lambda it, j, s:
-                                   ((it % k) * nb + j, s, 0),
+                                   ((it % k) * nb + j, 0, s),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1, 1), lambda it, j, s: (j, 0, 0),
                                    memory_space=pltpu.VMEM),

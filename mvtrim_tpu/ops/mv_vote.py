@@ -120,7 +120,8 @@ def _mv_frame_votes(dst_x, dst_y, src_x, src_y, count,
 def chunked_frame_votes(dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi,
                         count, geom: GridGeometry, bound: int,
                         block_shift: int, *, m: int, m_chunk: int,
-                        dynamic_chunks: bool, fold_keep: bool = False):
+                        dynamic_chunks: bool, fold_keep: bool = False,
+                        bound_count=None):
     """In-kernel per-frame votes with M-chunked accumulation.
 
     fori_loop (not a static unroll): one chunk's one-hot operands live at
@@ -154,9 +155,14 @@ def chunked_frame_votes(dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi,
 
     n_chunks = m // m_chunk
     if dynamic_chunks:
+        # ``bound_count`` (must be >= count) lets a multi-frame step
+        # share ONE dynamic bound across its frames (the max of their
+        # counts) instead of 16 per-frame SMEM-dependent bounds — still
+        # exact (chunks past the frame's own count contribute zero).
+        bc = count if bound_count is None else bound_count
         n_chunks = jnp.minimum(
             jnp.int32(n_chunks),
-            jax.lax.div(count + jnp.int32(m_chunk - 1),
+            jax.lax.div(bc + jnp.int32(m_chunk - 1),
                         jnp.int32(m_chunk)))
     return jax.lax.fori_loop(
         0, n_chunks, chunk_body,
@@ -208,7 +214,8 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                               block_shift: int, vectors_needed: int,
                               clusters_needed: int, interpret: bool = False,
                               m_chunk: int = 2048, frames_per_step: int = 16,
-                              dynamic_chunks: bool = True):
+                              dynamic_chunks: bool = True,
+                              fold_keep: bool = True):
     """Pallas implementation: ``frames_per_step`` frames per grid step,
     everything in VMEM.
 
@@ -245,12 +252,18 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     bound = threshold_bound(threshold_sq)
     F_req = max(1, frames_per_step)
 
+    # fold_keep=True is the round-4 default: the keep mask rides in the
+    # row index (select-to--1 on [1, M]) instead of an AND across the
+    # [GH_p, M] one-hot — bit-identical (tests/test_kernels.py), and
+    # measured +3.3% on v5e (prod 4.128M vs fold 4.263M frames/s, same
+    # session, honest windows — benchmarks/mv_bench.py round 4; the
+    # retired AND build stays benchable as ``prodandmask``).
     def frame_votes(count, fi, dst_x_ref, dst_y_ref, src_x_ref,
                     src_y_ref, m):
         return chunked_frame_votes(
             dst_x_ref, dst_y_ref, src_x_ref, src_y_ref, fi, count,
             geom, bound, block_shift, m=m, m_chunk=m_chunk,
-            dynamic_chunks=dynamic_chunks)
+            dynamic_chunks=dynamic_chunks, fold_keep=fold_keep)
 
     def make_kernel(F):
         def kernel(count_ref, dst_x_ref, dst_y_ref, src_x_ref, src_y_ref,

@@ -147,16 +147,20 @@ def sad_step_counts(diff_i32, geom: GridGeometry, block_size: int,
 
 
 def _sad_grid(diff_i32, gh_rows: int, geom: GridGeometry,
-              block_size: int, *, col_mode: str = "hilo"):
+              block_size: int, *, col_mode: str = "hilo",
+              gw_cols: int | None = None):
     """The SAD block-reduction of sad_step_counts, factored so it can run
-    on a PARTIAL frame slice: ``diff_i32`` is [gh_rows*block_size, W_p]
-    and the result is the int32 SAD grid [gh_rows, GW_p].  Because block
-    rows never straddle a slice boundary, the slice grids of a frame
-    concatenate to exactly the full-frame grid — what the sliced kernel
-    (make_sad_kernel_sliced) relies on for bit-exactness.  All the
-    exactness arguments in sad_step_counts' docstring carry over
-    unchanged (row sums <= block_size*255 regardless of gh_rows)."""
-    gh_p, gw_p = gh_rows, geom.padded_gw
+    on a PARTIAL frame slice: ``diff_i32`` is [gh_rows*block_size,
+    gw_cols*block_size] and the result is the int32 SAD grid
+    [gh_rows, gw_cols] (gw_cols defaults to the full padded_gw).
+    Because 16x16 blocks never straddle a slice boundary, the slice
+    grids of a frame concatenate to exactly the full-frame grid — what
+    the sliced kernel (make_sad_kernel_sliced) relies on for
+    bit-exactness.  All the exactness arguments in sad_step_counts'
+    docstring carry over unchanged (row sums <= block_size*255
+    regardless of the slice extents)."""
+    gh_p = gh_rows
+    gw_p = geom.padded_gw if gw_cols is None else gw_cols
     h_p, w_p = gh_p * block_size, gw_p * block_size
     cols = jax.lax.broadcasted_iota(jnp.int32, (w_p, gw_p), 0)
     if col_mode == "dcfirst":
@@ -302,49 +306,60 @@ def make_sad_kernel_sliced(geom: GridGeometry, block_size: int,
                            bound: int, S: int, *, step_axis: int = 0,
                            col_mode: str = "hilo"):
     """Sub-frame-blocked SAD kernel: each frame is processed as S
-    horizontal slices of [H_p/S, W_p], one slice per grid step.
+    VERTICAL slices of [H_p, W_p/S], one slice per grid step.
 
     Motivation (4K, VERDICT r3 item 2): the F=1 full-frame kernel leaves
     ~12% of roofline in un-overlapped per-step pipeline bubbles (the
-    ctrlf2/ctrlf4 controls measure 730 GB/s vs the F=1 control's 628)
-    and F=2 cannot fit the 100MB scoped VMEM at 8.9MB frames.  S slices
-    give F=S-style DMA/compute pipelining at 1/S of the block size and
-    ~half the diff-temporary VMEM.
+    ctrlf2/ctrlf4 controls measure 705-730 GB/s vs the F=1 control's
+    611-628) and F=2 cannot fit the 100MB scoped VMEM at 8.9MB frames.
+    S slices give F=S-style DMA/compute pipelining at 1/S of the block
+    size and ~half the diff-temporary VMEM.
 
-    Exactness: block rows never straddle a slice boundary (H_p/S must be
-    a multiple of block_size), so per-slice SAD grids (_sad_grid)
-    concatenate to exactly the full-frame grid; the grid accumulates in
-    a VMEM scratch and the shared cluster rule fires once per frame on
-    the assembled grid — bit-identical to make_sad_kernel per
-    construction (asserted in tests/test_sad.py).
+    The slicing axis is the LANE (width) axis, not sublanes: per-slice
+    grid columns land in the assembly scratch at lane offsets s*GW_p/S,
+    and Mosaic requires dynamic lane-store offsets to be 128-aligned
+    (the sublane-sliced first cut failed to lower at 4K: 136/2 = 68
+    grid-row offsets are not 8-aligned).  Hence GW_p must be divisible
+    by 128*S — true exactly at 4K (GW_p=256, S=2), the geometry this
+    kernel exists for.
+
+    Exactness: 16x16 blocks never straddle a slice boundary (W_p/S is a
+    multiple of block_size), so per-slice SAD grids (_sad_grid)
+    concatenate to exactly the full-frame grid; the grid assembles in a
+    VMEM scratch and the shared cluster rule fires once per frame on the
+    whole grid — bit-identical to make_sad_kernel by construction
+    (asserted in tests/test_sad.py).
 
     Kernel refs: (carry, frames_sliced, counts, prev_scratch,
     grid_scratch) where the grid is (..., nb, S) with the frame walk at
-    ``step_axis``; ``frames_sliced`` blocks are [1, H_p/S, W_p] indexed
-    (frame, slice); ``carry`` is the full [1, H_p, W_p] previous frame
-    (constant index — fetched once per outer step, read only at j == 0).
+    ``step_axis``; ``frames_sliced`` blocks are [1, H_p, W_p/S] indexed
+    (frame, 0, slice); ``carry`` is the full [1, H_p, W_p] previous
+    frame (constant index — fetched once per outer step, read only at
+    j == 0).
     """
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
-    if gh_p % S:
-        raise ValueError(f"padded_gh {gh_p} not divisible by S={S}")
-    gh_s = gh_p // S
-    h_s = gh_s * block_size
+    if gw_p % S or (gw_p // S) % 128:
+        raise ValueError(
+            f"padded_gw {gw_p} must be divisible by 128*S (S={S}): "
+            f"dynamic lane-store offsets must be 128-aligned")
+    gw_s = gw_p // S
+    w_s = gw_s * block_size
 
     def kernel(carry_ref, frames_ref, counts_ref, prev_ref, grid_ref):
         j = pl.program_id(step_axis)
         s = pl.program_id(step_axis + 1)
-        sl = pl.ds(s * h_s, h_s)
+        sl = pl.ds(s * w_s, w_s)
 
         @pl.when(j == 0)
         def _seed():
-            prev_ref[sl, :] = carry_ref[0, sl, :]
+            prev_ref[:, sl] = carry_ref[0, :, sl]
 
-        prev = prev_ref[sl, :].astype(jnp.int32)
-        cur = frames_ref[0].astype(jnp.int32)            # [h_s, W_p]
-        g = _sad_grid(jnp.abs(cur - prev), gh_s, geom, block_size,
-                      col_mode=col_mode)
-        grid_ref[pl.ds(s * gh_s, gh_s), :] = g
-        prev_ref[sl, :] = frames_ref[0]
+        prev = prev_ref[:, sl].astype(jnp.int32)
+        cur = frames_ref[0].astype(jnp.int32)            # [H_p, w_s]
+        g = _sad_grid(jnp.abs(cur - prev), gh_p, geom, block_size,
+                      col_mode=col_mode, gw_cols=gw_s)
+        grid_ref[:, pl.ds(s * gw_s, gw_s)] = g
+        prev_ref[:, sl] = frames_ref[0]
 
         @pl.when(s == S - 1)
         def _decide():
@@ -357,13 +372,21 @@ def make_sad_kernel_sliced(geom: GridGeometry, block_size: int,
 def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
                        block_size: int, clusters_needed: int,
                        height: int, width: int, interpret: bool = False,
-                       frames_per_step: int = 8, device=None):
+                       frames_per_step: int = 8, device=None,
+                       slices_per_frame: int | None = None):
     """Pallas: ``frames_per_step`` frames per grid step (in-block
     consecutive diffs + one against the VMEM scratch carry — one HBM
     read per frame), block reductions via two block-indicator matmuls
     on the MXU (no strided gathers).  Multi-frame steps amortize the
     per-step pipeline cost — the single biggest factor in the variant
     shootout (benchmarks/sad_bench.py: 64k -> 221k frames/s at 1080p).
+
+    When the VMEM auto-scale forces F=1 (4K frames) and the geometry
+    permits it (GW_p divisible by 256), the op switches to the
+    lane-axis SLICED kernel (make_sad_kernel_sliced, S=2): half-frame
+    steps restore some DMA/compute pipelining — measured +4.1% at 4K
+    (54.0k vs 51.9k frames/s same session, benchmarks/sad_bench.py
+    prodh2, round 4).  ``slices_per_frame`` overrides (1 disables).
     """
     bound = sad_threshold_sum(sad_threshold, block_size)
     eff = max(1, clusters_needed)
@@ -371,31 +394,65 @@ def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
     h_p = gh_p * block_size
     w_p = gw_p * block_size
     F = sad_frames_per_step(geom, block_size, frames_per_step)
-    kernel = make_sad_kernel(geom, block_size, bound, F)
+    S = 1
+    if F == 1 and slices_per_frame != 1 and \
+            gw_p % (128 * (slices_per_frame or 2)) == 0:
+        S = slices_per_frame or 2
 
-    @jax.jit
-    def device_scan(carry, rest):
-        """carry u8 [1, H_p, W_p], rest u8 [nb*F, H_p, W_p] -> counts
-        i32 [nb*F].  Split interface: an in-jit luma[1:] slice would be
-        a full HBM copy (measured 221k -> 82k frames/s); callers slice
-        host-side (zero-copy views) instead."""
-        nb = rest.shape[0] // F
-        counts = pl.pallas_call(
-            kernel,
-            grid=(nb,),
-            in_specs=[pl.BlockSpec((1, h_p, w_p), lambda j: (0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((F, h_p, w_p), lambda j: (j, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((F, 1, 1), lambda j: (j, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nb * F, 1, 1), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(carry, rest)
-        return counts[:, 0, 0]
+    if S > 1:
+        kernel = make_sad_kernel_sliced(geom, block_size, bound, S)
+
+        @jax.jit
+        def device_scan(carry, rest):
+            """Sliced path (F=1): one frame per outer step, S vertical
+            slices per frame.  Same split carry/rest interface."""
+            nb = rest.shape[0]
+            counts = pl.pallas_call(
+                kernel,
+                grid=(nb, S),
+                in_specs=[pl.BlockSpec((1, h_p, w_p),
+                                       lambda j, s: (0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, h_p, w_p // S),
+                                       lambda j, s: (j, 0, s),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, 1, 1),
+                                       lambda j, s: (j, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nb, 1, 1), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8),
+                                pltpu.VMEM((gh_p, gw_p), jnp.int32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(carry, rest)
+            return counts[:, 0, 0]
+    else:
+        kernel = make_sad_kernel(geom, block_size, bound, F)
+
+        @jax.jit
+        def device_scan(carry, rest):
+            """carry u8 [1, H_p, W_p], rest u8 [nb*F, H_p, W_p] -> counts
+            i32 [nb*F].  Split interface: an in-jit luma[1:] slice would be
+            a full HBM copy (measured 221k -> 82k frames/s); callers slice
+            host-side (zero-copy views) instead."""
+            nb = rest.shape[0] // F
+            counts = pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                in_specs=[pl.BlockSpec((1, h_p, w_p), lambda j: (0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((F, h_p, w_p), lambda j: (j, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((F, 1, 1), lambda j: (j, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nb * F, 1, 1), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((h_p, w_p), jnp.uint8)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(carry, rest)
+            return counts[:, 0, 0]
 
     def op(luma):
         """luma [b+1, H_p, W_p] (frame 0 = previous carry) ->
@@ -415,6 +472,7 @@ def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
 
     op.device_scan = device_scan
     op.frames_per_step = F
+    op.slices_per_frame = S
     op.eff_clusters = eff
     return op
 

@@ -66,30 +66,37 @@ class TestSADKernels:
         cp, _ = op_p(luma)
         np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
 
-    @pytest.mark.parametrize("S", [2, 4])
-    def test_sliced_kernel_matches_oracle(self, rng, S):
-        """make_sad_kernel_sliced (the sub-frame-blocked 4K variant):
-        per-slice _sad_grid results assemble to the full-frame grid and
-        the once-per-frame cluster decision is oracle-exact."""
+    def test_sliced_kernel_matches_oracle(self, rng):
+        """make_sad_kernel_sliced (the lane-axis sub-frame-blocked 4K
+        variant): per-slice _sad_grid columns assemble to the full-frame
+        grid and the once-per-frame cluster decision is oracle-exact.
+        Uses a 4K-width geometry (padded_gw=256) — the 128*S lane
+        alignment the kernel requires."""
         import jax
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        luma = self.random_luma(rng, n=7)
+        S = 2
+        geom = GridGeometry.build(3840, 96, CFG)   # gw=240->256, gh=6->8
         bs = CFG.block_size
-        gh_p, gw_p = GEOM.padded_gh, GEOM.padded_gw
+        gh_p, gw_p = geom.padded_gh, geom.padded_gw
         h_p, w_p = gh_p * bs, gw_p * bs
-        h_s = h_p // S
+        w_s = w_p // S
+        n = 7
+        luma = np.zeros((n, h_p, w_p), np.uint8)
+        luma[:] = rng.integers(0, 200, size=(h_p, w_p), dtype=np.uint8)
+        for i in range(1, n, 2):                   # motion crossing the
+            luma[i, 20:80, w_s - 200:w_s + 200] = 255  # slice boundary
         bound = sad_ops.sad_threshold_sum(CFG.sad_threshold, bs)
-        nb = luma.shape[0] - 1
-        kernel = sad_ops.make_sad_kernel_sliced(GEOM, bs, bound, S)
+        nb = n - 1
+        kernel = sad_ops.make_sad_kernel_sliced(geom, bs, bound, S)
         counts = pl.pallas_call(
             kernel,
             grid=(nb, S),
             in_specs=[pl.BlockSpec((1, h_p, w_p), lambda j, s: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, h_s, w_p), lambda j, s: (j, s, 0),
+                      pl.BlockSpec((1, h_p, w_s), lambda j, s: (j, 0, s),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1, 1), lambda j, s: (j, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -98,10 +105,46 @@ class TestSADKernels:
                             pltpu.VMEM((gh_p, gw_p), jnp.int32)],
             interpret=True,
         )(luma[:1], luma[1:])
-        expect = sad_oracle_counts(luma, GEOM,
+        expect = sad_oracle_counts(luma, geom,
                                    sad_threshold=CFG.sad_threshold,
                                    block_size=bs)
         np.testing.assert_array_equal(np.asarray(counts)[:, 0, 0], expect)
+
+    def test_sliced_product_op_auto_selects_and_matches_xla(self, rng):
+        """make_sad_op_pallas flips to the sliced kernel when F=1 and
+        the geometry is 256-lane-aligned (the 4K shape); decisions must
+        match the XLA op bit for bit."""
+        geom = GridGeometry.build(3840, 96, CFG)
+        kw = dict(sad_threshold=CFG.sad_threshold,
+                  block_size=CFG.block_size,
+                  clusters_needed=CFG.clusters_needed)
+        op_p = sad_ops.make_sad_op_pallas(
+            geom, height=96, width=3840, interpret=True,
+            frames_per_step=1, **kw)   # F=1 forces the S=2 auto-select
+        assert op_p.slices_per_frame == 2
+        assert op_p.frames_per_step == 1
+        op_x = sad_ops.make_sad_op_xla(geom, **kw)
+        h_p = geom.padded_gh * CFG.block_size
+        w_p = geom.padded_gw * CFG.block_size
+        luma = rng.integers(0, 256, size=(9, h_p, w_p), dtype=np.uint8)
+        cx, mx = op_x(luma)
+        cp, mp = op_p(luma)
+        np.testing.assert_array_equal(np.asarray(cx), np.asarray(cp))
+        np.testing.assert_array_equal(np.asarray(mx), np.asarray(mp))
+        # 1080p (gw_p=128) and multi-frame steps keep the unsliced kernel
+        op_1080 = sad_ops.make_sad_op_pallas(
+            GEOM, height=240, width=320, interpret=True,
+            frames_per_step=1, **kw)
+        assert op_1080.slices_per_frame == 1
+
+    def test_sliced_kernel_rejects_unaligned_slicing(self):
+        """Lane-store offsets must be 128-aligned: the builder refuses
+        geometries/S where GW_p/S is not a multiple of 128 (Mosaic would
+        fail to lower — caught on hardware, round 4)."""
+        bound = sad_ops.sad_threshold_sum(CFG.sad_threshold,
+                                          CFG.block_size)
+        with pytest.raises(ValueError, match="128"):
+            sad_ops.make_sad_kernel_sliced(GEOM, CFG.block_size, bound, 2)
 
     @pytest.mark.parametrize(
         "col_mode", ["hilo", "highest", "dcfirst", "vpurow"])

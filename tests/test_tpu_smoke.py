@@ -116,6 +116,45 @@ print(json.dumps({"ok": bool((motion == expect).all())}))
     assert json.loads(r.stdout.strip().splitlines()[-1]) == {"ok": True}
 
 
+def test_sliced_sad_product_op_on_device():
+    """The lane-axis SLICED SAD product op (auto-selected at 4K/F=1
+    geometries — ops/sad.make_sad_kernel_sliced, +4.1% measured at 4K)
+    must be bit-exact on real hardware: its dynamic lane-offset scratch
+    stores and pl.when decide step have lowering risk CPU/interpret
+    coverage cannot see (the sublane-sliced first cut only failed ON
+    hardware — 8-alignment lowering error, round 4)."""
+    code = """
+import json
+import numpy as np
+import jax
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected an accelerator, got {dev}"
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.ops import sad as sad_ops
+from mvtrim_tpu.models.sad_detector import sad_oracle_counts
+
+cfg = Config()
+geom = GridGeometry.build(3840, 96, cfg)   # 4K width, tiny height
+op = sad_ops.make_sad_op_pallas(
+    geom, sad_threshold=cfg.sad_threshold, block_size=cfg.block_size,
+    clusters_needed=cfg.clusters_needed, height=96, width=3840,
+    frames_per_step=1)                     # F=1 engages the auto-slice
+assert op.slices_per_frame == 2, op.slices_per_frame
+h_p = geom.padded_gh * cfg.block_size
+w_p = geom.padded_gw * cfg.block_size
+rng = np.random.default_rng(5)
+luma = rng.integers(0, 256, size=(9, h_p, w_p), dtype=np.uint8)
+counts, _ = op(luma)
+expect = sad_oracle_counts(luma, geom, sad_threshold=cfg.sad_threshold,
+                           block_size=cfg.block_size)
+print(json.dumps({"ok": bool(np.array_equal(counts, expect))}))
+"""
+    r = _run_py(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1]) == {"ok": True}
+
+
 def test_sad_kernel_near_threshold_exact_on_device():
     """Adversarial MXU-precision regression: every 16x16 block's SAD sits
     EXACTLY at the activation bound, built from row sums of 257 — a value
