@@ -47,3 +47,29 @@ def test_bench_emits_headline_json():
     # pallas candidates skip, so the key must be present and name them
     failed = {f["impl"] for f in rec["failed_candidates"]}
     assert failed == {"pallas-words-T", "pallas-words"}, rec
+
+
+def test_dispatch_batch_bench_smoke():
+    """The cross-video dispatch-batching decision tool (PERFORMANCE.md
+    "Cross-video dispatch batching") must keep running and keep its
+    oracle audit: all three strategies bit-equal the oracle motion
+    vector, JSON contract keys present."""
+    env = dict(os.environ)
+    env["MVT_JAX_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "benchmarks/dispatch_batch_bench.py",
+         "--videos", "3", "--frames", "16", "--width", "320",
+         "--height", "240", "--repeats", "2"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
+    json_lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert len(json_lines) == 1, (r.stdout, r.stderr[-2000:])
+    rec = json.loads(json_lines[0])
+    assert rec["bench"] == "dispatch_batch"
+    assert rec["platform"] == "cpu"
+    assert "bit-equal the oracle" in rec["audit"]
+    for strat in ("pervideo", "pipelined", "merged"):
+        assert rec[strat]["median_s"] > 0, rec
+    assert rec["pervideo"]["dispatches"] == 3
+    assert rec["merged"]["dispatches"] == 1
