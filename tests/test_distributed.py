@@ -167,3 +167,47 @@ def test_multiprocess_archive_scan_matches_single_chip_oracle(tmp_path):
         # the psum total counts every True decision pre-dedupe
         assert r_["motion_frames_psum"] >= r_["motion_frames"] > 0
         assert r_["dispatches"] >= 2  # lockstep batches actually sharded
+
+
+def test_multiprocess_archive_scan_with_zero_frame_process(tmp_path):
+    """Edge: a clip shorter than one chunk gives process 1 ZERO chunks —
+    it must still join every lockstep dispatch with all-padding shards
+    and the empty-side timestamp allgather, and converge on the same
+    oracle-equal segments as the process that decoded everything."""
+    from mvtrim_tpu.core import oracle
+    from mvtrim_tpu.core.config import Config
+    from mvtrim_tpu.core.types import GridGeometry
+    from mvtrim_tpu.io import native
+
+    clip = str(tmp_path / "short.mp4")
+    native.synthesize(clip, width=320, height=240, fps=25.0,
+                      duration=2.0, codec="libx264",
+                      motion_windows=((0.5, 1.5),))
+
+    results = _spawn_cluster(_ARCHIVE_WORKER, n_procs=2,
+                             devices_per_proc=4,
+                             extra_env={"MVT_TEST_CLIP": clip})
+
+    cfg = Config(chunk_duration_sec=3.0)  # > clip duration: 1 chunk total
+    r = native.VideoReader(clip)
+    geom = GridGeometry.build(r.width, r.height, cfg)
+    grids, pts = r.scan_grids(
+        0.0, r.duration + 1, threshold_sq=cfg.mv_threshold_sq,
+        block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+        y_min=geom.y_min, y_max=geom.y_max, max_frames=400)
+    r.close()
+    counts = oracle.count_clusters_batch(
+        grids, vectors_needed=cfg.vectors_needed,
+        y_min=geom.y_min, y_max=geom.y_max)
+    m = counts >= oracle.effective_clusters_needed(cfg.clusters_needed)
+    ts = oracle.merge_timestamps(pts[m].tolist())
+    expect = [[s.start, s.end] for s in oracle.segments_from_timestamps(
+        ts, max_gap_sec=cfg.max_gap_sec, padding_sec=cfg.padding_sec,
+        duration=results[0]["duration"])]
+
+    for r_ in results:
+        assert r_["segments"] == expect and len(expect) > 0, (
+            r_["segments"], expect)
+        assert r_["frames_scanned"] == len(pts)
+        assert r_["motion_frames"] == int(ts.size) > 0
+        assert r_["dispatches"] >= 1
