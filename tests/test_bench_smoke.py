@@ -73,3 +73,29 @@ def test_dispatch_batch_bench_smoke():
         assert rec[strat]["median_s"] > 0, rec
     assert rec["pervideo"]["dispatches"] == 3
     assert rec["merged"]["dispatches"] == 1
+
+
+def test_sad_bench_variant_parsers():
+    """The sad_bench variant grammar (prod/ctrl/comp families) stays
+    stable: the comp compute-bound controls added in round 4 must not
+    shadow or be shadowed by the prod/ctrl parsers."""
+    import importlib.util
+
+    path = os.path.join(REPO, "benchmarks", "sad_bench.py")
+    spec = importlib.util.spec_from_file_location("sad_bench_mod", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    assert m.parse_comp("comp") == ("flat", None)
+    assert m.parse_comp("compf4") == ("flat", 4)
+    assert m.parse_comp("comph2") == ("sliced", 2)
+    assert m.parse_comp("comph1") is None          # S >= 2 only
+    assert m.parse_comp("compf0") is None          # F >= 1 only
+    assert m.parse_comp("prod") is None
+    assert m.parse_prod("comp") is None
+    assert m.parse_ctrl("comp") is None
+    assert m.parse_sliced("comph2") is None
+    assert m.parse_prod("prodhp") == ("highest", None)
+    assert m.parse_prod("prodf2") == ("hilo", 2)
+    assert m.parse_ctrl("ctrlf2") == (True, 2)
+    assert m.parse_sliced("prodh2") == 2
