@@ -435,7 +435,7 @@ def _mv_secondary(geom, cfg, roofline):
     from mvtrim_tpu.ops import mv_vote
 
     mv_bench = _load_bench_module("mv_bench")
-    k, b, m, fps = 4, 1024, 2048, 16
+    k, b, m, f_step = 4, 1024, 2048, 16  # f_step = frames per grid step
     iters = int(os.environ.get("MVT_BENCH_MV_ITERS", 4096))
     rng = np.random.default_rng(7)
     dst_x = rng.integers(-32, 1952, size=(k, b, m)).astype(np.int32)
@@ -445,7 +445,7 @@ def _mv_secondary(geom, cfg, roofline):
     counts = rng.integers(0, m + 1, size=(k, b)).astype(np.int32)
 
     run = mv_bench.build_variant("prod", geom, cfg, k=k, b=b, m=m,
-                                 iters=iters, fps=fps)
+                                 iters=iters, fps=f_step)
     flat3 = lambda a: jax.device_put(
         np.ascontiguousarray(a.reshape(k * b, 1, m)))
     d_args = (flat3(dst_x), flat3(dst_y), flat3(src_x), flat3(src_y),
@@ -465,13 +465,45 @@ def _mv_secondary(geom, cfg, roofline):
     bpf = 4 * m * 4
     valid, implied, pct = _audit("fused MV (single-launch)", fps_meas,
                                  bpf, roofline, ok)
-    return {"frames_per_sec": round(fps_meas),
-            "implied_hbm_gbps": round(implied, 1),
-            "pct_of_roofline": round(pct, 1),
-            "audited": bool(valid), "m": m, "frames_per_step": fps,
-            "bytes_per_frame": bpf, "window_iters": iters,
-            "audit": "single-launch resident buffers, per-frame counts "
-                     "diffed vs oracle"}
+    rec = {"frames_per_sec": round(fps_meas),
+           "implied_hbm_gbps": round(implied, 1),
+           "pct_of_roofline": round(pct, 1),
+           "audited": bool(valid), "m": m, "frames_per_step": f_step,
+           "bytes_per_frame": bpf, "window_iters": iters,
+           "audit": "single-launch resident buffers, per-frame counts "
+                    "diffed vs oracle"}
+    # Same-session COMPUTE ceiling (mmctrl: prod's launch structure and
+    # matmul shapes with trivial operand prep — mv_bench docstring): the
+    # 17% roofline figure above is arithmetic intensity, not waste, and
+    # the JSON must prove that by itself (round-4 verdict item 4).  A
+    # failed control leg degrades to the primary numbers alone.
+    try:
+        run_c = mv_bench.build_variant("mmctrl", geom, cfg, k=k, b=b,
+                                       m=m, iters=iters, fps=f_step)
+        np.asarray(run_c(*d_args))         # compile + one full pass
+        t0 = time.perf_counter()
+        out_c = np.asarray(run_c(*d_args))
+        dt_c = time.perf_counter() - t0
+        geom_cells = geom.padded_gh * geom.padded_gw
+        exp_c = geom_cells * (
+            ((dst_x[last] ^ src_x[last]) & (dst_y[last] ^ src_y[last])
+             & 1).astype(np.int64).sum(axis=1))
+        ok_c = np.array_equal(out_c.astype(np.int64), exp_c)
+        fps_c = b * iters / dt_c
+        valid_c, _, _ = _audit("fused MV compute control (mmctrl)",
+                               fps_c, bpf, roofline, ok_c)
+        rec["compute_control"] = {
+            "name": "mmctrl", "frames_per_sec": round(fps_c),
+            "audited": bool(valid_c),
+            "audit": "same-session mmctrl: prod's launch structure + "
+                     "matmul shapes, trivial operand prep — the "
+                     "one-hot-scatter formulation's arithmetic floor"}
+        if valid_c and fps_c > 0:
+            rec["pct_of_compute_control"] = round(100.0 * fps_meas
+                                                  / fps_c, 1)
+    except Exception as e:  # noqa: BLE001 — control leg is best-effort
+        print(f"fused MV compute control failed: {e}", file=sys.stderr)
+    return rec
 
 
 def _sad_secondary(cfg, roofline):
@@ -527,14 +559,46 @@ def _sad_secondary(cfg, roofline):
     fps_meas = (b - 1) * iters / dt
     valid, implied, pct = _audit("SAD 1080p (single-launch)", fps_meas,
                                  h_p * w_p, roofline, ok)
-    return {"frames_per_sec": round(fps_meas),
-            "implied_hbm_gbps": round(implied, 1),
-            "pct_of_roofline": round(pct, 1),
-            "audited": bool(valid),
-            "frames_per_step": sad_ops.sad_frames_per_step(geom, bs),
-            "bytes_per_frame": h_p * w_p, "window_iters": iters,
-            "audit": "single-launch chained steps, per-frame counts "
-                     "diffed vs oracle"}
+    rec = {"frames_per_sec": round(fps_meas),
+           "implied_hbm_gbps": round(implied, 1),
+           "pct_of_roofline": round(pct, 1),
+           "audited": bool(valid),
+           "frames_per_step": sad_ops.sad_frames_per_step(geom, bs),
+           "bytes_per_frame": h_p * w_p, "window_iters": iters,
+           "audit": "single-launch chained steps, per-frame counts "
+                    "diffed vs oracle"}
+    # Same-session COMPUTE ceiling (comp: the exact production kernel
+    # body with the frames-block index held constant, so the block is
+    # VMEM-resident — sad_bench.parse_comp): proves in the JSON itself
+    # that the gap to the stream control is arithmetic, not waste
+    # (round-4 verdict item 4).  Best-effort: a failed leg degrades to
+    # the primary numbers alone.
+    try:
+        run_c = sad_bench.build_variant("comp", geom, cfg, k=k, b=b,
+                                        iters=iters)
+        np.asarray(run_c(prod_inputs))     # compile + one full pass
+        t0 = time.perf_counter()
+        out_c = np.asarray(run_c(prod_inputs))
+        dt_c = time.perf_counter() - t0
+        exp_c, fetched = sad_bench.comp_expected("comp", stack[last],
+                                                 geom, cfg, b)
+        ok_c = np.array_equal(out_c.astype(np.int64), exp_c)
+        fps_c = (b - 1) * iters / dt_c
+        bpf_c = h_p * w_p * fetched / (b - 1)  # true resident-block HBM
+        valid_c, _, _ = _audit("SAD 1080p compute control (comp)",
+                               fps_c, bpf_c, roofline, ok_c)
+        rec["compute_control"] = {
+            "name": "comp", "frames_per_sec": round(fps_c),
+            "audited": bool(valid_c),
+            "audit": "same-session comp: production kernel body over a "
+                     "VMEM-resident block (~64x less HBM traffic) — the "
+                     "formulation's arithmetic ceiling"}
+        if valid_c and fps_c > 0:
+            rec["pct_of_compute_control"] = round(100.0 * fps_meas
+                                                  / fps_c, 1)
+    except Exception as e:  # noqa: BLE001 — control leg is best-effort
+        print(f"SAD compute control failed: {e}", file=sys.stderr)
+    return rec
 
 
 def main() -> int:

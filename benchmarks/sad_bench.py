@@ -107,6 +107,75 @@ def parse_comp(variant):
     return None
 
 
+def comp_expected(variant, A, geom, cfg, b):
+    """Host restatement of a comp variant's per-frame counts plus its
+    true per-pass HBM frame traffic — shared by main's audit loop and
+    bench.py's SAD secondary (which reports the comp ratio in the
+    headline JSON), so the two audits cannot drift.
+
+    ``A`` is the last-written buffer's frames [b, h_p, w_p] uint8 (A[0]
+    the carry).  The comp control revisits ONE resident block: the
+    block's F frames diff in-block (real data); the first frame diffs
+    against the carry at j==0 (seed) and against the block's own last
+    frame at j>0 (steady state, a zero diff when F == 1) — last write
+    per output block is the final outer pass, so block 0 keeps the seed
+    value.  Returns (expected int64 [b-1], fetched_frames): the HBM
+    frames actually read per outer pass (carry + one block/slice), for
+    the roofline accounting.
+    """
+    from mvtrim_tpu.core.oracle import count_clusters_batch
+    from mvtrim_tpu.ops import sad as sad_ops
+
+    bs = cfg.block_size
+    bound_c = sad_ops.sad_threshold_sum(cfg.sad_threshold, bs)
+    kind, carg = parse_comp(variant)
+    A = A.astype(np.int32)
+    w_p = geom.padded_gw * bs
+
+    def cnt(sad_padded):
+        act = (sad_padded[None, :geom.gh, :geom.gw]
+               >= bound_c).astype(np.uint8)
+        return int(count_clusters_batch(
+            act, vectors_needed=1,
+            y_min=geom.y_min, y_max=geom.y_max)[0])
+
+    if kind == "sliced":
+        S = carg
+        w_s, gw_s = w_p // S, geom.padded_gw // S
+        f1s0 = A[1][:, :w_s]
+
+        def gslice(diff):
+            return diff.reshape(geom.padded_gh, bs, gw_s, bs
+                                ).sum(axis=(1, 3))
+
+        gfull = np.hstack([
+            gslice(np.abs(f1s0 - A[0][:, s * w_s:(s + 1) * w_s]))
+            for s in range(S)])
+        e = np.full(b - 1, cnt(np.zeros_like(gfull)), np.int64)
+        e[0] = cnt(gfull)
+        fetched = 1.0 + 1.0 / S
+    else:
+        F = (sad_ops.sad_frames_per_step(geom, bs)
+             if carg is None else carg)
+        nbv = (b - 1) // F
+
+        def gfrm(diff):
+            return diff.reshape(geom.padded_gh, bs,
+                                geom.padded_gw, bs).sum(axis=(1, 3))
+
+        B = A[1:F + 1]
+        di = [cnt(gfrm(np.abs(B[i] - B[i - 1])))
+              for i in range(1, F)]
+        c_seed = cnt(gfrm(np.abs(B[0] - A[0])))
+        c_steady = cnt(gfrm(np.abs(B[0] - B[F - 1])))
+        e = np.empty(nbv * F, np.int64)
+        for j in range(nbv):
+            e[j * F] = c_seed if j == 0 else c_steady
+            e[j * F + 1:(j + 1) * F] = di
+        fetched = 1.0 + F
+    return e, fetched
+
+
 def build_variant(variant, geom, cfg, *, k, b, iters):
     """Returns a jitted fn(stacked) -> device motion total (int32)."""
     import jax
@@ -718,56 +787,11 @@ def main() -> int:
         if is_prod:
             ok = np.array_equal(out, prod_expected)
         elif is_comp:
-            # per-frame counts of the revisited block, restated exactly:
-            # the block's F frames diff in-block (real data); the first
-            # frame diffs against the carry at j==0 (seed) and against
-            # the block's own last frame at j>0 (steady state, a zero
-            # diff when F == 1) — last write per output block is the
-            # final outer pass, so block 0 keeps the seed value.
-            kind, carg = parse_comp(variant)
-            bound_c = sad_ops.sad_threshold_sum(cfg.sad_threshold, bs)
+            # per-frame counts of the revisited block, restated exactly
+            # (comp_expected — shared with bench.py's SAD secondary)
             last = (iters - 1) % k
-            A = stack[last].astype(np.int32)
-
-            def cnt(sad_padded):
-                act = (sad_padded[None, :geom.gh, :geom.gw]
-                       >= bound_c).astype(np.uint8)
-                return int(count_clusters_batch(
-                    act, vectors_needed=1,
-                    y_min=geom.y_min, y_max=geom.y_max)[0])
-
-            if kind == "sliced":
-                S = carg
-                w_s, gw_s = w_p // S, geom.padded_gw // S
-                f1s0 = A[1][:, :w_s]
-
-                def gslice(diff):
-                    return diff.reshape(geom.padded_gh, bs, gw_s, bs
-                                        ).sum(axis=(1, 3))
-
-                gfull = np.hstack([
-                    gslice(np.abs(f1s0 - A[0][:, s * w_s:(s + 1) * w_s]))
-                    for s in range(S)])
-                e = np.full(b - 1, cnt(np.zeros_like(gfull)), np.int64)
-                e[0] = cnt(gfull)
-            else:
-                F = (sad_ops.sad_frames_per_step(geom, bs)
-                     if carg is None else carg)
-                nbv = (b - 1) // F
-
-                def gfrm(diff):
-                    return diff.reshape(geom.padded_gh, bs,
-                                        geom.padded_gw, bs).sum(axis=(1, 3))
-
-                B = A[1:F + 1]
-                di = [cnt(gfrm(np.abs(B[i] - B[i - 1])))
-                      for i in range(1, F)]
-                c_seed = cnt(gfrm(np.abs(B[0] - A[0])))
-                c_steady = cnt(gfrm(np.abs(B[0] - B[F - 1])))
-                e = np.empty(nbv * F, np.int64)
-                for j in range(nbv):
-                    e[j * F] = c_seed if j == 0 else c_steady
-                    e[j * F + 1:(j + 1) * F] = di
+            e, comp_fetched = comp_expected(variant, stack[last], geom,
+                                            cfg, b)
             ok = np.array_equal(out.astype(np.int64), e)
         elif is_ctrl:
             # per-frame bit-0 sums of the last-written buffer, with the
@@ -789,13 +813,7 @@ def main() -> int:
             # the roofline gate must see the REAL traffic, not the
             # streaming kernels'.  Validity rests on the per-frame
             # oracle diff above.
-            kind, carg = parse_comp(variant)
-            if kind == "sliced":
-                fetched = 1.0 + 1.0 / carg
-            else:
-                fetched = 1.0 + (sad_ops.sad_frames_per_step(geom, bs)
-                                 if carg is None else carg)
-            bpf = bytes_per_frame * fetched / (b - 1)
+            bpf = bytes_per_frame * comp_fetched / (b - 1)
         valid, implied, pct = bench_mod._audit(
             f"sad/{variant}", fps, bpf, roofline, ok)
         results[variant] = {"frames_per_sec": round(fps),

@@ -394,10 +394,30 @@ def make_sad_op_pallas(geom: GridGeometry, *, sad_threshold: float,
     h_p = gh_p * block_size
     w_p = gw_p * block_size
     F = sad_frames_per_step(geom, block_size, frames_per_step)
+    # slices_per_frame: None = auto (S=2 when F==1 and the geometry
+    # permits), 1 = flat kernel, >=2 = explicit request.  An explicit
+    # request that cannot be honored must FAIL, not silently fall back
+    # to S=1 — a caller benching the sliced kernel would otherwise
+    # measure the flat one (advisor finding, round 4).
+    if slices_per_frame is not None and slices_per_frame < 1:
+        raise ValueError(
+            f"slices_per_frame must be >= 1, got {slices_per_frame}")
     S = 1
-    if F == 1 and slices_per_frame != 1 and \
-            gw_p % (128 * (slices_per_frame or 2)) == 0:
-        S = slices_per_frame or 2
+    if slices_per_frame is not None and slices_per_frame >= 2:
+        if F > 1:
+            raise ValueError(
+                f"slices_per_frame={slices_per_frame} requires one frame "
+                f"per step, but frames_per_step resolved to F={F}; pass "
+                f"frames_per_step=1 to slice this geometry")
+        if gw_p % (128 * slices_per_frame):
+            raise ValueError(
+                f"slices_per_frame={slices_per_frame} needs padded_gw "
+                f"({gw_p}) divisible by {128 * slices_per_frame} (lane "
+                f"offsets must be 128-aligned; make_sad_kernel_sliced "
+                f"enforces the same bound)")
+        S = slices_per_frame
+    elif slices_per_frame is None and F == 1 and gw_p % 256 == 0:
+        S = 2
 
     if S > 1:
         kernel = make_sad_kernel_sliced(geom, block_size, bound, S)

@@ -182,7 +182,6 @@ def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
                                * max(fps, 1.0))) + 64
     parts_bits: list[np.ndarray] = []
     parts_pts: list[np.ndarray] = []
-    frames_with_mvs = 0
     timing = native.ScanTiming()
     t, cid = 0.0, 0
     while t < duration:
