@@ -203,6 +203,138 @@ def sharded_bits_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh,
     return jax.jit(step)
 
 
+def _local_sad_grids(carry, frames, geom: GridGeometry, block_size: int):
+    """SAD grids for one shard: carry u8 [1, H_p, W_p] + frames u8
+    [rows, H_p, W_p] -> int32 [rows, gh_p, gw_p].  Row i is the block
+    SAD of frames[i] against its predecessor (frames[i-1], or the carry
+    for i == 0) — the same diff + reduce_window math as
+    ops/sweep.make_sad_sweep_op, so decisions are bit-identical to the
+    single-device SAD path.  The in-jit concat costs one extra HBM pass
+    over the shard; archive/tune SAD scans are host-decode-bound
+    (~hundreds of frames/s/core vs >10^5 frames/s device SAD), so the
+    simple formulation wins over threading the pallas carry machinery
+    through shard_map."""
+    x = jnp.concatenate([carry, frames], axis=0).astype(jnp.int32)
+    diff = jnp.abs(x[1:] - x[:-1])
+    return jax.lax.reduce_window(
+        diff, 0, jax.lax.add,
+        window_dimensions=(1, block_size, block_size),
+        window_strides=(1, block_size, block_size),
+        padding="VALID")
+
+
+def sharded_sad_sweep_step(geom: GridGeometry, cfg: Config, mesh: Mesh):
+    """Multi-chip pixel-domain sweep step (tune --mesh --scan-input sad).
+
+    Returns ``step(carries, frames, bounds, clus) -> motion bool [B, K]``:
+
+      carries u8 [data_size, H_p, W_p] sharded over 'data' — each
+              shard's predecessor frame (the frame just before the
+              shard's first row in decode order; content is irrelevant
+              for rows the caller masks/slices off)
+      frames  u8 [B, H_p, W_p] sharded over 'data' (B = data_size*rows)
+      bounds  i32 [K] sharded over 'sweep' — integer SAD-sum bounds
+              (ops/sad.sad_threshold_sum)
+      clus    i32 [K] sharded over 'sweep' — raw clusters_needed (the
+              effective max(1, .) is applied here, mirroring
+              ops/sweep.make_sad_sweep_op)
+
+    The SAD block reduction runs once per shard and is shared by every
+    sweep point; thresholds arrive as data (cluster_counts_traced), so
+    one compiled program serves any config set of the same shape —
+    the pattern sharded_scan_step established for the vote sweeps.
+    """
+    from ..ops.cluster import cluster_counts_traced
+
+    bs = cfg.block_size
+
+    def local_step(carry, frames, bounds, clus):
+        sad = _local_sad_grids(carry, frames, geom, bs)
+
+        def per_config(bound, clust_need):
+            counts = cluster_counts_traced(sad, geom, bound)
+            return counts >= jnp.maximum(1, clust_need)
+
+        return jax.vmap(per_config, out_axes=1)(bounds, clus)
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None),
+                  P("sweep"), P("sweep")),
+        out_specs=P("data", "sweep"),
+    )
+    return jax.jit(step)
+
+
+def sharded_sad_scan_step(geom: GridGeometry, cfg: Config, mesh: Mesh,
+                          gather_motion: bool = False):
+    """Pixel-domain multi-chip scan step — the MV-less archive path.
+
+    Returns ``step(carries, frames, valid) -> (motion, global_count)``:
+
+      carries u8 [data_size, H_p, W_p] sharded over 'data' (per-shard
+              predecessor frames, as in sharded_sad_sweep_step)
+      frames  u8 [B, H_p, W_p] sharded over 'data'
+      valid   bool [B] sharded over 'data' — False where a frame has no
+              true predecessor (a chunk's first analyzed frame — the
+              SADDetector no-predecessor rule, models/sad_detector.py)
+              or where the row is batch padding
+      motion  bool [B] sharded over 'data'; with ``gather_motion=True``
+              replicated via an all-gather so every process of a
+              multi-process mesh reads the full decision vector
+      global_count int32 — psum over 'data', replicated
+
+    The SAD bound and cluster threshold are baked from ``cfg`` exactly
+    like the single-file SAD pipeline (models/sad_detector.py), so an
+    archive scanned here and the same stream run chunk-by-chunk through
+    SADDetector decide identically.  This closes the round-4 gap where
+    intra-only / MV-less archives (which the reference cannot detect on
+    at all — motion_scanner.cpp:219-221) got neither sharding nor
+    checkpointing (parallel/archive.py warn-and-give-up).
+    """
+    from ..ops.cluster import cluster_counts_traced
+    from ..ops.sad import sad_threshold_sum
+
+    bs = cfg.block_size
+    bound = sad_threshold_sum(cfg.sad_threshold, bs)
+    clusters_eff = max(1, cfg.clusters_needed)
+
+    def local_step(carry, frames, valid):
+        sad = _local_sad_grids(carry, frames, geom, bs)
+        counts = cluster_counts_traced(sad, geom, jnp.int32(bound))
+        motion = (counts >= jnp.int32(clusters_eff)) & valid
+        global_count = jax.lax.psum(
+            jnp.sum(motion.astype(jnp.int32)), axis_name="data")
+        return motion, global_count
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    inner = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None),
+                  P("data")),
+        out_specs=(P("data"), P()),
+    )
+    if not gather_motion:
+        return jax.jit(inner)
+
+    def step(carries, frames, valid):
+        motion, global_count = inner(carries, frames, valid)
+        # replicate the decision vector for multi-process hosts (same
+        # rationale as sharded_bits_scan_step's gather_motion)
+        motion = jax.lax.with_sharding_constraint(
+            motion, NamedSharding(mesh, P()))
+        return motion, global_count
+
+    return jax.jit(step)
+
+
 def shard_votes(votes: np.ndarray, mesh: Mesh):
     """Place a [B, GH, GW] batch sharded over the 'data' axis."""
     return jax.device_put(

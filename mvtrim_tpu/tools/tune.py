@@ -279,7 +279,7 @@ def _device_stats_rows(thresholds, nvc, dev_motion, all_pts, duration,
 
 def sweep_sad(input_path: str, thresholds, clusters, *,
               cfg: Config | None = None, batch_frames: int = 512,
-              device_stats: bool = False) -> list[dict]:
+              device_stats: bool = False, mesh=None) -> list[dict]:
     """Score K (sad_threshold, clusters_needed) configs over ONE luma
     decode — the pixel-domain analog of sweep().
 
@@ -295,7 +295,15 @@ def sweep_sad(input_path: str, thresholds, clusters, *,
     are ``sad_threshold`` values (mean abs diff per pixel);
     ``vectors_needed`` does not exist on this path — a block is
     active iff its SAD sum clears the bound.
+
+    ``mesh`` (a jax.sharding.Mesh with 'data'/'sweep' axes) shards the
+    scoring like sweep()'s grids path: frames over 'data' with
+    per-shard predecessor carries, (threshold, clusters) configs over
+    'sweep' (parallel.mesh.sharded_sad_sweep_step).  Decisions are
+    identical to the single-device path (tests/test_sweep.py on the
+    8-device CPU mesh).
     """
+    import jax
     import jax.numpy as jnp
 
     from ..ops.sad import pad_luma, sad_threshold_sum
@@ -316,7 +324,46 @@ def sweep_sad(input_path: str, thresholds, clusters, *,
     frame_skip = cfg.frame_skip(fps)
     hp = geom.padded_gh * cfg.block_size
     wp = geom.padded_gw * cfg.block_size
-    op = make_sad_sweep_op(geom, cfg.block_size)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import sharded_sad_sweep_step
+
+        data_size = mesh.shape["data"]
+        sweep_size = mesh.shape["sweep"]
+        # frames pad to the data axis, configs to the sweep axis; pad
+        # configs score with clusters_needed = INT32_MAX so they decide
+        # False and slice off (same recipe as sweep()'s mesh path)
+        batch_frames = ((batch_frames + data_size - 1)
+                        // data_size) * data_size
+        rows = batch_frames // data_size
+        kk = len(bounds_k)
+        kp = ((kk + sweep_size - 1) // sweep_size) * sweep_size
+        bounds_p = np.zeros((kp,), np.int32)
+        clus_p = np.full((kp,), np.iinfo(np.int32).max, np.int32)
+        bounds_p[:kk] = bounds_k
+        clus_p[:kk] = clus_k
+        step = sharded_sad_sweep_step(geom, cfg, mesh)
+        luma_sh = NamedSharding(mesh, P("data", None, None))
+        cfg_sh = NamedSharding(mesh, P("sweep"))
+        bounds_dev = jax.device_put(bounds_p, cfg_sh)
+        clus_dev = jax.device_put(clus_p, cfg_sh)
+
+        def score(batch):
+            # batch rows: [predecessor] + batch_frames frames — shard
+            # d's carry is the frame just before its first row, i.e.
+            # combined row d*rows (a strided host view; ascontiguousarray
+            # materializes the copy so the lazy dispatch never aliases
+            # the reused staging buffer)
+            carries = np.ascontiguousarray(batch[0:batch_frames:rows])
+            m = step(jax.device_put(carries, luma_sh),
+                     jax.device_put(batch[1:], luma_sh),
+                     bounds_dev, clus_dev)
+            return m[:, :kk]
+    else:
+        op = make_sad_sweep_op(geom, cfg.block_size)
+
+        def score(batch):
+            return op(batch, bounds_k, clus_k)
 
     motion_ts: dict[tuple[int, int], list[float]] = {
         (ti, vi): [] for ti in range(len(thresholds))
@@ -376,7 +423,7 @@ def sweep_sad(input_path: str, thresholds, clusters, *,
                 mask_first = False
                 batch[0] = padded[lo - 1]
             batch[1:n + 1] = padded[lo:hi]
-            motion = op(batch, bounds_k, clus_k)[:n]
+            motion = score(batch)[:n]
             if mask_first:
                 allow = np.ones((n, len(clus_k)), bool)
                 allow[0] = False
@@ -524,7 +571,8 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--mesh", type=int, default=0, metavar="N",
                         help="shard the sweep over an N-device mesh: "
                              "frames over 'data', configs over 'sweep' "
-                             "(grids input only)")
+                             "(grids and sad inputs; mv_raw is "
+                             "single-device)")
     parser.add_argument("--mesh-sweep", type=int, default=0, metavar="S",
                         help="sweep-axis size of the mesh (default: the "
                              "largest divisor of N not exceeding the "
@@ -532,33 +580,37 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     clusters = [int(x) for x in args.clusters.split(",")]
+
+    def make_mesh(n_configs):
+        if not args.mesh:
+            return None
+        from ..parallel.mesh import build_mesh
+        s = args.mesh_sweep or max(
+            d for d in range(1, args.mesh + 1)
+            if args.mesh % d == 0 and d <= max(1, n_configs))
+        return build_mesh(args.mesh, sweep=s)
+
     if args.scan_input == "sad":
         if args.vectors is not None:
             parser.error("--vectors does not apply to --scan-input sad "
                          "(the SAD path has no per-block vote counts)")
-        if args.mesh:
-            parser.error("--mesh supports the grids scan input only")
         thresholds = [float(x) for x in
                       (args.thresholds or "4,12,30").split(",")]
+        # the SAD route flattens (threshold x clusters) onto one config
+        # axis, so the whole grid shards over 'sweep'
         results = sweep_sad(args.input, thresholds, clusters,
-                            device_stats=args.device_stats)
+                            device_stats=args.device_stats,
+                            mesh=make_mesh(len(thresholds) * len(clusters)))
         print(json.dumps(results, indent=2))
         return 0
 
     thresholds = [float(x) for x in
                   (args.thresholds or "4,16,64").split(",")]
     vectors = [int(x) for x in (args.vectors or "1,2,4").split(",")]
-    mesh = None
-    if args.mesh:
-        from ..parallel.mesh import build_mesh
-        s = args.mesh_sweep or max(
-            d for d in range(1, args.mesh + 1)
-            if args.mesh % d == 0
-            and d <= max(1, len(vectors) * len(clusters)))
-        mesh = build_mesh(args.mesh, sweep=s)
     results = sweep(args.input, thresholds, vectors, clusters,
                     device_stats=args.device_stats,
-                    scan_input=args.scan_input, mesh=mesh)
+                    scan_input=args.scan_input,
+                    mesh=make_mesh(len(vectors) * len(clusters)))
     print(json.dumps(results, indent=2))
     return 0
 

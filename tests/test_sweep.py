@@ -311,15 +311,72 @@ class TestSADSweep:
             assert d["segments"] == h["segments"], (h, d)
             assert abs(d["saved_pct"] - h["saved_pct"]) < 0.05, (h, d)
 
-    def test_cli_rejects_vectors_and_mesh(self, tmp_path, capsys):
+    def test_cli_rejects_vectors(self, tmp_path, capsys):
         clip = str(tmp_path / "x.mp4")
         native.synthesize(clip, width=320, height=240, fps=25.0,
                           duration=2.0, codec="libx264")
         with pytest.raises(SystemExit):
             tune.main([clip, "--scan-input", "sad", "--vectors", "1,2"])
-        with pytest.raises(SystemExit):
-            tune.main([clip, "--scan-input", "sad", "--mesh", "2"])
         capsys.readouterr()
+
+    @pytest.mark.parametrize("n,s", [(8, 4), (8, 1), (4, 2)])
+    def test_mesh_sad_sweep_matches_single_device(self, tmp_path, n, s):
+        """tune --mesh --scan-input sad (sharded_sad_sweep_step):
+        frames over 'data' with per-shard predecessor carries,
+        (threshold, clusters) configs over 'sweep' — identical stats
+        table to the single-device SAD sweep, including config counts
+        that don't divide the sweep axis (padding) and batch sizes that
+        don't divide the data axis (rounding)."""
+        from mvtrim_tpu.parallel.mesh import build_mesh
+
+        clip = str(tmp_path / "ms.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((1.0, 2.5), (5.0, 6.0)),
+                          noise=2)
+        kw = dict(cfg=Config(max_gap_sec=1.0), batch_frames=50)
+        single = tune.sweep_sad(clip, [0.5, 8.0, 100.0], [1, 2], **kw)
+        sharded = tune.sweep_sad(clip, [0.5, 8.0, 100.0], [1, 2],
+                                 mesh=build_mesh(n, sweep=s), **kw)
+        assert sharded == single
+        frames = [r["motion_frames"] for r in single]
+        assert max(frames) > 0 and min(frames) < max(frames)
+
+    def test_mesh_sad_sweep_device_stats(self, tmp_path):
+        """--mesh composes with --device-stats on the SAD route."""
+        from mvtrim_tpu.parallel.mesh import build_mesh
+
+        clip = str(tmp_path / "msd.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=8.0, codec="libx264",
+                          motion_windows=((1.0, 2.5),), noise=2)
+        kw = dict(cfg=Config(max_gap_sec=1.0), batch_frames=64)
+        host = tune.sweep_sad(clip, [4.0, 12.0], [1, 2], **kw)
+        dev = tune.sweep_sad(clip, [4.0, 12.0], [1, 2],
+                             mesh=build_mesh(8, sweep=2),
+                             device_stats=True, **kw)
+        for h, d in zip(host, dev):
+            assert d["motion_frames"] == h["motion_frames"], (h, d)
+            assert d["segments"] == h["segments"], (h, d)
+            assert abs(d["saved_pct"] - h["saved_pct"]) < 0.05, (h, d)
+
+    def test_mesh_sad_cap_resume(self, tmp_path):
+        """The mesh path threads the cap-resume carry identically to
+        the single-device path (chunk splits must not change shard
+        carries or decisions)."""
+        from mvtrim_tpu.parallel.mesh import build_mesh
+
+        clip = str(tmp_path / "mc.mp4")
+        native.synthesize(clip, width=320, height=240, fps=25.0,
+                          duration=6.0, codec="libx264",
+                          motion_windows=((1.0, 3.0),), noise=2)
+        free = tune.sweep_sad(clip, [4.0, 12.0], [1, 2],
+                              cfg=Config(), batch_frames=64)
+        capped = tune.sweep_sad(clip, [4.0, 12.0], [1, 2],
+                                cfg=Config(chunk_frames_cap=16),
+                                batch_frames=7,
+                                mesh=build_mesh(4, sweep=2))
+        assert capped == free
 
 
 class TestVecZeroExactness:
