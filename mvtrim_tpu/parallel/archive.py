@@ -29,7 +29,8 @@ from ..core.types import GridGeometry, ScanTask
 from ..io import native
 from ..utils import logging as log
 from ..utils import system
-from .mesh import build_mesh, build_process_mesh, sharded_bits_scan_step
+from .mesh import (build_mesh, build_process_mesh,
+                   sharded_bits_scan_step, sharded_sad_scan_step)
 
 
 class ScanCheckpoint:
@@ -272,16 +273,76 @@ def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
     return segments, duration, stats
 
 
+def _probe_archive_mvs(input_path: str, cfg: Config, geom: GridGeometry,
+                       frame_skip: int) -> bool:
+    """Cheap MV-capability probe for payload='auto': scan short chunk
+    prefixes from the start until at least one frame is analyzed (up to
+    3 non-empty chunks) and report whether any carried MV side data.
+
+    MV export is a stream/codec property, not content: intra-only
+    streams and HEVC on FFmpeg < 7 export none for ANY frame (the
+    reference detects nothing on them, motion_scanner.cpp:219-221; the
+    single-file pipeline's auto fallback triggers on the same whole-scan
+    condition, pipeline/pipeline.py) — so a short prefix decides it.  A
+    wrong 'sad' answer (e.g. a frame-skip phase that only ever lands on
+    I-frames) still detects motion correctly, just via the pixel path.
+    """
+    reader = native.VideoReader(input_path)
+    try:
+        timing = native.ScanTiming()
+        t, probed = 0.0, 0
+        while t < reader.duration and probed < 3:
+            end = min(t + cfg.chunk_duration_sec, reader.duration)
+            _, pts = reader.scan_bits(
+                t, end, threshold_sq=cfg.mv_threshold_sq,
+                block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+                y_min=geom.y_min, y_max=geom.y_max,
+                vectors_needed=cfg.vectors_needed,
+                frame_skip=frame_skip, max_frames=64, timing=timing)
+            if timing.frames_with_mvs > 0:
+                return True
+            if len(pts) > 0:
+                probed += 1
+            t += cfg.chunk_duration_sec
+        return timing.frames_with_mvs > 0
+    finally:
+        reader.close()
+
+
 def scan_archive(input_path: str, cfg: Config | None = None, *,
                  mesh=None, decode_workers: int = 0,
                  frames_per_device: int = 256,
-                 checkpoint: str | None = None):
+                 checkpoint: str | None = None,
+                 payload: str | None = None):
     """Scan one (long) video over a device mesh.
 
     Returns (segments, duration, stats dict).  Segments come from the
     host float64 oracle path over the gathered motion timestamps, so they
     are identical to the single-chip pipeline's.  With ``checkpoint``, a
     sidecar file records per-chunk results so interrupted scans resume.
+
+    ``payload`` picks the scan domain, defaulting to ``cfg.pipeline_mode``
+    (MVT_PIPELINE) mapped onto archive payloads:
+
+    * ``'bits'`` (pipeline_mode 'mv') — packed MV activity masks
+      (mvt_scan_bits), the transfer-lean default for streams with codec
+      MVs (sharded_bits_scan_step).
+    * ``'sad'``  (pipeline_mode 'sad') — decoded luma through the
+      sharded pixel-domain SAD step (sharded_sad_scan_step): the path
+      for intra-only / MV-less archives, which the reference cannot
+      detect motion on at all (motion_scanner.cpp:219-221).  Decisions
+      match the single-file SAD pipeline exactly: per-shard predecessor
+      carries preserve consecutive diffs across shard/batch boundaries,
+      and a chunk's first analyzed frame is never motion
+      (models/sad_detector.py contract).
+    * ``'auto'`` — probe the stream prefix for MV side data
+      (_probe_archive_mvs) and pick bits/sad accordingly, like the
+      single-file pipeline's auto fallback but without a wasted full
+      scan.
+
+    Checkpoint sidecars are payload-specific (the identity header
+    carries the payload and its decision-shaping knobs), so a bits
+    sidecar can never silently resume a sad scan or vice versa.
     """
     from ..ops.cluster import packed_geometry
 
@@ -292,7 +353,6 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         enable_compile_cache(cfg.compile_cache_dir)  # programmatic cfgs
     mesh = mesh or build_mesh()
     data_size = mesh.shape["data"]
-    global_batch = frames_per_device * data_size
 
     reader = native.VideoReader(input_path)
     duration, fps = reader.duration, reader.fps
@@ -301,23 +361,69 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     geom = GridGeometry.build(width, height, cfg)
     frame_skip = cfg.frame_skip(fps)
     gwb, used, lanes = packed_geometry(geom)
+
+    if payload is None:
+        payload = {"mv": "bits", "sad": "sad"}.get(cfg.pipeline_mode,
+                                                   "auto")
+    if payload not in ("auto", "bits", "sad"):
+        raise ValueError(f"unknown archive payload {payload!r} "
+                         "(bits | sad | auto)")
+    if payload == "auto":
+        payload = ("bits" if _probe_archive_mvs(input_path, cfg, geom,
+                                                frame_skip) else "sad")
+        log.info(f"archive payload auto-selected: {payload}"
+                 + ("" if payload == "bits"
+                    else " (no MV side data in the stream prefix)"))
+
     # everything that shapes per-chunk motion timestamps or chunk ids:
-    # a sidecar written under any other value must not be resumed from
-    identity = {
-        "input": os.path.abspath(input_path),
-        "duration": round(duration, 6),
-        "chunk_duration_sec": cfg.chunk_duration_sec,
-        "mv_threshold_sq": cfg.mv_threshold_sq,
-        "block_shift": cfg.block_shift,
-        "vectors_needed": cfg.vectors_needed,
-        "clusters_needed": cfg.clusters_needed,
-        "vertical_mask": cfg.vertical_mask,
-        "frame_skip": frame_skip,
-    }
+    # a sidecar written under any other value must not be resumed from.
+    # The bits identity is EXACTLY the round-4 shape (existing sidecars
+    # keep resuming); the sad identity swaps the MV-only knobs for the
+    # SAD ones and carries an explicit payload marker.
+    if payload == "sad":
+        identity = {
+            "input": os.path.abspath(input_path),
+            "duration": round(duration, 6),
+            "chunk_duration_sec": cfg.chunk_duration_sec,
+            "payload": "sad",
+            "sad_threshold": cfg.sad_threshold,
+            "block_size": cfg.block_size,
+            "clusters_needed": cfg.clusters_needed,
+            "vertical_mask": cfg.vertical_mask,
+            "frame_skip": frame_skip,
+        }
+    else:
+        identity = {
+            "input": os.path.abspath(input_path),
+            "duration": round(duration, 6),
+            "chunk_duration_sec": cfg.chunk_duration_sec,
+            "mv_threshold_sq": cfg.mv_threshold_sq,
+            "block_shift": cfg.block_shift,
+            "vectors_needed": cfg.vectors_needed,
+            "clusters_needed": cfg.clusters_needed,
+            "vertical_mask": cfg.vertical_mask,
+            "frame_skip": frame_skip,
+        }
     ckpt = ScanCheckpoint(checkpoint, identity) if checkpoint else None
 
-    step = sharded_bits_scan_step(geom, cfg, mesh)
-    bits_sharding = NamedSharding(mesh, P("data", None))
+    if payload == "sad":
+        from ..ops.sad import pad_luma  # noqa: F401 (used in the feeder)
+
+        hp = geom.padded_gh * cfg.block_size
+        wp = geom.padded_gw * cfg.block_size
+        # luma is H_p*W_p bytes/frame (~2MB at 1080p): cap the host
+        # staging buffer at ~256MB, like the pipeline's SAD branch caps
+        # its decode windows
+        frames_per_device = max(4, min(
+            frames_per_device,
+            (256 << 20) // max(1, hp * wp) // max(1, data_size)))
+        step = sharded_sad_scan_step(geom, cfg, mesh)
+        luma_sharding = NamedSharding(mesh, P("data", None, None))
+        valid_sharding = NamedSharding(mesh, P("data"))
+    else:
+        step = sharded_bits_scan_step(geom, cfg, mesh)
+        bits_sharding = NamedSharding(mesh, P("data", None))
+    global_batch = frames_per_device * data_size
 
     # --- host decode workers over the chunked timeline ---
     # decode is host-CPU-bound (ctypes releases the GIL; ~400 f/s/core,
@@ -350,6 +456,30 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
     timings = [native.ScanTiming() for _ in range(n_workers)]
     errors: list[Exception] = []
 
+    if payload == "sad":
+        # luma sub-scans are H*W bytes/frame: cap each native call like
+        # the pipeline's SAD branch does; the cap-resume loop + per-part
+        # feeding keep a 30s 1080p chunk from materializing ~1.5GB at
+        # once (parts stream through the feeder as they decode)
+        if cfg.chunk_frames_cap > 0:
+            part_cap = cfg.chunk_frames_cap
+        else:
+            part_cap = max(16, (256 << 20) // max(1, width * height)
+                           // max(1, n_workers))
+        max_frames = min(max_frames, part_cap)
+
+    def scan_chunk(r, widx, start, end, resume):
+        if payload == "sad":
+            return r.scan_luma(start, end, frame_skip=frame_skip,
+                               max_frames=max_frames,
+                               timing=timings[widx], resume=resume)
+        return r.scan_bits(
+            start, end, threshold_sq=cfg.mv_threshold_sq,
+            block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
+            y_min=geom.y_min, y_max=geom.y_max,
+            vectors_needed=cfg.vectors_needed, frame_skip=frame_skip,
+            max_frames=max_frames, timing=timings[widx], resume=resume)
+
     def worker(widx: int):
         try:
             r = native.VideoReader(input_path)
@@ -357,39 +487,35 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
                 task = tasks.get()
                 if task is None:
                     break
-                # resume past the frame cap (VFR bursts); concatenate so
-                # each chunk stays one attribution unit for checkpointing.
-                # resume=True continues decode from the exact stream
-                # position with the skip counter carried, keeping the
-                # analyzed frame set identical to an uncapped chunk scan
-                # (the reference's one counter per chunk,
-                # motion_scanner.cpp:314,356-357).
-                parts_g, parts_p = [], []
+                # resume past the frame cap (VFR bursts / the sad
+                # payload's memory cap), streaming each sub-scan to the
+                # feeder as a PART: (chunk_id, data, pts, first, last,
+                # carry).  resume=True continues decode from the exact
+                # stream position with the skip counter carried, keeping
+                # the analyzed frame set identical to an uncapped chunk
+                # scan (the reference's one counter per chunk,
+                # motion_scanner.cpp:314,356-357); the chunk stays one
+                # checkpoint attribution unit via the feeder's
+                # first/last accounting.  A part emits even when empty:
+                # an empty first part is an empty chunk, an empty later
+                # part closes the chunk's accounting.
                 resume = False
+                first = True
+                carry = None
                 while True:
-                    bits, pts = r.scan_bits(
-                        task.start, task.end,
-                        threshold_sq=cfg.mv_threshold_sq,
-                        block_shift=cfg.block_shift, gw=geom.gw,
-                        gh=geom.gh, y_min=geom.y_min, y_max=geom.y_max,
-                        vectors_needed=cfg.vectors_needed,
-                        frame_skip=frame_skip, max_frames=max_frames,
-                        timing=timings[widx], resume=resume)
-                    if len(pts) == 0:
+                    data, pts = scan_chunk(r, widx, task.start, task.end,
+                                           resume)
+                    last = len(pts) < max_frames
+                    results.put((task.chunk_id, data, pts, first, last,
+                                 carry))
+                    if last:
                         break
-                    parts_g.append(bits)
-                    parts_p.append(pts)
-                    if len(pts) < max_frames:
-                        break
+                    # the part's last analyzed frame is the next part's
+                    # predecessor (sad payload); bits parts need no carry
+                    carry = (data[-1].copy() if payload == "sad"
+                             else None)
+                    first = False
                     resume = True
-                if parts_p:
-                    results.put((task.chunk_id,
-                                 np.concatenate(parts_g),
-                                 np.concatenate(parts_p)))
-                else:
-                    results.put((task.chunk_id,
-                                 np.zeros((0, geom.gh, gwb), np.uint8),
-                                 np.zeros((0,), np.float64)))
             r.close()
         except Exception as e:  # noqa: BLE001
             errors.append(e)
@@ -403,20 +529,44 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         th.start()
 
     # --- feeder: pack frames into sharded global batches ---
-    buf = np.zeros((global_batch, lanes), np.uint8)
+    if payload == "sad":
+        rows = frames_per_device           # rows per shard
+        buf = np.zeros((global_batch, hp, wp), np.uint8)
+        # per-frame "has a true predecessor" mask (False at chunk starts,
+        # carry placeholders, and batch padding) and per-shard carries
+        valid = np.ones((global_batch,), bool)
+        carries = np.zeros((data_size, hp, wp), np.uint8)
+        prev_tail = np.zeros((hp, wp), np.uint8)  # last fed row overall
+    else:
+        buf = np.zeros((global_batch, lanes), np.uint8)
     buf_pts = np.zeros((global_batch,), np.float64)
     fill = 0
     motion_ts: list[float] = list(resumed_ts)
     frames_scanned = 0
     dispatches = 0
     # chunk attribution for checkpointing: spans of the current buffer
-    # belonging to each chunk, plus per-chunk completion accounting
+    # belonging to each chunk, plus per-chunk completion accounting.
+    # Parts stream in, so a chunk completes when its last part has been
+    # seen (not in chunk_open) AND all its fed frames have flushed
+    # (chunk_left == 0).
     spans: list[tuple[int, int, int]] = []        # (chunk_id, buf_lo, n)
     chunk_left: dict[int, int] = {}
     chunk_motion: dict[int, list[float]] = {}
+    chunk_open: set[int] = set()
+    tail_cid = -1   # chunk id owning the most recently fed buffer row
+
+    def maybe_complete(cid):
+        if cid not in chunk_open and chunk_left.get(cid) == 0:
+            # pop even without a checkpoint: the dict would otherwise
+            # retain a second copy of every motion timestamp for the
+            # whole (possibly days-long) scan
+            del chunk_left[cid]
+            done_ts = chunk_motion.pop(cid)
+            if ckpt is not None:
+                ckpt.record(cid, done_ts)
 
     def flush(n_valid: int):
-        nonlocal dispatches
+        nonlocal dispatches, prev_tail
         if errors:
             spans.clear()
             return
@@ -424,22 +574,31 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
             return
         dispatches += 1
         try:
-            bits = jax.device_put(buf, bits_sharding)
-            motion, _ = step(bits)
+            if payload == "sad":
+                valid[n_valid:] = False
+                # shard d's carry = the frame just before its first row
+                # in feed order: buf[d*rows - 1] in-batch, the previous
+                # batch's last fed row for shard 0 (content is unread
+                # wherever valid is False)
+                carries[0] = prev_tail
+                for d in range(1, data_size):
+                    carries[d] = buf[d * rows - 1]
+                motion, _ = step(
+                    jax.device_put(carries, luma_sharding),
+                    jax.device_put(buf, luma_sharding),
+                    jax.device_put(valid, valid_sharding))
+            else:
+                motion, _ = step(jax.device_put(buf, bits_sharding))
             m = np.asarray(motion)[:n_valid]
             motion_ts.extend(buf_pts[:n_valid][m].tolist())
             for cid, lo, n in spans:
                 sel = m[lo:lo + n]
                 chunk_motion[cid].extend(buf_pts[lo:lo + n][sel].tolist())
                 chunk_left[cid] -= n
-                if chunk_left[cid] == 0:
-                    # pop even without a checkpoint: the dict would
-                    # otherwise retain a second copy of every motion
-                    # timestamp for the whole (possibly days-long) scan
-                    del chunk_left[cid]
-                    done_ts = chunk_motion.pop(cid)
-                    if ckpt is not None:
-                        ckpt.record(cid, done_ts)
+                maybe_complete(cid)
+            if payload == "sad":
+                prev_tail = buf[n_valid - 1].copy()
+                valid[:] = True
         except Exception as e:  # noqa: BLE001 — drain workers, raise after
             errors.append(e)
         spans.clear()
@@ -453,23 +612,52 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
             continue
         if errors:
             continue  # drain only
-        cid, grids, pts = item
+        cid, data, pts, first_part, last_part, carry = item
         frames_scanned += len(pts)
+        if first_part:
+            chunk_left[cid] = 0
+            chunk_motion[cid] = []
+            chunk_open.add(cid)
+        if last_part:
+            chunk_open.discard(cid)
         if len(pts) == 0:
-            if ckpt is not None:
-                ckpt.record(cid, [])
+            # empty chunk, or the empty closing part of a capped chunk
+            maybe_complete(cid)
             continue
-        chunk_left[cid] = len(pts)
-        chunk_motion[cid] = []
+        chunk_left[cid] += len(pts)
+        if payload == "sad":
+            data = pad_luma(data, geom, cfg.block_size)
+            if carry is not None and tail_cid != cid:
+                # continuation part whose predecessor is NOT the row fed
+                # just before it (another chunk's part interleaved):
+                # inject the shipped carry as a placeholder row — scored
+                # never (valid False), attributed to no span — purely so
+                # the next row's in-shard predecessor is the right frame
+                if fill == global_batch:
+                    flush(global_batch)
+                    fill = 0
+                buf[fill] = pad_luma(carry[None], geom,
+                                     cfg.block_size)[0]
+                valid[fill] = False
+                fill += 1
         off = 0
         while off < len(pts):
             take = min(global_batch - fill, len(pts) - off)
-            buf[fill:fill + take, :used] = \
-                grids[off:off + take].reshape(take, used)
+            if payload == "sad":
+                buf[fill:fill + take] = data[off:off + take]
+                if first_part and off == 0:
+                    # the chunk's first analyzed frame has no
+                    # predecessor and is never motion (SADDetector
+                    # contract, models/sad_detector.py)
+                    valid[fill] = False
+            else:
+                buf[fill:fill + take, :used] = \
+                    data[off:off + take].reshape(take, used)
             buf_pts[fill:fill + take] = pts[off:off + take]
             spans.append((cid, fill, take))
             fill += take
             off += take
+            tail_cid = cid
             if fill == global_batch:
                 flush(global_batch)
                 fill = 0
@@ -481,17 +669,17 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         raise RuntimeError(errors[0])
 
     frames_with_mvs = sum(t.frames_with_mvs for t in timings)
-    if frames_scanned and not frames_with_mvs:
-        # the single-file pipeline auto-falls back to the pixel-domain
-        # SAD detector here; archive mode is a packed-MV-mask scanner
-        # and has no pixel payload, so be LOUD instead of silently
-        # reporting a motionless archive
+    if payload == "bits" and frames_scanned and not frames_with_mvs:
+        # payload='auto' (the default) routes such streams to the
+        # sharded SAD payload up front; this can only trigger when a
+        # caller FORCED bits (MVT_PIPELINE=mv) on an MV-less stream —
+        # stay loud rather than silently report a motionless archive
         log.warn(
             f"none of the {frames_scanned} scanned frames carried MV "
             "side data (intra-only stream, or a codec this FFmpeg "
-            "cannot export MVs for — HEVC needs FFmpeg >= 7): archive "
-            "mode cannot detect motion on this input; use the "
-            "single-file pipeline (MVT_PIPELINE=sad) instead")
+            "cannot export MVs for — HEVC needs FFmpeg >= 7): the "
+            "forced bits payload cannot detect motion on this input; "
+            "use MVT_PIPELINE=sad (payload='sad') or the auto default")
     timestamps = oracle.merge_timestamps(motion_ts)
     segments = oracle.segments_from_timestamps(
         timestamps, max_gap_sec=cfg.max_gap_sec,
@@ -501,6 +689,7 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
         "frames_with_mvs": frames_with_mvs,
         "motion_frames": int(timestamps.size),
         "dispatches": dispatches,
+        "payload": payload,
         "mesh": dict(mesh.shape),
         "global_batch": global_batch,
         "resumed_chunks": resumed_chunks,
@@ -513,6 +702,6 @@ def scan_archive(input_path: str, cfg: Config | None = None, *,
             "analyze": sum(t.analyze_us for t in timings),
         },
     }
-    log.info(f"archive scan: {frames_scanned} frames over mesh "
-             f"{dict(mesh.shape)} in {dispatches} dispatches")
+    log.info(f"archive scan ({payload}): {frames_scanned} frames over "
+             f"mesh {dict(mesh.shape)} in {dispatches} dispatches")
     return segments, duration, stats

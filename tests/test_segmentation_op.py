@@ -302,3 +302,144 @@ class TestArchivePipelineEquivalence:
                                          cfg.min_savings_pct)
         arch_concat = orc.concat_list(os.path.abspath(clip), out_segments)
         assert arch_concat == std_concat
+
+
+def _sad_archive_truth(clip: str, cfg: Config):
+    """Single-device ground truth for the SAD archive payload: the
+    pipeline-style chunked SAD scan (chunk-independent, cap-resume carry
+    threading — the same helper shape as tests/test_sweep.py's
+    _sad_detector_run) -> (segments, duration)."""
+    import math
+
+    from mvtrim_tpu.models.sad_detector import SADDetector
+
+    reader = native.VideoReader(clip)
+    duration, fps = reader.duration, reader.fps
+    det = SADDetector(reader.width, reader.height, cfg)
+    frame_skip = cfg.frame_skip(fps)
+    cap = int(math.ceil(cfg.chunk_duration_sec * max(fps, 1.0))) + 64
+    if cfg.chunk_frames_cap > 0:
+        cap = min(cap, cfg.chunk_frames_cap)
+    cur = native.ChunkScanCursor(duration, cfg.chunk_duration_sec, cap)
+    carry = None
+    ts: list[float] = []
+    while cur.more():
+        start, end = cur.window()
+        if not cur.resume:
+            carry = None
+        data, pts = reader.scan_luma(start, end, frame_skip=frame_skip,
+                                     max_frames=cap, resume=cur.resume)
+        cur.advance(len(pts))
+        if len(pts) == 0:
+            continue
+        motion = det.scan_luma(data, carry=carry)
+        ts.extend(pts[motion].tolist())
+        carry = data[-1].copy()
+    reader.close()
+    merged = oracle.merge_timestamps(ts)
+    segments = oracle.segments_from_timestamps(
+        merged, max_gap_sec=cfg.max_gap_sec, padding_sec=cfg.padding_sec,
+        duration=duration)
+    return segments, duration
+
+
+@pytest.fixture(scope="module")
+def intra_clip(tmp_path_factory):
+    """All-I-frame stream (gop=1): exports ZERO codec MVs — the class of
+    input the reference cannot detect motion on (motion_scanner.cpp:
+    219-221) and the round-4 archive path warned-and-gave-up on."""
+    path = str(tmp_path_factory.mktemp("sadarch") / "intra.mp4")
+    native.synthesize(path, width=320, height=240, fps=25.0,
+                      duration=20.0, codec="libx264", gop=1, noise=2,
+                      motion_windows=((3.0, 6.0), (14.0, 16.0)))
+    return path
+
+
+class TestArchiveSADPayload:
+    def test_auto_selects_sad_and_matches_single_device_truth(
+            self, intra_clip):
+        cfg = Config(chunk_duration_sec=5.0)
+        segs, dur, stats = scan_archive(intra_clip, cfg,
+                                        mesh=build_mesh(8, sweep=1),
+                                        frames_per_device=8)
+        assert stats["payload"] == "sad"
+        assert stats["dispatches"] >= 2
+        expect, dur_t = _sad_archive_truth(intra_clip, cfg)
+        assert dur == dur_t
+        assert segs == expect
+        # both motion windows detected (the reference finds nothing here)
+        assert len(segs) == 2
+        assert segs[0].start < 6.0 and segs[0].end > 3.0
+        assert segs[1].start < 16.0 and segs[1].end > 14.0
+
+    def test_auto_keeps_bits_on_mv_stream(self, clip):
+        cfg = Config(chunk_duration_sec=5.0)
+        _, _, stats = scan_archive(clip, cfg, mesh=build_mesh(2, sweep=1),
+                                   frames_per_device=32)
+        assert stats["payload"] == "bits"
+
+    @pytest.mark.parametrize("n", [1, 4])
+    def test_mesh_sizes_agree(self, intra_clip, n):
+        """The per-shard carry construction must be layout-invariant:
+        any mesh size produces the 8-device segments."""
+        cfg = Config(chunk_duration_sec=5.0)
+        segs_n, _, stats = scan_archive(intra_clip, cfg,
+                                        mesh=build_mesh(n, sweep=1),
+                                        frames_per_device=16,
+                                        payload="sad")
+        assert stats["payload"] == "sad"
+        expect, _ = _sad_archive_truth(intra_clip, cfg)
+        assert segs_n == expect
+
+    def test_part_streaming_is_decision_invariant(self, intra_clip):
+        """A tiny chunk-frames cap forces many sub-scan parts per chunk
+        (incl. the interleaved-chunk placeholder-row path); decisions
+        must not move."""
+        cfg = Config(chunk_duration_sec=5.0, chunk_frames_cap=16)
+        segs, _, _ = scan_archive(intra_clip, cfg,
+                                  mesh=build_mesh(4, sweep=1),
+                                  frames_per_device=8, payload="sad")
+        expect, _ = _sad_archive_truth(intra_clip,
+                                       Config(chunk_duration_sec=5.0))
+        assert segs == expect
+
+    def test_sad_checkpoint_resume(self, intra_clip, tmp_path):
+        cfg = Config(chunk_duration_sec=5.0)
+        ck = str(tmp_path / "sad.ckpt")
+        segs_a, _, stats_a = scan_archive(intra_clip, cfg,
+                                          mesh=build_mesh(2, sweep=1),
+                                          frames_per_device=16,
+                                          checkpoint=ck, payload="sad")
+        assert stats_a["resumed_chunks"] == 0
+        segs_b, _, stats_b = scan_archive(intra_clip, cfg,
+                                          mesh=build_mesh(2, sweep=1),
+                                          frames_per_device=16,
+                                          checkpoint=ck, payload="sad")
+        assert stats_b["resumed_chunks"] == 4   # 20s / 5s chunks
+        assert stats_b["frames_scanned"] == 0
+        assert segs_b == segs_a
+
+    def test_payload_mismatched_sidecar_refuses(self, intra_clip,
+                                                tmp_path):
+        """A bits sidecar must never resume a sad scan (and vice
+        versa): the identity header carries the payload."""
+        cfg = Config(chunk_duration_sec=5.0)
+        ck = str(tmp_path / "x.ckpt")
+        scan_archive(intra_clip, cfg, mesh=build_mesh(1, sweep=1),
+                     frames_per_device=16, checkpoint=ck, payload="sad")
+        with pytest.raises(RuntimeError, match="different scan"):
+            scan_archive(intra_clip, cfg, mesh=build_mesh(1, sweep=1),
+                         frames_per_device=16, checkpoint=ck,
+                         payload="bits")
+
+    def test_forced_bits_on_intra_warns_and_finds_nothing(
+            self, intra_clip, capsys):
+        cfg = Config(chunk_duration_sec=5.0)
+        segs, _, stats = scan_archive(intra_clip, cfg,
+                                      mesh=build_mesh(1, sweep=1),
+                                      frames_per_device=32,
+                                      payload="bits")
+        assert stats["payload"] == "bits"
+        assert segs == []   # the reference-equivalent (blind) outcome
+        captured = capsys.readouterr()
+        assert "MV side data" in captured.out + captured.err
