@@ -119,7 +119,9 @@ def _allgather_f64(x: np.ndarray):
 
 
 def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
-                              *, mesh=None, frames_per_device: int = 256):
+                              *, mesh=None, frames_per_device: int = 256,
+                              checkpoint: str | None = None,
+                              progress_cb=None):
     """Multi-process archive scan (pod-scale product path).
 
     Each host process decodes a DISJOINT chunk slice of the timeline
@@ -136,12 +138,26 @@ def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
 
     Requires ``parallel.distributed.initialize()`` to have joined >= 2
     processes BEFORE any JAX use.  Processes must own equal device
-    counts.  Checkpoint sidecars are single-process-only — use
-    ``scan_archive`` for resumable single-host scans.
+    counts.
+
+    ``checkpoint`` is a sidecar BASE path: each process appends
+    chunk-granular records to ``<base>.p<process_index>`` as its chunks
+    finish scanning, with an identity header that additionally pins
+    (process_count, process_index) — a restart with a different process
+    count re-shards the chunk assignment, so the resume REFUSES it
+    loudly instead of merging foreign chunk splits (delete the sidecars
+    to start fresh).  A killed job restarted with the same topology
+    skips every recorded chunk's decode AND scan.  The whole job must
+    restart together (a dead process stalls the others' collectives —
+    the jax.distributed model); per-process sidecars make that restart
+    cheap.  ``progress_cb(i, n_dispatch)`` fires after each lockstep
+    dispatch (observability + fault-injection hook).
 
     Reference contrast: the reference's only scale-out is more threads
-    in one box (SURVEY.md §5 — no NCCL/MPI/RPC); this spreads decode
-    over hosts and scan over a pod.
+    in one box (SURVEY.md §5 — no NCCL/MPI/RPC) and its only
+    idempotency the output-exists skip (batch_processor.cpp:261-269);
+    this spreads decode over hosts, scan over a pod, and resumes at
+    chunk granularity.
     """
     import jax
     from jax.experimental import multihost_utils
@@ -177,33 +193,66 @@ def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
     frame_skip = cfg.frame_skip(fps)
     gwb, used, lanes = packed_geometry(geom)
 
+    # per-process sidecar: chunk assignment is cid % pc == pi, so the
+    # identity must pin the topology — a different process count
+    # re-shards and the resume refuses (ScanCheckpoint header check)
+    ckpt = None
+    resumed_ts: list[float] = []
+    resumed_chunks = 0
+    if checkpoint:
+        identity = {
+            "input": os.path.abspath(input_path),
+            "duration": round(duration, 6),
+            "chunk_duration_sec": cfg.chunk_duration_sec,
+            "mv_threshold_sq": cfg.mv_threshold_sq,
+            "block_shift": cfg.block_shift,
+            "vectors_needed": cfg.vectors_needed,
+            "clusters_needed": cfg.clusters_needed,
+            "vertical_mask": cfg.vertical_mask,
+            "frame_skip": frame_skip,
+            "process_count": pc,
+            "process_index": pi,
+        }
+        ckpt = ScanCheckpoint(f"{checkpoint}.p{pi}", identity)
+
     # --- decode this process's disjoint chunk slice (cap-resume like the
     # single-process workers, parallel/archive.py worker loop) ---
     max_frames = int(math.ceil(cfg.chunk_duration_sec
                                * max(fps, 1.0))) + 64
     parts_bits: list[np.ndarray] = []
     parts_pts: list[np.ndarray] = []
+    chunk_rows: list[tuple[int, int]] = []   # (cid, frames) in feed order
     timing = native.ScanTiming()
     t, cid = 0.0, 0
     while t < duration:
         end = min(t + cfg.chunk_duration_sec, duration)
         if cid % pc == pi:
-            resume = False
-            while True:
-                bits, pts = reader.scan_bits(
-                    t, end, threshold_sq=cfg.mv_threshold_sq,
-                    block_shift=cfg.block_shift, gw=geom.gw, gh=geom.gh,
-                    y_min=geom.y_min, y_max=geom.y_max,
-                    vectors_needed=cfg.vectors_needed,
-                    frame_skip=frame_skip, max_frames=max_frames,
-                    timing=timing, resume=resume)
-                if len(pts) == 0:
-                    break
-                parts_bits.append(bits)
-                parts_pts.append(pts)
-                if len(pts) < max_frames:
-                    break
-                resume = True
+            if ckpt is not None and cid in ckpt.done:
+                resumed_ts.extend(ckpt.done[cid])
+                resumed_chunks += 1
+            else:
+                n_chunk = 0
+                resume = False
+                while True:
+                    bits, pts = reader.scan_bits(
+                        t, end, threshold_sq=cfg.mv_threshold_sq,
+                        block_shift=cfg.block_shift, gw=geom.gw,
+                        gh=geom.gh, y_min=geom.y_min, y_max=geom.y_max,
+                        vectors_needed=cfg.vectors_needed,
+                        frame_skip=frame_skip, max_frames=max_frames,
+                        timing=timing, resume=resume)
+                    if len(pts) == 0:
+                        break
+                    parts_bits.append(bits)
+                    parts_pts.append(pts)
+                    n_chunk += len(pts)
+                    if len(pts) < max_frames:
+                        break
+                    resume = True
+                if n_chunk == 0 and ckpt is not None:
+                    ckpt.record(cid, [])      # empty chunk: done already
+                elif n_chunk:
+                    chunk_rows.append((cid, n_chunk))
         cid += 1
         t += cfg.chunk_duration_sec
     reader.close()
@@ -223,8 +272,20 @@ def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
     from jax.sharding import NamedSharding, PartitionSpec
     step = sharded_bits_scan_step(geom, cfg, mesh, gather_motion=True)
     sharding = NamedSharding(mesh, PartitionSpec("data", None))
-    motion_ts: list[float] = []
+    motion_ts: list[float] = list(resumed_ts)
     motion_frames_psum = 0
+    # chunk attribution for checkpointing: local row extents per chunk
+    # (feed order), drained as dispatches cover them — a chunk records
+    # the moment its last row has been scanned, so a killed job loses at
+    # most the in-flight dispatch's chunks
+    chunk_bounds: list[tuple[int, int, int]] = []    # (cid, row_lo, n)
+    row = 0
+    for cid_, n_ in chunk_rows:
+        chunk_bounds.append((cid_, row, n_))
+        row += n_
+    chunk_left = {cid_: n_ for cid_, n_ in chunk_rows}
+    chunk_motion: dict[int, list[float]] = {cid_: [] for cid_, _ in
+                                            chunk_rows}
     flat = np.zeros((local_rows, lanes), np.uint8)
     for i in range(n_dispatch):
         lo = i * local_rows
@@ -243,6 +304,25 @@ def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
             # process's rows are the pi-th contiguous block
             mine = motion[pi * local_rows: pi * local_rows + n_valid]
             motion_ts.extend(local_pts[lo:lo + n_valid][mine].tolist())
+            for cid_, clo, n_ in chunk_bounds:
+                if clo >= lo + n_valid:
+                    break                     # rows not yet dispatched
+                if cid_ not in chunk_left:
+                    continue                  # completed earlier
+                a, b = max(clo, lo), min(clo + n_, lo + n_valid)
+                if a >= b:
+                    continue
+                sel = mine[a - lo:b - lo]
+                chunk_motion[cid_].extend(
+                    local_pts[a:b][sel].tolist())
+                chunk_left[cid_] -= b - a
+                if chunk_left[cid_] == 0:
+                    del chunk_left[cid_]
+                    done_ts = chunk_motion.pop(cid_)
+                    if ckpt is not None:
+                        ckpt.record(cid_, done_ts)
+        if progress_cb is not None:
+            progress_cb(i, n_dispatch)
 
     # --- bit-exact global timestamp merge -> identical host segmentation
     # on every process ---
@@ -266,6 +346,7 @@ def scan_archive_multiprocess(input_path: str, cfg: Config | None = None,
         "mesh": dict(mesh.shape),
         "processes": pc,
         "global_batch": global_batch,
+        "resumed_chunks_local": resumed_chunks,
     }
     log.info(f"archive scan: {stats['frames_scanned']} frames over "
              f"{pc} processes x mesh {dict(mesh.shape)} in "
