@@ -29,6 +29,14 @@ goes:
              as a [1, M] select-to--1.  Production folds since round 4
              (bit-exact, +3.3% measured: 4.128M -> 4.263M frames/s same
              session at M=2048 F=16); this is the regression partner.
+    prodrag  ragged chunk-in-grid candidate: the chunk loop moves into
+             the pallas grid with [F, 1, m_chunk] blocks whose index map
+             clamps the chunk at the step's max needed chunk (scalar-
+             prefetch) — all-padding chunks are neither DMA'd nor
+             computed, making the DMA count-sized like the compute
+             (the structural fix for sparse counts at large --m, where
+             prod's capacity-sized stream blocks dominate).  The audit
+             accounts its actually-fetched bytes (mean chunks/step).
     prodmaxb the production body with ONE shared dynamic chunk bound per
              step (max of the F frames' counts) instead of F per-frame
              SMEM-dependent bounds — exact (extra chunks contribute
@@ -105,6 +113,84 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
         # ValueError: caught per variant by main's sweep loop
         raise ValueError(f"--frames {b} must be divisible by F={F}")
     nb = b // F
+
+    if variant == "prodrag":
+        # Ragged chunk-in-grid production candidate (ops/mv_vote.py
+        # ragged_chunks): grid (iters, steps, chunks), [F, 1, m_chunk]
+        # blocks whose index map clamps the chunk at the step's max
+        # needed chunk (second scalar-prefetch array) — all-padding
+        # chunks are neither DMA'd (Mosaic re-fetches only on index
+        # change) nor computed (per-frame pl.when).  DMA becomes
+        # count-sized like the compute already was; the audit in main
+        # accounts the actually-fetched bytes.
+        if m % m_chunk:
+            raise ValueError(f"prodrag needs m % m_chunk == 0 ({m})")
+        NC = max(1, m // m_chunk)
+        gh_p2, gw_p2 = geom.padded_gh, geom.padded_gw
+
+        def rag_kernel(count_ref, nc_ref, dx_ref, dy_ref, sx_ref, sy_ref,
+                       out_ref, vs):
+            it = pl.program_id(0)
+            j = pl.program_id(1)
+            ci = pl.program_id(2)
+            base = (it % k) * b + j * F
+
+            @pl.when(ci == 0)
+            def _zero():
+                vs[...] = jnp.zeros((F, gh_p2, gw_p2), jnp.float32)
+
+            for fi in range(F):
+                count = count_ref[base + fi]
+
+                @pl.when(ci * m_chunk < count)
+                def _acc(fi=fi, count=count):
+                    v = mv_vote._mv_frame_votes(
+                        dx_ref[fi], dy_ref[fi], sx_ref[fi], sy_ref[fi],
+                        count, geom, bound, cfg.block_shift,
+                        idx_offset=ci * m_chunk, fold_keep=True)
+                    vs[fi] = vs[fi] + v
+
+            @pl.when(ci == NC - 1)
+            def _fin():
+                for fi in range(F):
+                    cl = _cluster_map(vs[fi].astype(jnp.int32), geom,
+                                      vec).astype(jnp.int32)
+                    rows = jnp.sum(cl, axis=1, keepdims=True)
+                    out_ref[fi] = jnp.sum(rows, axis=0, keepdims=True
+                                          ).reshape(1, 1)
+
+        rag_spec = pl.BlockSpec(
+            (F, 1, m_chunk),
+            lambda it, j, ci, csm, ncsm: (
+                (it % k) * nb + j, 0,
+                jnp.minimum(ci, ncsm[(it % k) * nb + j] - 1)),
+            memory_space=pltpu.VMEM)
+        rag_sweep = pl.pallas_call(
+            rag_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(iters, nb, NC),
+                in_specs=[rag_spec] * 4,
+                out_specs=pl.BlockSpec(
+                    (F, 1, 1), lambda it, j, ci, *_: (j, 0, 0),
+                    memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((F, gh_p2, gw_p2),
+                                           jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+        )
+
+        @jax.jit
+        def run_rag(dst_x, dst_y, src_x, src_y, sub, counts):
+            cg = counts.reshape(k * nb, F)
+            ncs = jnp.clip((jnp.max(cg, axis=1) + jnp.int32(m_chunk - 1))
+                           // jnp.int32(m_chunk), 1, NC).astype(jnp.int32)
+            return rag_sweep(counts, ncs, dst_x, dst_y, src_x,
+                             src_y)[:, 0, 0]
+
+        return run_rag
     # *sub variants ship dst_x a SECOND time as a sublane-major [M, 1]
     # stream (whose VMEM block is lane-padded 128x and whose DMA writes
     # M strided 4-byte rows) — the retired round-2 layout
@@ -421,6 +507,15 @@ def main() -> int:
         # *sub legacy variants stream a fifth, sublane-major dst_x copy
         bpf = 5 * m * 4 if variant in (
             "ctrlsub", "prodsub") else bytes_per_frame
+        if variant == "prodrag":
+            # ragged DMA is count-sized: per step, nc_j blocks of
+            # [F, 1, m_chunk] i32 per stream -> nc_j*16*m_chunk B/frame
+            F_main = args.fps or 1
+            cg = counts.reshape(k, b // F_main, F_main)
+            ncs = np.clip(
+                -(-cg.max(axis=2) // args.m_chunk), 1,
+                max(1, m // args.m_chunk))
+            bpf = float(ncs.mean()) * 16 * args.m_chunk
         valid, implied, pct = bench_mod._audit(
             f"mv/{variant}", fps_meas, bpf, roofline, ok)
         results[variant] = {"frames_per_sec": round(fps_meas),

@@ -210,12 +210,26 @@ def mv_frames_per_step(m: int, requested: int = 16) -> int:
     return max(1, min(requested, budget // (2 * per_frame)))
 
 
+def mv_frames_per_step_ragged(m_chunk: int, geom: GridGeometry,
+                              requested: int = 16) -> int:
+    """VMEM-aware frames-per-step for the RAGGED (chunk-in-grid) kernel.
+
+    Stream blocks are m_chunk-sized (not capacity-sized) there, but each
+    frame additionally holds a [GH_p, GW_p] f32 vote accumulator in
+    scratch for the whole chunk sweep."""
+    per_frame = (2 * 4 * 4 * 8 * m_chunk            # double-buffered blocks
+                 + geom.padded_gh * geom.padded_gw * 4)  # vote scratch
+    budget = (64 - 16) * 1024 * 1024
+    return max(1, min(requested, budget // per_frame))
+
+
 def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                               block_shift: int, vectors_needed: int,
                               clusters_needed: int, interpret: bool = False,
                               m_chunk: int = 2048, frames_per_step: int = 16,
                               dynamic_chunks: bool = True,
-                              fold_keep: bool = True):
+                              fold_keep: bool = True,
+                              ragged_chunks: bool = False):
     """Pallas implementation: ``frames_per_step`` frames per grid step,
     everything in VMEM.
 
@@ -248,6 +262,22 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     granularity trade-off (don't re-derive): m_chunk=1024 is +11% at
     sparse counts but -25% at full capacity (8 loop trips); 512 loses
     even sparse — 2048 stays the default (PERFORMANCE.md, round 3).
+
+    ``ragged_chunks`` (round 5, also only reachable at m > m_chunk):
+    ``dynamic_chunks`` makes the COMPUTE count-sized but the DMA stays
+    capacity-sized — every [F, 1, M] stream block ships whole, which is
+    why the sparse M=8192 regime measured 32% of its stream control
+    while provably below its compute floor (PERFORMANCE.md round 4).
+    The ragged layout moves the chunk loop INTO THE GRID: grid
+    (steps, chunks) with [F, 1, m_chunk] blocks whose index map clamps
+    the chunk index at the step's max needed chunk (a second
+    scalar-prefetch array) — Mosaic only re-DMAs a block when its index
+    changes between consecutive grid steps, so all-padding chunks cost
+    neither DMA nor compute (per-frame ``pl.when`` predication).  Votes
+    accumulate in VMEM scratch across the chunk sweep; cluster map +
+    reduce run once at the last chunk step.  Bit-identical by
+    construction (skipped chunks are provably zero — the same argument
+    that makes dynamic_chunks exact).
     """
     bound = threshold_bound(threshold_sq)
     F_req = max(1, frames_per_step)
@@ -281,6 +311,52 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                 counts_ref[fi] = jnp.sum(col_sums, axis=1, keepdims=True)
         return kernel
 
+    gh_p, gw_p = geom.padded_gh, geom.padded_gw
+
+    def make_ragged_kernel(F, nc_total):
+        # Ragged (chunk-in-grid) body: grid is (steps, chunks); the MV
+        # stream BlockSpecs clamp the chunk block index at the step's max
+        # needed chunk (scalar-prefetch nc array), so all-padding chunks
+        # are never DMA'd — Mosaic only fetches a block when its index
+        # changes between consecutive grid steps.  Per-frame votes
+        # accumulate in VMEM scratch across the chunk sweep; the cluster
+        # map + reduce run once at the last chunk step.
+        def kernel(count_ref, nc_ref, dst_x_ref, dst_y_ref, src_x_ref,
+                   src_y_ref, counts_ref, votes_vmem):
+            j = pl.program_id(0)
+            ci = pl.program_id(1)
+
+            @pl.when(ci == 0)
+            def _zero():
+                votes_vmem[...] = jnp.zeros((F, gh_p, gw_p), jnp.float32)
+
+            for fi in range(F):
+                count = count_ref[j * F + fi]
+
+                # Chunks at/past the frame's MV count contribute zero
+                # (``idx < count`` fails on every lane) — skip their
+                # compute.  Whenever this predicate holds, the resident
+                # block IS chunk ci: ci < ceil(count/m_chunk) <= nc[j],
+                # so the index-map clamp is inactive.
+                @pl.when(ci * m_chunk < count)
+                def _acc(fi=fi, count=count):
+                    votes = _mv_frame_votes(
+                        dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
+                        src_y_ref[fi], count, geom, bound, block_shift,
+                        idx_offset=ci * m_chunk, fold_keep=fold_keep)
+                    votes_vmem[fi] = votes_vmem[fi] + votes
+
+            @pl.when(ci == nc_total - 1)
+            def _finalize():
+                for fi in range(F):
+                    cluster = _cluster_map(
+                        votes_vmem[fi].astype(jnp.int32), geom,
+                        vectors_needed).astype(jnp.int32)
+                    col_sums = jnp.sum(cluster, axis=0, keepdims=True)
+                    counts_ref[fi] = jnp.sum(col_sums, axis=1,
+                                             keepdims=True)
+        return kernel
+
     @jax.jit
     def op(dst_x, dst_y, src_x, src_y, counts):
         b, m = dst_x.shape
@@ -292,7 +368,9 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
             dst_x, dst_y, src_x, src_y = (padder(a) for a in
                                           (dst_x, dst_y, src_x, src_y))
             m += pad
-        F = mv_frames_per_step(m, F_req)
+        ragged = ragged_chunks and m > m_chunk
+        F = (mv_frames_per_step_ragged(m_chunk, geom, F_req) if ragged
+             else mv_frames_per_step(m, F_req))
         nb = -(-b // F)
         if nb * F != b:
             # pad to whole steps: padded frames have count 0 -> idx >=
@@ -306,22 +384,56 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
         # Blocks must keep their last two dims tile-aligned or array-equal;
         # [B, 1, M] with block (F, 1, M) satisfies that for F frames/step.
         lane = lambda a: a.reshape(bp, 1, m)
-        mv_spec = pl.BlockSpec((F, 1, m), lambda j, *_: (j, 0, 0),
-                               memory_space=pltpu.VMEM)
-        n = pl.pallas_call(
-            make_kernel(F),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(nb,),
-                in_specs=[mv_spec] * 4,
-                out_specs=pl.BlockSpec((F, 1, 1), lambda j, *_: (j, 0, 0),
-                                       memory_space=pltpu.VMEM),
-            ),
-            out_shape=jax.ShapeDtypeStruct((bp, 1, 1), jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-            interpret=interpret,
-        )(counts, lane(dst_x), lane(dst_y), lane(src_x), lane(src_y))
+        vmem_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+        if ragged:
+            nc_total = m // m_chunk
+            # per-step chunk bound: ceil(max count in the step / m_chunk),
+            # clamped to [1, nc_total] so every step fetches at least one
+            # valid block and the finalize step always runs
+            cgrp = jnp.asarray(counts, jnp.int32).reshape(nb, F)
+            nc_steps = jnp.clip(
+                (jnp.max(cgrp, axis=1) + jnp.int32(m_chunk - 1))
+                // jnp.int32(m_chunk), 1, nc_total).astype(jnp.int32)
+            mv_spec = pl.BlockSpec(
+                (F, 1, m_chunk),
+                lambda j, ci, csm, ncsm: (j, 0,
+                                          jnp.minimum(ci, ncsm[j] - 1)),
+                memory_space=pltpu.VMEM)
+            n = pl.pallas_call(
+                make_ragged_kernel(F, nc_total),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(nb, nc_total),
+                    in_specs=[mv_spec] * 4,
+                    out_specs=pl.BlockSpec(
+                        (F, 1, 1), lambda j, ci, *_: (j, 0, 0),
+                        memory_space=pltpu.VMEM),
+                    scratch_shapes=[
+                        pltpu.VMEM((F, gh_p, gw_p), jnp.float32)],
+                ),
+                out_shape=jax.ShapeDtypeStruct((bp, 1, 1), jnp.int32),
+                compiler_params=vmem_params,
+                interpret=interpret,
+            )(counts, nc_steps, lane(dst_x), lane(dst_y), lane(src_x),
+              lane(src_y))
+        else:
+            mv_spec = pl.BlockSpec((F, 1, m), lambda j, *_: (j, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            n = pl.pallas_call(
+                make_kernel(F),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(nb,),
+                    in_specs=[mv_spec] * 4,
+                    out_specs=pl.BlockSpec(
+                        (F, 1, 1), lambda j, *_: (j, 0, 0),
+                        memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct((bp, 1, 1), jnp.int32),
+                compiler_params=vmem_params,
+                interpret=interpret,
+            )(counts, lane(dst_x), lane(dst_y), lane(src_x), lane(src_y))
         n = n[:b, 0, 0]
         # counts[:b] is pre-pad; count == 0 <=> no MV side data -> the
         # reference's `!sd` early False (motion_scanner.cpp:219-221),

@@ -252,6 +252,49 @@ class TestMVChunkedPath:
         np.testing.assert_array_equal(np.asarray(n), np.asarray(nr))
         np.testing.assert_array_equal(np.asarray(mo), np.asarray(mr))
 
+    @pytest.mark.parametrize("fps_n", [1, 3, 4])
+    def test_ragged_chunk_grid_parity(self, rng, fps_n):
+        """ragged_chunks moves the chunk loop into the grid with a
+        count-clamped block index map (DMA skipped for all-padding
+        chunks).  Counts at zero, mid-chunk, chunk boundaries, and full
+        capacity — across 1/3/4-frame steps (incl. the zero-count step
+        padding) — must decide exactly like the dense XLA op."""
+        m, m_chunk = 1024, 256
+        counts_wanted = [0, 1, 255, 256, 257, 512, 700, 1024]
+        mv_list = [random_mvs(rng, c) for c in counts_wanted]
+        dx_, dy_, sx_, sy_, counts, _ = mv_vote.pad_mvs(mv_list, m)
+        op = mv_vote.make_mv_cluster_op_pallas(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=1, clusters_needed=1, interpret=True,
+            m_chunk=m_chunk, ragged_chunks=True, frames_per_step=fps_n)
+        ref = mv_vote.make_mv_cluster_op_xla(
+            GEOM, threshold_sq=16.0, block_shift=4,
+            vectors_needed=1, clusters_needed=1)
+        n, mo = op(dx_, dy_, sx_, sy_, counts)
+        nr, mr = ref(dx_, dy_, sx_, sy_, counts)
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(nr))
+        np.testing.assert_array_equal(np.asarray(mo), np.asarray(mr))
+
+    def test_ragged_chunk_grid_unaligned_m(self, rng):
+        """ragged_chunks with m not a multiple of m_chunk (the chunk-pad
+        path) and m <= m_chunk (ragged inert) both stay exact."""
+        for m in (300, 200):
+            m_chunk = 256
+            mv_list = [random_mvs(rng, int(rng.integers(0, m + 1)))
+                       for _ in range(5)]
+            dx_, dy_, sx_, sy_, counts, _ = mv_vote.pad_mvs(mv_list, m)
+            op = mv_vote.make_mv_cluster_op_pallas(
+                GEOM, threshold_sq=16.0, block_shift=4,
+                vectors_needed=1, clusters_needed=1, interpret=True,
+                m_chunk=m_chunk, ragged_chunks=True, frames_per_step=2)
+            ref = mv_vote.make_mv_cluster_op_xla(
+                GEOM, threshold_sq=16.0, block_shift=4,
+                vectors_needed=1, clusters_needed=1)
+            n, mo = op(dx_, dy_, sx_, sy_, counts)
+            nr, mr = ref(dx_, dy_, sx_, sy_, counts)
+            np.testing.assert_array_equal(np.asarray(n), np.asarray(nr))
+            np.testing.assert_array_equal(np.asarray(mo), np.asarray(mr))
+
 
 class TestPackedClusterOps:
     """Packed-domain cluster math (bitwise neighbors + SWAR popcount on
