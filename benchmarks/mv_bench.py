@@ -37,6 +37,40 @@ goes:
              (the structural fix for sparse counts at large --m, where
              prod's capacity-sized stream blocks dominate).  The audit
              accounts its actually-fetched bytes (mean chunks/step).
+    prodragstep
+             prodrag with ONE step-level dynamic predicate over a static
+             F-frame body instead of F per-frame pl.when regions —
+             probes per-frame dynamic control-flow region cost (the
+             round-5 find: prodrag's 4x DMA cut measured NEUTRAL at
+             sparse M=8192 — 1.777M vs prod 1.753M — but collapsing the
+             16 per-frame regions to 1 measured 2.448M, +40%).
+    prodragfuse
+             prodragstep minus two more regions: the zero pass folds
+             into the first chunk's accumulate (init-select) and the
+             finalize runs at the step's OWN last chunk — empty chunk
+             steps run nothing at all.  Measured a REGRESSION (2.20M vs
+             prodragstep 2.45M, same session): the per-chunk vector
+             select + per-step own-finalize predicate cost more than the
+             regions they remove.  Kept as the negative probe.
+    prodragdyn
+             prodragfuse with a DYNAMIC grid third dim (max needed
+             chunk over the batch): a uniformly sparse batch runs zero
+             empty grid steps.  Measured 2.730M (best fused form, +56%
+             over prod; empty grid steps cost ~0.22us each).  NOTE: at
+             --counts sparse (64..2048) every step needs exactly 1
+             chunk, so the dynamic grid is 1 — the residual gap to the
+             M=2048 prod floor (~4.26M) is per-step cost inside ACTIVE
+             steps, dominated by the scratch round-trip (zero-write +
+             read-modify-write + finalize-read ~ 4MB VMEM traffic/step)
+             that single-chunk steps don't need.
+    prodraghyb
+             prodragdyn plus a straight-line NO-SCRATCH fast path for
+             steps whose max needed chunk is 1 (votes -> cluster -> out
+             in registers, exactly the M=2048 prod body); multi-chunk
+             steps take the prodragstep-style scratch path.  The
+             production-shaped candidate: real 1080p counts are
+             hundreds-to-thousands against M=8192 capacity, so nc==1
+             steps ARE the hot path.
     prodmaxb the production body with ONE shared dynamic chunk bound per
              step (max of the F frames' counts) instead of F per-frame
              SMEM-dependent bounds — exact (extra chunks contribute
@@ -114,19 +148,30 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
         raise ValueError(f"--frames {b} must be divisible by F={F}")
     nb = b // F
 
-    if variant == "prodrag":
-        # Ragged chunk-in-grid production candidate (ops/mv_vote.py
+    if variant in ("prodrag", "prodragstep", "prodragfuse", "prodragdyn",
+                   "prodraghyb"):
+        # Ragged chunk-in-grid production candidates (ops/mv_vote.py
         # ragged_chunks): grid (iters, steps, chunks), [F, 1, m_chunk]
         # blocks whose index map clamps the chunk at the step's max
         # needed chunk (second scalar-prefetch array) — all-padding
-        # chunks are neither DMA'd (Mosaic re-fetches only on index
-        # change) nor computed (per-frame pl.when).  DMA becomes
-        # count-sized like the compute already was; the audit in main
-        # accounts the actually-fetched bytes.
+        # chunks are never DMA'd (Mosaic re-fetches only on index
+        # change).  DMA becomes count-sized like the compute already
+        # was; the audit in main accounts the actually-fetched bytes.
+        #   prodrag      per-FRAME pl.when predicates (16 dynamic
+        #                control-flow regions per step)
+        #   prodragstep  ONE step-level pl.when over a static F-frame
+        #                body — frames needing fewer chunks than the
+        #                step max accumulate vector-masked zeros (exact;
+        #                no scalar branch).  Probes whether per-frame
+        #                dynamic regions, not DMA, are the sparse cost:
+        #                round-5 measured prodrag's 4x DMA cut NEUTRAL
+        #                (1.777M vs prod 1.753M at sparse M=8192).
         if m % m_chunk:
             raise ValueError(f"prodrag needs m % m_chunk == 0 ({m})")
         NC = max(1, m // m_chunk)
         gh_p2, gw_p2 = geom.padded_gh, geom.padded_gw
+
+        fused = variant in ("prodragfuse", "prodragdyn")
 
         def rag_kernel(count_ref, nc_ref, dx_ref, dy_ref, sx_ref, sy_ref,
                        out_ref, vs):
@@ -134,24 +179,21 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
             j = pl.program_id(1)
             ci = pl.program_id(2)
             base = (it % k) * b + j * F
+            nc_step = nc_ref[(it % k) * nb + j]
 
-            @pl.when(ci == 0)
-            def _zero():
-                vs[...] = jnp.zeros((F, gh_p2, gw_p2), jnp.float32)
-
-            for fi in range(F):
-                count = count_ref[base + fi]
-
-                @pl.when(ci * m_chunk < count)
-                def _acc(fi=fi, count=count):
-                    v = mv_vote._mv_frame_votes(
-                        dx_ref[fi], dy_ref[fi], sx_ref[fi], sy_ref[fi],
-                        count, geom, bound, cfg.block_shift,
-                        idx_offset=ci * m_chunk, fold_keep=True)
+            def acc_frame(fi, count, init_select=False):
+                v = mv_vote._mv_frame_votes(
+                    dx_ref[fi], dy_ref[fi], sx_ref[fi], sy_ref[fi],
+                    count, geom, bound, cfg.block_shift,
+                    idx_offset=ci * m_chunk, fold_keep=True)
+                if init_select:
+                    # first chunk WRITES (no separate zero region);
+                    # count==0 frames get v==0 -> correctly initialized
+                    vs[fi] = jnp.where(ci == 0, v, vs[fi] + v)
+                else:
                     vs[fi] = vs[fi] + v
 
-            @pl.when(ci == NC - 1)
-            def _fin():
+            def finalize():
                 for fi in range(F):
                     cl = _cluster_map(vs[fi].astype(jnp.int32), geom,
                                       vec).astype(jnp.int32)
@@ -159,36 +201,121 @@ def build_variant(variant, geom, cfg, *, k, b, m, iters, fps,
                     out_ref[fi] = jnp.sum(rows, axis=0, keepdims=True
                                           ).reshape(1, 1)
 
+            if variant == "prodraghyb":
+                # Fast path: a single-chunk step (max count <= m_chunk,
+                # the hot case for real 1080p densities at M=8192) runs
+                # the straight-line M=2048-prod body — votes -> cluster
+                # -> out entirely in registers, scratch untouched.
+                @pl.when((nc_step == 1) & (ci == 0))
+                def _fast():
+                    for fi in range(F):
+                        v = mv_vote._mv_frame_votes(
+                            dx_ref[fi], dy_ref[fi], sx_ref[fi],
+                            sy_ref[fi], count_ref[base + fi], geom,
+                            bound, cfg.block_shift, idx_offset=0,
+                            fold_keep=True)
+                        cl = _cluster_map(v.astype(jnp.int32), geom,
+                                          vec).astype(jnp.int32)
+                        rows = jnp.sum(cl, axis=1, keepdims=True)
+                        out_ref[fi] = jnp.sum(rows, axis=0,
+                                              keepdims=True).reshape(1, 1)
+
+                # Multi-chunk steps: prodragstep-style scratch path,
+                # finalized at the step's OWN last chunk (required
+                # under the dynamic grid, where NC-1 may never run).
+                @pl.when((nc_step > 1) & (ci == 0))
+                def _zero_mc():
+                    vs[...] = jnp.zeros((F, gh_p2, gw_p2), jnp.float32)
+
+                @pl.when((nc_step > 1) & (ci < nc_step))
+                def _acc_mc():
+                    for fi in range(F):
+                        acc_frame(fi, count_ref[base + fi])
+
+                @pl.when((nc_step > 1) & (ci == nc_step - 1))
+                def _fin_mc():
+                    finalize()
+            elif fused:
+                # two dynamic regions per ACTIVE step, none on empty
+                # steps: accumulate (init-select folds the zero pass)
+                # and finalize at the step's OWN last chunk
+                @pl.when(ci < nc_step)
+                def _acc_step():
+                    for fi in range(F):
+                        acc_frame(fi, count_ref[base + fi],
+                                  init_select=True)
+
+                @pl.when(ci == nc_step - 1)
+                def _fin():
+                    finalize()
+            elif variant == "prodragstep":
+                @pl.when(ci == 0)
+                def _zero():
+                    vs[...] = jnp.zeros((F, gh_p2, gw_p2), jnp.float32)
+
+                @pl.when(ci < nc_step)
+                def _acc_step():
+                    for fi in range(F):
+                        acc_frame(fi, count_ref[base + fi])
+
+                @pl.when(ci == NC - 1)
+                def _fin():
+                    finalize()
+            else:
+                @pl.when(ci == 0)
+                def _zero():
+                    vs[...] = jnp.zeros((F, gh_p2, gw_p2), jnp.float32)
+
+                for fi in range(F):
+                    count = count_ref[base + fi]
+
+                    @pl.when(ci * m_chunk < count)
+                    def _acc(fi=fi, count=count):
+                        acc_frame(fi, count)
+
+                @pl.when(ci == NC - 1)
+                def _fin():
+                    finalize()
+
         rag_spec = pl.BlockSpec(
             (F, 1, m_chunk),
             lambda it, j, ci, csm, ncsm: (
                 (it % k) * nb + j, 0,
                 jnp.minimum(ci, ncsm[(it % k) * nb + j] - 1)),
             memory_space=pltpu.VMEM)
-        rag_sweep = pl.pallas_call(
-            rag_kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(iters, nb, NC),
-                in_specs=[rag_spec] * 4,
-                out_specs=pl.BlockSpec(
-                    (F, 1, 1), lambda it, j, ci, *_: (j, 0, 0),
-                    memory_space=pltpu.VMEM),
-                scratch_shapes=[pltpu.VMEM((F, gh_p2, gw_p2),
-                                           jnp.float32)],
-            ),
-            out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-        )
+
+        def make_rag_sweep(grid_nc):
+            return pl.pallas_call(
+                rag_kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(iters, nb, grid_nc),
+                    in_specs=[rag_spec] * 4,
+                    out_specs=pl.BlockSpec(
+                        (F, 1, 1), lambda it, j, ci, *_: (j, 0, 0),
+                        memory_space=pltpu.VMEM),
+                    scratch_shapes=[pltpu.VMEM((F, gh_p2, gw_p2),
+                                               jnp.float32)],
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, 1, 1), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+            )
 
         @jax.jit
         def run_rag(dst_x, dst_y, src_x, src_y, sub, counts):
             cg = counts.reshape(k * nb, F)
             ncs = jnp.clip((jnp.max(cg, axis=1) + jnp.int32(m_chunk - 1))
                            // jnp.int32(m_chunk), 1, NC).astype(jnp.int32)
-            return rag_sweep(counts, ncs, dst_x, dst_y, src_x,
-                             src_y)[:, 0, 0]
+            if variant in ("prodragdyn", "prodraghyb"):
+                # DYNAMIC grid third dim: the chunk sweep is bounded by
+                # the batch's max needed chunk — a uniformly sparse
+                # batch runs zero empty grid steps (Mosaic dynamic grid)
+                grid_nc = jnp.max(ncs)
+            else:
+                grid_nc = NC
+            return make_rag_sweep(grid_nc)(
+                counts, ncs, dst_x, dst_y, src_x, src_y)[:, 0, 0]
 
         return run_rag
     # *sub variants ship dst_x a SECOND time as a sublane-major [M, 1]
@@ -507,7 +634,8 @@ def main() -> int:
         # *sub legacy variants stream a fifth, sublane-major dst_x copy
         bpf = 5 * m * 4 if variant in (
             "ctrlsub", "prodsub") else bytes_per_frame
-        if variant == "prodrag":
+        if variant in ("prodrag", "prodragstep", "prodragfuse", "prodragdyn",
+                   "prodraghyb"):
             # ragged DMA is count-sized: per step, nc_j blocks of
             # [F, 1, m_chunk] i32 per stream -> nc_j*16*m_chunk B/frame
             F_main = args.fps or 1

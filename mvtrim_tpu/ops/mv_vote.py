@@ -229,7 +229,7 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                               m_chunk: int = 2048, frames_per_step: int = 16,
                               dynamic_chunks: bool = True,
                               fold_keep: bool = True,
-                              ragged_chunks: bool = False):
+                              ragged_chunks: bool = True):
     """Pallas implementation: ``frames_per_step`` frames per grid step,
     everything in VMEM.
 
@@ -263,7 +263,7 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     sparse counts but -25% at full capacity (8 loop trips); 512 loses
     even sparse — 2048 stays the default (PERFORMANCE.md, round 3).
 
-    ``ragged_chunks`` (round 5, also only reachable at m > m_chunk):
+    ``ragged_chunks`` (round 5 DEFAULT, only reachable at m > m_chunk):
     ``dynamic_chunks`` makes the COMPUTE count-sized but the DMA stays
     capacity-sized — every [F, 1, M] stream block ships whole, which is
     why the sparse M=8192 regime measured 32% of its stream control
@@ -273,11 +273,17 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
     the chunk index at the step's max needed chunk (a second
     scalar-prefetch array) — Mosaic only re-DMAs a block when its index
     changes between consecutive grid steps, so all-padding chunks cost
-    neither DMA nor compute (per-frame ``pl.when`` predication).  Votes
-    accumulate in VMEM scratch across the chunk sweep; cluster map +
-    reduce run once at the last chunk step.  Bit-identical by
-    construction (skipped chunks are provably zero — the same argument
-    that makes dynamic_chunks exact).
+    neither DMA nor compute.  The shipped kernel is the round-5 HYBRID
+    (see make_ragged_kernel): step-level predicates over a static
+    F-frame body, a dynamic chunk grid, and a no-scratch fast path for
+    single-chunk steps.  Measured at M=8192 F=16, honest windows,
+    checksum-audited (benchmarks/mv_bench.py): sparse realistic counts
+    **4.126M frames/s vs 1.753M** for the fori_loop build (2.35x; 74.5%
+    of the same-session stream control, ~97% of the M=2048 floor), and
+    full-capacity worst case **967.9k vs 630.6k (+53%)** — it wins both
+    regimes, hence the default.  Bit-identical by construction (skipped
+    chunks are provably zero — the same argument that makes
+    dynamic_chunks exact).
     """
     bound = threshold_bound(threshold_sq)
     F_req = max(1, frames_per_step)
@@ -313,48 +319,81 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
 
     gh_p, gw_p = geom.padded_gh, geom.padded_gw
 
-    def make_ragged_kernel(F, nc_total):
-        # Ragged (chunk-in-grid) body: grid is (steps, chunks); the MV
-        # stream BlockSpecs clamp the chunk block index at the step's max
-        # needed chunk (scalar-prefetch nc array), so all-padding chunks
-        # are never DMA'd — Mosaic only fetches a block when its index
-        # changes between consecutive grid steps.  Per-frame votes
-        # accumulate in VMEM scratch across the chunk sweep; the cluster
-        # map + reduce run once at the last chunk step.
+    def make_ragged_kernel(F, nc_total, own_finalize):
+        # Ragged (chunk-in-grid) HYBRID body — the round-5 measured
+        # winner (benchmarks/mv_bench.py ``prodraghyb``: 4.126M frames/s
+        # at sparse M=8192 vs prod 1.753M, 74.5% of the same-session
+        # stream control, checksum-audited).  Grid is (steps, chunks);
+        # the MV stream BlockSpecs clamp the chunk block index at the
+        # step's max needed chunk (scalar-prefetch nc array), so
+        # all-padding chunks are never DMA'd — Mosaic only fetches a
+        # block when its index changes between consecutive grid steps.
+        #
+        # Structure (each piece measured separately, same sessions):
+        #  * ONE step-level predicate over a STATIC F-frame body instead
+        #    of F per-frame ``pl.when`` regions (``prodragstep``, +40%:
+        #    per-frame dynamic control-flow regions, not DMA, were the
+        #    sparse cost — the pure DMA cut ``prodrag`` measured NEUTRAL,
+        #    1.777M vs 1.753M).  Exact: chunks at/past a frame's count
+        #    contribute zero (``idx < count`` fails on every lane).
+        #  * a straight-line NO-SCRATCH fast path for single-chunk steps
+        #    (votes -> cluster -> out in registers, exactly the
+        #    m <= m_chunk body) — the hot path at real 1080p densities,
+        #    skipping the ~4MB/step scratch zero + read-modify-write +
+        #    finalize round-trip (2.73M -> 4.13M).
+        #  * multi-chunk steps take the scratch path, finalized at the
+        #    step's OWN last chunk when the caller runs a dynamic chunk
+        #    grid (``own_finalize=True``; under a static grid the fixed
+        #    last chunk is used — interpret mode, where a traced grid
+        #    dim is unsupported).
         def kernel(count_ref, nc_ref, dst_x_ref, dst_y_ref, src_x_ref,
                    src_y_ref, counts_ref, votes_vmem):
             j = pl.program_id(0)
             ci = pl.program_id(1)
+            nc_step = nc_ref[j]
 
-            @pl.when(ci == 0)
+            def frame_votes(fi, idx_offset):
+                return _mv_frame_votes(
+                    dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
+                    src_y_ref[fi], count_ref[j * F + fi], geom, bound,
+                    block_shift, idx_offset=idx_offset,
+                    fold_keep=fold_keep)
+
+            def reduce_out(fi, votes):
+                cluster = _cluster_map(votes.astype(jnp.int32), geom,
+                                       vectors_needed).astype(jnp.int32)
+                col_sums = jnp.sum(cluster, axis=0, keepdims=True)
+                counts_ref[fi] = jnp.sum(col_sums, axis=1, keepdims=True)
+
+            # Fast path: every count in the step fits one chunk — votes
+            # -> cluster -> out entirely in registers, scratch untouched
+            # (later chunk iterations of this step run nothing; the out
+            # block only flushes when its index changes, so the write
+            # persists).
+            @pl.when((nc_step == 1) & (ci == 0))
+            def _fast():
+                for fi in range(F):
+                    reduce_out(fi, frame_votes(fi, 0))
+
+            @pl.when((nc_step > 1) & (ci == 0))
             def _zero():
                 votes_vmem[...] = jnp.zeros((F, gh_p, gw_p), jnp.float32)
 
-            for fi in range(F):
-                count = count_ref[j * F + fi]
+            @pl.when((nc_step > 1) & (ci < nc_step))
+            def _acc():
+                # static body: frames needing fewer chunks than the
+                # step's max accumulate exact zeros (idx < count fails
+                # on every lane of the resident block)
+                for fi in range(F):
+                    votes_vmem[fi] = votes_vmem[fi] + frame_votes(
+                        fi, ci * m_chunk)
 
-                # Chunks at/past the frame's MV count contribute zero
-                # (``idx < count`` fails on every lane) — skip their
-                # compute.  Whenever this predicate holds, the resident
-                # block IS chunk ci: ci < ceil(count/m_chunk) <= nc[j],
-                # so the index-map clamp is inactive.
-                @pl.when(ci * m_chunk < count)
-                def _acc(fi=fi, count=count):
-                    votes = _mv_frame_votes(
-                        dst_x_ref[fi], dst_y_ref[fi], src_x_ref[fi],
-                        src_y_ref[fi], count, geom, bound, block_shift,
-                        idx_offset=ci * m_chunk, fold_keep=fold_keep)
-                    votes_vmem[fi] = votes_vmem[fi] + votes
+            fin_at = (nc_step - 1) if own_finalize else (nc_total - 1)
 
-            @pl.when(ci == nc_total - 1)
+            @pl.when((nc_step > 1) & (ci == fin_at))
             def _finalize():
                 for fi in range(F):
-                    cluster = _cluster_map(
-                        votes_vmem[fi].astype(jnp.int32), geom,
-                        vectors_needed).astype(jnp.int32)
-                    col_sums = jnp.sum(cluster, axis=0, keepdims=True)
-                    counts_ref[fi] = jnp.sum(col_sums, axis=1,
-                                             keepdims=True)
+                    reduce_out(fi, votes_vmem[fi])
         return kernel
 
     @jax.jit
@@ -400,11 +439,21 @@ def make_mv_cluster_op_pallas(geom: GridGeometry, *, threshold_sq: float,
                 lambda j, ci, csm, ncsm: (j, 0,
                                           jnp.minimum(ci, ncsm[j] - 1)),
                 memory_space=pltpu.VMEM)
+            # DYNAMIC chunk grid (Mosaic): bound the chunk sweep at the
+            # batch's max needed chunk so a uniformly sparse batch runs
+            # zero empty grid iterations (+12% measured, ``prodragdyn``
+            # vs ``prodragstep``).  Interpret mode cannot take a traced
+            # grid dim — it falls back to the static bound, with the
+            # finalize pinned at the static last chunk (bit-identical;
+            # the dynamic-grid leg is covered on hardware by
+            # tests/test_tpu_smoke.py).
+            grid_nc = nc_total if interpret else jnp.max(nc_steps)
             n = pl.pallas_call(
-                make_ragged_kernel(F, nc_total),
+                make_ragged_kernel(F, nc_total,
+                                   own_finalize=not interpret),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=2,
-                    grid=(nb, nc_total),
+                    grid=(nb, grid_nc),
                     in_specs=[mv_spec] * 4,
                     out_specs=pl.BlockSpec(
                         (F, 1, 1), lambda j, ci, *_: (j, 0, 0),

@@ -330,3 +330,67 @@ print(json.dumps({"ok": bool((np.asarray(n) == np.asarray(nr)).all())}))
     r = _run_py(code)
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1]) == {"ok": True}
+
+
+def test_mv_ragged_hybrid_legs_on_device():
+    """The round-5 ragged HYBRID kernel's hardware-only legs: the
+    DYNAMIC chunk grid (`grid=(nb, jnp.max(nc_steps))`) and the
+    own-finalize step (`ci == nc_step - 1`, which can precede the static
+    last chunk) have NO interpret-mode equivalent — interpret falls back
+    to a static grid (ops/mv_vote.py:442-453), so only a device run
+    covers them.  Three batches at M=8192 (nc_total=4, m_chunk=2048):
+
+      * all-sparse  — every step takes the no-scratch fast path and the
+        dynamic grid collapses to one chunk iteration;
+      * mixed       — step 0 pure fast path, step 1 multi-chunk with
+        boundary counts (2048 = exactly one chunk inside a 4-chunk
+        step; 2049 = first lane of chunk 1; 0 = all-padding), so the
+        fast-path write of step 0 must survive the skipped chunk
+        iterations before the out block flushes, and step 1's finalize
+        fires at its OWN last needed chunk;
+      * all-full    — every frame at capacity, finalize at the static
+        last chunk (the fast path never taken).
+
+    Each diffs against the XLA build (bit-parity contract,
+    motion_scanner.cpp:242-268 semantics)."""
+    code = """
+import json
+import numpy as np
+import jax
+dev = jax.devices()[0]
+assert dev.platform != "cpu", f"expected an accelerator, got {dev}"
+from mvtrim_tpu.core.config import Config
+from mvtrim_tpu.core.types import GridGeometry
+from mvtrim_tpu.ops import mv_vote
+
+cfg = Config()
+geom = GridGeometry.build(1920, 1080, cfg)
+rng = np.random.default_rng(55)
+m, m_chunk = 8192, 2048
+kw = dict(threshold_sq=cfg.mv_threshold_sq, block_shift=cfg.block_shift,
+          vectors_needed=cfg.vectors_needed,
+          clusters_needed=cfg.clusters_needed)
+op = mv_vote.make_mv_cluster_op_pallas(geom, m_chunk=m_chunk,
+                                       ragged_chunks=True, **kw)
+ref = mv_vote.make_mv_cluster_op_xla(geom, **kw)
+
+def batch(counts):
+    mvs = [rng.integers(-64, 1920, size=(c, 4)) for c in counts]
+    return mv_vote.pad_mvs(mvs, m)[:5]
+
+sparse = [int(rng.integers(1, m_chunk)) for _ in range(32)]
+mixed = ([5, 100, 2048, 1500] * 4                  # step 0: fast path
+         + [0, 2049, 8192, 4096, 2048, 1, 6000, 3000] * 2)  # step 1
+full = [m] * 32
+ok = True
+for counts in (sparse, mixed, full):
+    dx, dy, sx, sy, cts = batch(counts)
+    n, mo = op(dx, dy, sx, sy, cts)
+    nr, mr = ref(dx, dy, sx, sy, cts)
+    ok &= bool((np.asarray(n) == np.asarray(nr)).all())
+    ok &= bool((np.asarray(mo) == np.asarray(mr)).all())
+print(json.dumps({"ok": ok}))
+"""
+    r = _run_py(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1]) == {"ok": True}
