@@ -503,6 +503,66 @@ def _mv_secondary(geom, cfg, roofline):
                                                   / fps_c, 1)
     except Exception as e:  # noqa: BLE001 — control leg is best-effort
         print(f"fused MV compute control failed: {e}", file=sys.stderr)
+    # Round-5 ragged chunk-in-grid HYBRID at the PRODUCT capacity regime
+    # (M=8192, realistic sparse densities — log-uniform 64..2048, the
+    # distribution real 1080p streams show): the regime round 4 flagged
+    # at 32% of its stream control.  The JSON must carry the closing
+    # number by itself (the round-4 lesson: proofs that live only in
+    # PERFORMANCE.md get re-flagged).  Best-effort like the control leg.
+    try:
+        m8 = 8192
+        it8 = int(os.environ.get("MVT_BENCH_MV8_ITERS", 4096))
+        dst_x8 = rng.integers(-32, 1952, size=(k, b, m8)).astype(np.int32)
+        dst_y8 = rng.integers(-32, 1112, size=(k, b, m8)).astype(np.int32)
+        src_x8 = (dst_x8 - rng.integers(-8, 9, size=(k, b, m8))).astype(
+            np.int32)
+        src_y8 = (dst_y8 - rng.integers(-8, 9, size=(k, b, m8))).astype(
+            np.int32)
+        counts8 = np.minimum(np.exp(rng.uniform(
+            np.log(64), np.log(2049), size=(k, b))).astype(np.int32), m8)
+        run8 = mv_bench.build_variant("prodraghyb", geom, cfg, k=k, b=b,
+                                      m=m8, iters=it8, fps=f_step)
+        flat8 = lambda a: jax.device_put(
+            np.ascontiguousarray(a.reshape(k * b, 1, m8)))
+        d8 = (flat8(dst_x8), flat8(dst_y8), flat8(src_x8), flat8(src_y8),
+              None, jax.device_put(counts8.reshape(k * b)))
+        np.asarray(run8(*d8))              # compile + one full pass
+        t0 = time.perf_counter()
+        out8 = np.asarray(run8(*d8))
+        dt8 = time.perf_counter() - t0
+        last8 = (it8 - 1) % k
+        _, exp8 = mv_vote.host_expected_clusters(
+            dst_x8[last8], dst_y8[last8], src_x8[last8], src_y8[last8],
+            counts8[last8], geom, threshold_sq=cfg.mv_threshold_sq,
+            block_shift=cfg.block_shift, vectors_needed=cfg.vectors_needed)
+        ok8 = np.array_equal(out8.astype(np.int64), exp8)
+        fps8 = b * it8 / dt8
+        # ragged DMA is count-sized: per step, nc_j blocks of
+        # [F, 1, m_chunk] i32 per stream (mirrors mv_bench's accounting)
+        m_chunk = 2048
+        cg8 = counts8.reshape(k, b // f_step, f_step)
+        ncs8 = np.clip(-(-cg8.max(axis=2) // m_chunk), 1, m8 // m_chunk)
+        bpf8 = float(ncs8.mean()) * 16 * m_chunk
+        valid8, implied8, pct8 = _audit(
+            "fused MV ragged hybrid M=8192 sparse", fps8, bpf8,
+            roofline, ok8)
+        rec["ragged_m8192_sparse"] = {
+            "frames_per_sec": round(fps8),
+            "implied_hbm_gbps": round(implied8, 1),
+            "pct_of_roofline": round(pct8, 1),
+            "audited": bool(valid8), "m": m8, "m_chunk": m_chunk,
+            "mean_count": round(float(counts8.mean()), 1),
+            "window_iters": it8,
+            "audit": "round-5 ragged chunk-in-grid hybrid (product "
+                     "default at m > m_chunk), count-sized DMA "
+                     "accounting, per-frame counts diffed vs oracle"}
+        if rec.get("compute_control", {}).get("audited"):
+            # the M=2048 matmul floor bounds single-chunk frames — the
+            # hybrid's sparse regime should sit just under it
+            rec["ragged_m8192_sparse"]["pct_of_m2048_floor"] = round(
+                100.0 * fps8 / rec["compute_control"]["frames_per_sec"], 1)
+    except Exception as e:  # noqa: BLE001 — best-effort
+        print(f"fused MV ragged M=8192 leg failed: {e}", file=sys.stderr)
     return rec
 
 
